@@ -1,0 +1,55 @@
+"""Table catalog over the driver's parquet directories.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Design for scale: we always go through ``spark.read.parquet`` so Catalyst
+sees a relation with pushdown-capable scan (PushedFilters / ReadSchema reach
+the parquet reader). Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lua_mapreduce_spark.session import configure_runtime
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# Small dimension tables: always broadcast-join these. At TPC-H scale nation
+# and region are constant-size; supplier/part/customer grow with SF but stay
+# orders of magnitude under the fact tables.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    configure_runtime(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators can use spark.sql."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

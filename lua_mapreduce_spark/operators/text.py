@@ -1,0 +1,266 @@
+"""Text analysis over the `documents` table (SURVEY.md §7.2 M4 + north star).
+
+`text_wordcount` is the engine's flagship: it reproduces the reference's ONE
+workload (example/word-count-taskfile.lua:73-159) with the exact reference
+tokenization — whitespace split (utils/utils.lua:76-85) + alphabetic-run
+extraction + lowercase (word-count-taskfile.lua:118-120) + count per word
+(word-count-taskfile.lua:150-153) — as a fully declarative plan: parquet scan
+(text column only) → regexp tokenize → explode → hash-agg count. Map-side
+partial aggregation replaces the reference's per-token network round-trip,
+and the shuffle is Spark's distributed exchange instead of coordinator RAM
+(lua-mapreduce-server.lua:173-183).
+
+Everything here is built-in-function only — zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.functions.texthash import oracle_words_expr, words_expr
+
+# Tiny deterministic stopword lists for the language-ID heuristic. Votes are
+# exact set-membership counts, so Spark and the oracle agree exactly.
+_STOPWORDS = {
+    "en": ("the", "and", "of", "is", "a", "to", "in", "it", "that", "was"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"),
+}
+
+
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(words_expr("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+WORDCOUNT_ORACLE = f"""
+SELECT w.word AS word, COUNT(*) AS cnt
+FROM documents, unnest({oracle_words_expr("text")}) AS w(word)
+GROUP BY w.word
+"""
+
+
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram counts — n-gram generation via array lambdas, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(words_expr("text"))
+    bigrams = F.expr(
+        f"transform(sequence(0, size({words_expr('text')}) - 2),"
+        f" i -> concat({words_expr('text')}[i], ' ', {words_expr('text')}[i+1]))"
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+BIGRAMS_ORACLE = f"""
+WITH toks AS (SELECT {oracle_words_expr("text")} AS l FROM documents)
+SELECT b.bigram AS bigram, COUNT(*) AS cnt
+FROM toks, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b(bigram)
+WHERE len(l) >= 2
+GROUP BY b.bigram
+"""
+
+
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (quality-pipeline features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(words_expr("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+DOC_STATS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, text, {oracle_words_expr("text")} AS l FROM documents)
+SELECT doc_id,
+       LENGTH(text) AS text_len,
+       CAST(len(l) AS INT) AS n_tokens,
+       CAST(len(list_distinct(l)) AS INT) AS n_unique_tokens,
+       CAST(list_sum(list_transform(l, w -> LENGTH(w))) AS DOUBLE)
+         / CAST(len(l) AS DOUBLE) AS avg_token_len
+FROM toks
+"""
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word pieces + standalone punctuation, the
+    usual pre-tokenizer regex. Dialect-safe character classes only."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark's SQL literal parser consumes one backslash level, so \\s here.
+    pat = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '({pat})', 1)")).alias("n_bpe_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '([0-9]+)', 1)")).alias("n_number_tokens"),
+    )
+
+
+TOKEN_COUNT_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_tokens
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality features: alpha ratio, whitespace ratio, mean
+    word length, and a composite score. All integer-count ratios → exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_alpha = F.size(F.expr("regexp_extract_all(text, '([A-Za-z])', 1)")).cast("double")
+    n_space = F.size(F.expr(r"regexp_extract_all(text, '(\\s)', 1)")).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_toks = F.size(F.expr(words_expr("text"))).cast("double")
+    return docs.select(
+        "doc_id",
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (n_space / n_chars).alias("space_ratio"),
+        F.when(n_toks > 0, (n_alpha / n_toks)).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        ((n_alpha / n_chars) * F.lit(0.7) + (n_space / n_chars) * F.lit(0.3)).alias("quality_score"),
+    )
+
+
+QUALITY_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '\\s')) AS DOUBLE) AS n_space,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(len({oracle_words_expr("text")}) AS DOUBLE) AS n_toks
+  FROM documents)
+SELECT doc_id,
+       n_alpha / n_chars AS alpha_ratio,
+       n_space / n_chars AS space_ratio,
+       CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END AS mean_word_len,
+       (n_alpha / n_chars) * 0.7 + (n_space / n_chars) * 0.3 AS quality_score
+FROM c
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free stopword-vote language ID; deterministic argmax with a
+    fixed language preference order for ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words_expr("text")
+    votes = {
+        lang: F.expr(
+            f"size(filter({toks}, w -> w IN ({', '.join(repr(w) for w in ws)})))"
+        ).alias(f"votes_{lang}")
+        for lang, ws in _STOPWORDS.items()
+    }
+    scored = docs.select("doc_id", "lang", *votes.values())
+    best = F.greatest(*[F.col(f"votes_{lang}") for lang in _STOPWORDS])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in _STOPWORDS:  # fixed preference order breaks ties
+        pred = pred.when(F.col(f"votes_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred.alias("pred_lang"),
+        *[F.col(f"votes_{lang}") for lang in _STOPWORDS],
+    )
+
+
+def _langid_oracle() -> str:
+    vote_cols = ",\n         ".join(
+        f"CAST(len(list_filter(l, w -> w IN ({', '.join(repr(w) for w in ws)}))) AS INT) AS votes_{lang}"
+        for lang, ws in _STOPWORDS.items()
+    )
+    best = f"GREATEST({', '.join('votes_' + lang for lang in _STOPWORDS)})"
+    case = " ".join(f"WHEN votes_{lang} = {best} THEN '{lang}'" for lang in _STOPWORDS)
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {oracle_words_expr("text")} AS l FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {vote_cols}
+  FROM toks)
+SELECT doc_id, lang AS true_lang,
+       CASE WHEN {best} = 0 THEN 'unknown' {case} END AS pred_lang,
+       {', '.join('votes_' + lang for lang in _STOPWORDS)}
+FROM scored
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: lowercase, collapse whitespace, md5.
+    The exact-dedup key used by dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).alias("norm_len"),
+    )
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       LENGTH(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term frequency of the top word — tf plus doc frequency,
+    the IDF building block."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.expr(words_expr("text"))).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df_, "word").filter(F.col("tf") >= 5).select("doc_id", "word", "tf", "df")
+
+
+TERMFREQ_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w.word AS word
+  FROM documents, unnest({oracle_words_expr("text")}) AS w(word)),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word)
+SELECT tf.doc_id, tf.word, tf.tf, df.df
+FROM tf JOIN df ON tf.word = df.word
+WHERE tf.tf >= 5
+"""
+
+
+QUERIES = {
+    "text_wordcount": text_wordcount,
+    "text_bigrams": text_bigrams,
+    "text_doc_stats": text_doc_stats,
+    "text_token_count_bpe": text_token_count_bpe,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_term_frequency": text_term_frequency,
+}
+
+ORACLES = {
+    "text_wordcount": WORDCOUNT_ORACLE,
+    "text_bigrams": BIGRAMS_ORACLE,
+    "text_doc_stats": DOC_STATS_ORACLE,
+    "text_token_count_bpe": TOKEN_COUNT_ORACLE,
+    "text_quality_score": QUALITY_ORACLE,
+    "text_langid": _langid_oracle(),
+    "text_fingerprint": FINGERPRINT_ORACLE,
+    "text_term_frequency": TERMFREQ_ORACLE,
+}

@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Spark's Python workers are separate processes: they must be able to import
+# the repo package and the test modules that define pickled closures.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO, os.path.join(_REPO, "tests"), os.environ.get("PYTHONPATH", "")]
+)
+
+from lua_mapreduce_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("lua-mapreduce-spark-tests")
+    yield spark
