@@ -13,11 +13,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lua_mapreduce_spark.operators import relational, text, windows
+from lua_mapreduce_spark.operators import (
+    dedup,
+    events,
+    relational,
+    similarity,
+    text,
+    windows,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, windows, text]
+_MODULES = [relational, windows, text, events, dedup, similarity]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}

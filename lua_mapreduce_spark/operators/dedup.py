@@ -1,0 +1,396 @@
+"""Deduplication over `documents` / `embeddings` (north star; SURVEY.md §2.4).
+
+Five families, all distributed, none driver-materializing:
+
+* exact         — hash-groupBy on a canonical fingerprint
+* minhash-lsh   — shingle → minhash signature → banded bucket join →
+                  jaccard verification (the classic near-dup pipeline)
+* simhash       — per-doc 16-bit simhash from token hashes
+* ngram-jaccard — inverted-index candidate join + exact jaccard
+* embedding     — cosine near-dup pairs over the embeddings table
+
+Everything is SQL-expressible with PORTABLE determinism because hashing goes
+through md5 (functions/texthash.py) instead of engine-native hash functions,
+so each query has a full DuckDB oracle — including MinHash+LSH, which is
+usually tested rows-only.
+
+Scale notes: the LSH band join is the scale path — candidate pairs are
+generated per (band_idx, band_hash) bucket, never all-pairs. The n-gram
+jaccard join is quadratic per shared shingle and exists as the exact
+baseline; rare shingles keep it tractable (common-shingle skew is the known
+hazard — at 100 TB add a document-frequency cap on join shingles, the same
+fix TPC-style engines use for hot keys).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.functions.texthash import (
+    md5_bigint_expr,
+    oracle_md5_bigint_expr,
+    oracle_words_expr,
+    words_expr,
+)
+
+# MinHash parameters: 32 permutations in 8 bands of 4 rows.
+# h_i(x) = (a_i * (H(x) mod P) + b_i) mod P over the 60-bit md5 base hash.
+_P = 2_147_483_647
+_N_HASHES = 32
+_BAND_ROWS = 4
+_N_BANDS = _N_HASHES // _BAND_ROWS
+_rng = random.Random(42)
+_A = [_rng.randrange(1, _P) for _ in range(_N_HASHES)]
+_B = [_rng.randrange(0, _P) for _ in range(_N_HASHES)]
+
+_JACCARD_THRESHOLD = 0.6
+_SIMHASH_BITS = 16
+
+
+def _minhash_exprs(base: str) -> list[str]:
+    """Engine-shared SQL for the 32 permuted hashes of a base-hash column."""
+    return [
+        f"(({a} * ({base} % {_P}) + {b}) % {_P})" for a, b in zip(_A, _B)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by canonical fingerprint (lower + collapse
+    whitespace + md5). One shuffle; representative = min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: one representative doc_id per fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+DEDUP_KEEP_FIRST_ORACLE = r"""
+SELECT MIN(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+"""
+
+
+# --------------------------------------------------------------------------
+# Shingle machinery (shared by jaccard + minhash)
+# --------------------------------------------------------------------------
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words_expr("text")
+    shingle_arr = (
+        f"transform(sequence(0, size({toks}) - 3),"
+        f" i -> concat({toks}[i], ' ', {toks}[i+1], ' ', {toks}[i+2]))"
+    )
+    return (
+        docs.filter(F.expr(f"size({toks}) >= 3"))
+        .select("doc_id", F.explode(F.expr(shingle_arr)).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_ORACLE_CTE = f"""
+shingles AS (
+  SELECT DISTINCT doc_id, s.shingle AS shingle
+  FROM (SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents) t,
+       unnest(list_transform(range(1, len(l) - 1),
+                             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s(shingle)
+  WHERE len(l) >= 3
+)"""
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup: inverted-index join + exact verification
+# --------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_ORACLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup: the scale path
+# --------------------------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates via banded minhash buckets, verified with exact jaccard.
+    Fully deterministic (md5-based hashing) — and therefore fully
+    oracle-checkable, unlike engine-native LSH implementations."""
+    sh = _shingles_df(spark, sf_dir).withColumn("h", F.expr(md5_bigint_expr("shingle")))
+    mh = sh.groupBy("doc_id").agg(
+        *[F.expr(f"MIN({e})").alias(f"m{i}") for i, e in enumerate(_minhash_exprs("h"))]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)],
+                )
+            ).alias("band_hash"),
+        )
+        for band in range(_N_BANDS)
+    ]
+    banded = mh.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact-jaccard verification of candidates only.
+    sh2 = _shingles_df(spark, sf_dir)
+    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa, sb = sh2.alias("sa"), sh2.alias("sb")
+    common = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_oracle() -> str:
+    base = oracle_md5_bigint_expr("shingle")
+    mins = ",\n         ".join(
+        f"MIN({e}) AS m{i}" for i, e in enumerate(_minhash_exprs(f"({base})"))
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {band} AS band_idx, "
+        f"md5(concat_ws(',', {', '.join(f'm{band * _BAND_ROWS + r}' for r in range(_BAND_ROWS))})) AS band_hash FROM mh"
+        for band in range(_N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_ORACLE_CTE},
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id),
+banded AS (
+{band_rows}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM candidates
+  JOIN shingles sa ON sa.doc_id = doc_a
+  JOIN shingles sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints
+# --------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit simhash per document: per-bit majority vote over token hashes
+    (with multiplicity). Hamming-close fingerprints = near-dup candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(words_expr("text"))).alias("tok")
+    ).withColumn("h", F.expr(md5_bigint_expr("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    base = oracle_md5_bigint_expr("tok")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (({base}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    hash_expr = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents), unnest(l) AS t(tok)),
+bit_sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({hash_expr} AS BIGINT) AS simhash FROM bit_sums
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with(a.embedding, b.embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate({side}.embedding, CAST(0.0 AS DOUBLE),"
+    " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+)
+_COSINE_DUP_THRESHOLD = 0.40
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs. All-pairs baseline — at 100 TB replace
+    the cross join with the LSH-bucketed variant (sim_ann_lsh_buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.expr(f"{_DOT} / ({_NORM.format(side='a')} * {_NORM.format(side='b')})")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    )
+
+
+_ORACLE_DOT = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_ORACLE_NORM = (
+    "sqrt(list_sum(list_transform({side}.embedding,"
+    " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+)
+
+EMB_COSINE_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_ORACLE_DOT} / ({_ORACLE_NORM.format(side='a')} * {_ORACLE_NORM.format(side='b')}) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_ORACLE_DOT} / ({_ORACLE_NORM.format(side='a')} * {_ORACLE_NORM.format(side='b')}) >= {_COSINE_DUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_keep_first": dedup_exact_keep_first,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_exact_keep_first": DEDUP_KEEP_FIRST_ORACLE,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_cosine": EMB_COSINE_ORACLE,
+}

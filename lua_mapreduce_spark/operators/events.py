@@ -1,0 +1,201 @@
+"""Event-time windowing over the `events` table (SURVEY.md §7.2 M6).
+
+The reference only aspires to streaming ("could be data from the disk or
+streaming", example/word-count-taskfile.lua:81) — never implemented. Here
+the window semantics are implemented with Spark's native event-time window
+functions in BATCH mode so they are oracle-checkable; `streaming/windows.py`
+re-uses the same logic under Structured Streaming with watermarks (rows-only
+checked, same results by construction).
+
+Window starts are emitted both as epoch seconds (exact integer — portable)
+and formatted strings; never as raw timestamps (Spark µs vs DuckDB ns
+precision would break value comparison).
+
+Scale notes: tumbling/sliding windows are pure hash aggregations on
+(window, key) — map-side partial agg + one shuffle. Session windows shuffle
+once on user_id then merge sorted runs per key; key cardinality (users)
+bounds state exactly as in Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.functions.exact import dec, dsum_sql
+
+_VAL = dec("value")  # events.value sits on the 2-decimal grid
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling window per event_type: F.window (epoch-aligned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(f"CAST(SUM({_VAL}) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_ORACLE = f"""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws_epoch,
+       strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600) AT TIME ZONE 'UTC',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql(_VAL, "sum_value")}
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes — each event lands in 2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+SLIDING_ORACLE = """
+WITH exploded AS (
+  SELECT u.ws_epoch AS ws_epoch, user_id
+  FROM events,
+       unnest([CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+               CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)]) AS u(ws_epoch)
+  WHERE epoch(ts) >= u.ws_epoch AND epoch(ts) < u.ws_epoch + 3600
+)
+SELECT ws_epoch, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM exploded GROUP BY ws_epoch
+"""
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap — Spark's
+    native session_window; the oracle is classic gaps-and-islands SQL.
+    Semantics: a session closes when the next event is >= gap after the
+    previous event; session end = last_ts + gap (we emit start/count/sum)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(f"CAST(SUM({_VAL}) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_ORACLE = f"""
+WITH brk AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM brk
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       {dsum_sql(_VAL, "sum_value")}
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_ORACLE = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def events_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup: date_trunc + distinct users + value stats."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(f"CAST(SUM({_VAL}) AS DOUBLE)").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+DAILY_ORACLE = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {dsum_sql(_VAL, "sum_value")},
+       MAX(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "events_tumbling_hourly": events_tumbling_hourly,
+    "events_sliding_windows": events_sliding_windows,
+    "events_session_windows": events_session_windows,
+    "events_json_extract": events_json_extract,
+    "events_daily_activity": events_daily_activity,
+}
+
+ORACLES = {
+    "events_tumbling_hourly": TUMBLING_ORACLE,
+    "events_sliding_windows": SLIDING_ORACLE,
+    "events_session_windows": SESSION_ORACLE,
+    "events_json_extract": JSON_ORACLE,
+    "events_daily_activity": DAILY_ORACLE,
+}

@@ -1,0 +1,172 @@
+"""Similarity search over the `embeddings` table (north star).
+
+* sim_cosine_topk — exact brute-force top-k per query vector: the
+  correctness baseline. Query set broadcasts against the corpus; the top-k
+  is a per-group window, so the plan is one broadcast join + one shuffle on
+  query id. At 1000 executors this scales linearly in corpus size.
+* sim_ann_lsh_buckets — the scale path: random-hyperplane (SimHash-style)
+  LSH. Each vector gets a B-bit signature from deterministic hyperplanes;
+  candidates share a signature bucket, ranked by exact cosine inside the
+  bucket. Sub-linear candidate generation; recall controlled by B and the
+  number of hyperplane tables. Deterministic hyperplanes (seeded) keep it
+  oracle-checkable — the oracle replays the same construction in SQL.
+
+Vector math is built-in `aggregate`/`zip_with` over array<float> cast to
+double — sequential folds, bitwise-identical across engines (verified), no
+Python in the row path. For very wide vectors a Pandas-UDF BLAS path wins;
+at dim=64 the JVM codegen path is faster than the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table
+
+_DIM = 64
+_N_QUERIES = 10  # query set: vec_id < 10
+_TOP_K = 5
+_N_PLANES = 8
+
+# Deterministic hyperplanes: seeded, quantized to 6 decimals so the SQL
+# literal text (shared with the oracle) is the exact double used everywhere.
+_rng = random.Random(7)
+_PLANES = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(_DIM)] for _ in range(_N_PLANES)
+]
+
+_DOT = (
+    "aggregate(zip_with(a.embedding, b.embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate({side}.embedding, CAST(0.0 AS DOUBLE),"
+    " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+)
+_COS = f"{_DOT} / ({_NORM.format(side='a')} * {_NORM.format(side='b')})"
+
+_ORACLE_DOT = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_ORACLE_NORM = (
+    "sqrt(list_sum(list_transform({side}.embedding,"
+    " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+)
+_ORACLE_COS = f"{_ORACLE_DOT} / ({_ORACLE_NORM.format(side='a')} * {_ORACLE_NORM.format(side='b')})"
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    a, b = queries.alias("a"), emb.alias("b")
+    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.expr(_COS).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SIM_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_ORACLE_COS} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {_N_QUERIES})
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_TOP_K}
+"""
+
+
+def _signature_expr(side: str, plane_dot_fmt: str) -> str:
+    """Bit-OR of sign bits across the hyperplanes (engine-agnostic text
+    built by the caller via plane_dot_fmt)."""
+    terms = []
+    for p_idx, plane in enumerate(_PLANES):
+        arr = ", ".join(f"CAST({w} AS DOUBLE)" for w in plane)
+        dot = plane_dot_fmt.format(side=side, arr=arr)
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p_idx} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_SPARK_PLANE_DOT = (
+    "aggregate(zip_with({side}.embedding, array({arr}),"
+    " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_ORACLE_PLANE_DOT = (
+    "list_sum(list_transform(list_zip({side}.embedding, [{arr}]),"
+    " p -> CAST(p[1] AS DOUBLE) * p[2]))"
+)
+
+
+def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-LSH buckets: exact cosine only within buckets.
+    Returns each query's best same-bucket neighbors — the recall/cost
+    trade-off of real ANN, fully deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.alias("a").select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.embedding").alias("embedding"),
+        F.expr(_signature_expr("a", _SPARK_PLANE_DOT)).cast("int").alias("sig"),
+    )
+    a = sig.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    b = sig.alias("b")
+    scored = a.join(
+        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.sig").alias("bucket"),
+        F.expr(_COS).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+    )
+
+
+def _ann_oracle() -> str:
+    sig_a = _signature_expr("a", _ORACLE_PLANE_DOT)
+    return f"""
+WITH sig AS (
+  SELECT a.vec_id AS vec_id, a.embedding AS embedding,
+         CAST({sig_a} AS INT) AS sig
+  FROM embeddings a),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.sig AS bucket,
+         {_ORACLE_COS} AS cosine
+  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {_N_QUERIES})
+SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+  SELECT query_id, neighbor_id, bucket, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_TOP_K}
+"""
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ann_lsh_buckets": sim_ann_lsh_buckets,
+}
+
+ORACLES = {
+    "sim_cosine_topk": SIM_TOPK_ORACLE,
+    "sim_ann_lsh_buckets": _ann_oracle(),
+}

@@ -24,6 +24,10 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark 4 refuses to read
+    # natively; read as int64 nanos — catalog.load_table converts to a µs
+    # timestamp column.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Default parallelism for the local harness; AQE coalesces down when
     # partitions are tiny, and on a real cluster this should be ~2-3x cores.
     "spark.sql.shuffle.partitions": "32",
