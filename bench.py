@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute + collect); results are
+small aggregates so collect cost is negligible. The headline set spans the
+engine's operator families: scan+agg, multi-join, window, text, dedup
+(MinHash-LSH), similarity (cosine top-k), event-time sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_distinct_counts",
+    "window_topk_per_group",
+    "sort_topk_orders",
+    "text_wordcount",
+    "text_bigrams",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "events_session_windows",
+    "events_tumbling_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    from lua_mapreduce_spark.session import configure_runtime
+
+    spark = configure_runtime(
+        SparkSession.builder.appName("lua-mapreduce-spark-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lua_mapreduce_spark.operators import QUERIES
+
+    # Warm the JVM/codegen paths and parquet footers once so the first timed
+    # query doesn't absorb one-time startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from lua_mapreduce_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

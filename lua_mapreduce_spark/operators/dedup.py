@@ -110,16 +110,22 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document."""
+    """Distinct word-3-gram shingles per document. Token array materialized
+    in its own projection so the regexp tokenizer runs once per row, not
+    once per array index (see text.text_bigrams)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = words_expr("text")
-    shingle_arr = (
-        f"transform(sequence(0, size({toks}) - 3),"
-        f" i -> concat({toks}[i], ' ', {toks}[i+1], ' ', {toks}[i+2]))"
-    )
     return (
-        docs.filter(F.expr(f"size({toks}) >= 3"))
-        .select("doc_id", F.explode(F.expr(shingle_arr)).alias("shingle"))
+        docs.select("doc_id", F.expr(words_expr("text")).alias("l"))
+        .filter(F.size("l") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l) - 3),"
+                    " i -> concat(l[i], ' ', l[i+1], ' ', l[i+2]))"
+                )
+            ).alias("shingle"),
+        )
         .distinct()
     )
 

@@ -48,16 +48,20 @@ GROUP BY w.word
 
 
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word bigram counts — n-gram generation via array lambdas, no UDF."""
+    """Word bigram counts — n-gram generation via array lambdas, no UDF.
+
+    The token array is materialized in its own projection: inlining the
+    regexp tokenizer into the transform lambda would re-run it per array
+    index (O(tokens × regexp) per row — measured 20× slower)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(words_expr("text"))
-    bigrams = F.expr(
-        f"transform(sequence(0, size({words_expr('text')}) - 2),"
-        f" i -> concat({words_expr('text')}[i], ' ', {words_expr('text')}[i+1]))"
-    )
     return (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.expr(words_expr("text")).alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))")
+            ).alias("bigram")
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -75,15 +79,16 @@ GROUP BY b.bigram
 def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char statistics (quality-pipeline features)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(words_expr("text"))
     return docs.select(
+        "doc_id", F.length("text").alias("text_len"), F.expr(words_expr("text")).alias("l")
+    ).select(
         "doc_id",
-        F.length("text").alias("text_len"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        "text_len",
+        F.size("l").alias("n_tokens"),
+        F.size(F.array_distinct("l")).alias("n_unique_tokens"),
         (
-            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).cast("double")
-            / F.size(toks).cast("double")
+            F.aggregate("l", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).cast("double")
+            / F.size("l").cast("double")
         ).alias("avg_token_len"),
     )
 
@@ -125,11 +130,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality features: alpha ratio, whitespace ratio, mean
     word length, and a composite score. All integer-count ratios → exact."""
     docs = load_table(spark, sf_dir, "documents")
-    n_alpha = F.size(F.expr("regexp_extract_all(text, '([A-Za-z])', 1)")).cast("double")
-    n_space = F.size(F.expr(r"regexp_extract_all(text, '(\\s)', 1)")).cast("double")
-    n_chars = F.length("text").cast("double")
-    n_toks = F.size(F.expr(words_expr("text"))).cast("double")
+    n_alpha = F.col("n_alpha").cast("double")
+    n_space = F.col("n_space").cast("double")
+    n_chars = F.col("n_chars").cast("double")
+    n_toks = F.col("n_toks").cast("double")
     return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '([A-Za-z])', 1)")).alias("n_alpha"),
+        F.size(F.expr(r"regexp_extract_all(text, '(\\s)', 1)")).alias("n_space"),
+        F.length("text").alias("n_chars"),
+        F.size(F.expr(words_expr("text"))).alias("n_toks"),
+    ).select(
         "doc_id",
         (n_alpha / n_chars).alias("alpha_ratio"),
         (n_space / n_chars).alias("space_ratio"),
@@ -159,14 +170,15 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free stopword-vote language ID; deterministic argmax with a
     fixed language preference order for ties."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = words_expr("text")
     votes = {
         lang: F.expr(
-            f"size(filter({toks}, w -> w IN ({', '.join(repr(w) for w in ws)})))"
+            f"size(filter(l, w -> w IN ({', '.join(repr(w) for w in ws)})))"
         ).alias(f"votes_{lang}")
         for lang, ws in _STOPWORDS.items()
     }
-    scored = docs.select("doc_id", "lang", *votes.values())
+    scored = docs.select(
+        "doc_id", "lang", F.expr(words_expr("text")).alias("l")
+    ).select("doc_id", "lang", *votes.values())
     best = F.greatest(*[F.col(f"votes_{lang}") for lang in _STOPWORDS])
     pred = F.when(best == 0, F.lit("unknown"))
     for lang in _STOPWORDS:  # fixed preference order breaks ties
