@@ -17,7 +17,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Spark's Python workers are separate processes; they must import this repo's
+# package to unpickle RDD closures (Layer A queries). Harmless otherwise.
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from lua_mapreduce_spark.operators import ORACLES, QUERIES  # noqa: E402
 

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from lua_mapreduce_spark.operators import (
     dedup,
     events,
+    mapreduce_layer,
+    multimodal,
     relational,
     similarity,
     text,
@@ -24,7 +26,16 @@ from lua_mapreduce_spark.operators import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, windows, text, events, dedup, similarity]
+_MODULES = [
+    relational,
+    windows,
+    text,
+    events,
+    dedup,
+    similarity,
+    multimodal,
+    mapreduce_layer,
+]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,21 @@
+from lua_mapreduce_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+    whole_text_files,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "read_text",
+    "whole_text_files",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+]

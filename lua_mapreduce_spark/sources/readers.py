@@ -1,0 +1,74 @@
+"""Sources and sinks.
+
+The reference's only source is a directory scan slurping whole text files
+(`read_source`, example/word-count-taskfile.lua:41-65: lfs.dir + io.read
+"*all", `.txt` filter at :53), and its only sink is print-to-stdout
+(finalfn, word-count-taskfile.lua:91-97). `whole_text_files` reproduces the
+source exactly; everything else is the engine-proper surface the reference
+lacks: schema-aware columnar readers and distributed writers.
+
+Scale notes: all readers return lazy DataFrames feeding Catalyst (pushdown/
+pruning reach the file format); writers are executor-parallel — no
+driver-side materialization anywhere, in contrast to the reference's
+server-memory dataflow (lua-mapreduce-server.lua:31-34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from lua_mapreduce_spark.session import configure_runtime
+
+
+def whole_text_files(spark: SparkSession, path: str, pattern: str = "*.txt") -> DataFrame:
+    """Reference-faithful source: one row per file, (filename, content) —
+    the exact shape taskfn yields (word-count-taskfile.lua:85-87).
+    Filename is the basename, matching the Lua `file` key."""
+    configure_runtime(spark)
+    rdd = spark.sparkContext.wholeTextFiles(f"{path}/{pattern}")
+    rdd = rdd.map(lambda kv: (kv[0].rsplit("/", 1)[-1], kv[1]))
+    return spark.createDataFrame(rdd, schema="filename string, content string")
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    return configure_runtime(spark).read.text(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return configure_runtime(spark).read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str | None = None, **options
+) -> DataFrame:
+    reader = configure_runtime(spark).read.options(header="true", **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None, **options
+) -> DataFrame:
+    reader = configure_runtime(spark).read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,88 @@
+"""Structured Streaming variants of the event-time operators.
+
+The reference only gestures at streaming ("could be data from the disk or
+streaming", example/word-count-taskfile.lua:81 — never implemented). Here
+the batch operators in operators/events.py get true streaming twins:
+`readStream` file source → windowed agg with watermark → sink. The batch
+versions are the oracle (same F.window/F.session_window logic, so results
+agree by construction once the stream drains with availableNow).
+
+Scale notes: watermarks bound state (late rows beyond the watermark drop);
+session-window state is per-key like applyInPandasWithState; file-source
+`maxFilesPerTrigger` paces backfill. On a cluster the same code points at
+Kafka by swapping the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.functions.exact import dec
+from lua_mapreduce_spark.session import configure_runtime
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+    ts arrives as int64 nanos (nanosAsLong, see catalog.load_table) and is
+    converted to a µs timestamp identically to the batch path."""
+    configure_runtime(spark)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+
+
+def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.events.events_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(f"CAST(SUM({dec('value')}) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of operators.events.events_session_windows."""
+    return (
+        events.filter(F.col("user_id") < 100)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(f"CAST(SUM({dec('value')}) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
+    """Drain the stream with availableNow into an in-memory table and return
+    it as a DataFrame. Complete mode: windowed aggs emit final results."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,76 @@
+"""Sources & sinks: round-trips and the reference-faithful whole-file scan
+(example/word-count-taskfile.lua:41-65)."""
+
+from __future__ import annotations
+
+import os
+
+from lua_mapreduce_spark.sources import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+    whole_text_files,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from tests.test_mapreduce_api import FIXTURES
+
+
+def _write_fixture_dir(tmp_path):
+    d = tmp_path / "texts"
+    d.mkdir()
+    for name, content in FIXTURES.items():
+        (d / name).write_text(content)
+    (d / "ignore.dat").write_text("binary-ish noise")
+    return str(d)
+
+
+def test_whole_text_files_matches_reference_source(spark, tmp_path):
+    """One row per *.txt file with full contents — the exact taskfn shape;
+    the .txt filter mirrors word-count-taskfile.lua:53."""
+    d = _write_fixture_dir(tmp_path)
+    rows = {(r.filename, r.content) for r in whole_text_files(spark, d).collect()}
+    assert rows == set(FIXTURES.items())
+
+
+def test_text_reader_line_oriented(spark, tmp_path):
+    d = _write_fixture_dir(tmp_path)
+    df = read_text(spark, os.path.join(d, "test1.txt"))
+    assert [r.value for r in df.collect()] == ["This is a test."]
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / "pq")
+    write_parquet(df, path)
+    back = read_parquet(spark, path)
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_parquet_partitioned_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", "2024-01-01"), (2, "y", "2024-01-02")], "id long, v string, day string"
+    )
+    path = str(tmp_path / "pq_part")
+    write_parquet(df, path, partition_by=["day"])
+    assert os.path.isdir(os.path.join(path, "day=2024-01-01"))
+    back = read_parquet(spark, path)
+    assert back.count() == 2
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema="id long, name string")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / "json")
+    write_json(df, path)
+    back = read_json(spark, path, schema="id long, name string")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
