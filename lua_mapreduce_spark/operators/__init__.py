@@ -19,6 +19,7 @@ from lua_mapreduce_spark.operators import (
     mapreduce_layer,
     multimodal,
     relational,
+    relational2,
     similarity,
     text,
     windows,
@@ -28,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = [
     relational,
+    relational2,
     windows,
     text,
     events,
