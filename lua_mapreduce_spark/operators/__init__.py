@@ -20,6 +20,7 @@ from lua_mapreduce_spark.operators import (
     multimodal,
     relational,
     relational2,
+    relational3,
     similarity,
     text,
     windows,
@@ -30,6 +31,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [
     relational,
     relational2,
+    relational3,
     windows,
     text,
     events,
