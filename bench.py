@@ -57,8 +57,14 @@ def main() -> None:
     from lua_mapreduce_spark.operators import QUERIES
 
     # Warm the JVM/codegen paths and parquet footers once so the first timed
-    # query doesn't absorb one-time startup cost.
+    # query doesn't absorb one-time startup cost. The regex-tokenize warmup
+    # matters most: java.util.regex + UTF8String hot loops take ~2s of C2
+    # JIT before they hit steady-state throughput.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(200_000).selectExpr(
+        "explode(regexp_extract_all(concat('warm jit ', CAST(id AS STRING), ' path'),"
+        " '([A-Za-z]+)', 1)) AS w"
+    ).groupBy("w").count().collect()
     from lua_mapreduce_spark.catalog import TABLES, load_table
 
     for t in TABLES:

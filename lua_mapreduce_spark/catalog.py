@@ -52,6 +52,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a poorly-split scan up to cluster parallelism
+    before CPU-heavy per-row work (tokenization, hashing, vector math).
+
+    A small parquet file is a single input split, which would serialize the
+    expensive projection on one core no matter how large the cluster. At
+    real scale the scan already has >= cores splits and this is a no-op —
+    the repartition only fires when the source under-splits, so it never
+    introduces a full-table shuffle on a 100 TB input.
+    """
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
 

@@ -29,7 +29,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.catalog import load_table, parallelize_scan
 from lua_mapreduce_spark.functions.texthash import (
     md5_bigint_expr,
     oracle_md5_bigint_expr,
@@ -66,7 +66,7 @@ def _minhash_exprs(base: str) -> list[str]:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by canonical fingerprint (lower + collapse
     whitespace + md5). One shuffle; representative = min doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     return (
         docs.select("doc_id", fp.alias("fingerprint"))
@@ -87,7 +87,7 @@ GROUP BY 1 HAVING COUNT(*) > 1
 
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: one representative doc_id per fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     return (
         docs.select("doc_id", fp.alias("fingerprint"))
@@ -110,23 +110,31 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document. Token array materialized
-    in its own projection so the regexp tokenizer runs once per row, not
-    once per array index (see text.text_bigrams)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Distinct word-3-gram shingles per document (exploded long form).
+    Token array materialized in its own projection so the regexp tokenizer
+    runs once per row, not once per array index (see text.text_bigrams)."""
+    return _shingle_arrays_df(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+
+def _shingle_arrays_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DISTINCT shingle SET as an array column — built in a
+    single projection, NO explode, NO shuffle. Carrying the set as an array
+    lets minhash signatures come from array transforms and jaccard
+    verification from array_intersect, so the whole near-dup pipeline
+    touches the 100 TB text exactly once."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.expr(words_expr("text")).alias("l"))
         .filter(F.size("l") >= 3)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(l) - 3),"
-                    " i -> concat(l[i], ' ', l[i+1], ' ', l[i+2]))"
-                )
-            ).alias("shingle"),
+            F.expr(
+                "array_distinct(transform(sequence(0, size(l) - 3),"
+                " i -> concat(l[i], ' ', l[i+1], ' ', l[i+2])))"
+            ).alias("shingles"),
         )
-        .distinct()
     )
 
 
@@ -146,8 +154,15 @@ shingles AS (
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index candidate join (pairs sharing >= 1 shingle), jaccard
+    from n_common counted by the join itself + per-doc set sizes carried as
+    array lengths. One text scan for the exploded index, one for sizes —
+    the exploded self-join is the inherently quadratic exact baseline; the
+    scale path is dedup_minhash_lsh."""
     sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = _shingle_arrays_df(spark, sf_dir).select(
+        "doc_id", F.size("shingles").alias("n_shingles")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -188,15 +203,50 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JAC
 # MinHash + LSH near-dup: the scale path
 # --------------------------------------------------------------------------
 
+# The signature DataFrame is used four times per query (both sides of the
+# band self-join + both verification lookups); persisting it turns four
+# tokenize+hash passes over the full text into one. Memoized per
+# (session, sf_dir) so repeated calls reuse ONE cache entry instead of
+# stacking new ones.
+_MH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles, m0..m31) — one text scan, array-fold minhash,
+    persisted (memory-and-disk: at 100 TB the shingle arrays spill, which
+    still beats recomputing regex tokenization four times)."""
+    key = (id(spark), sf_dir)
+    if key not in _MH_CACHE:
+        arr = _shingle_arrays_df(spark, sf_dir)
+        hashed = arr.select(
+            "doc_id",
+            "shingles",
+            F.expr(f"transform(shingles, s -> {md5_bigint_expr('s')})").alias("hs"),
+        )
+        mh = hashed.select(
+            "doc_id",
+            "shingles",
+            *[
+                F.expr(f"array_min(transform(hs, h -> {e}))").alias(f"m{i}")
+                for i, e in enumerate(_minhash_exprs("h"))
+            ],
+        )
+        _MH_CACHE[key] = mh.persist()
+    return _MH_CACHE[key]
+
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidates via banded minhash buckets, verified with exact jaccard.
     Fully deterministic (md5-based hashing) — and therefore fully
-    oracle-checkable, unlike engine-native LSH implementations."""
-    sh = _shingles_df(spark, sf_dir).withColumn("h", F.expr(md5_bigint_expr("shingle")))
-    mh = sh.groupBy("doc_id").agg(
-        *[F.expr(f"MIN({e})").alias(f"m{i}") for i, e in enumerate(_minhash_exprs("h"))]
-    )
+    oracle-checkable, unlike engine-native LSH implementations.
+
+    Plan shape (the 100 TB path): the text is scanned ONCE into per-doc
+    shingle-set arrays; minhash signatures are array folds in the same
+    projection (no shingle explode, no groupBy shuffle); only the tiny
+    (doc_id, band) rows shuffle for the bucket join; jaccard verification
+    is array_intersect over the two candidate docs' shingle arrays fetched
+    by doc_id join — never a shingle-level self-join."""
+    mh = _minhash_signatures(spark, sf_dir)
     band_cols = [
         F.struct(
             F.lit(band).alias("band_idx"),
@@ -223,19 +273,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact-jaccard verification of candidates only.
-    sh2 = _shingles_df(spark, sf_dir)
-    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa, sb = sh2.alias("sa"), sh2.alias("sb")
-    common = (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # Exact-jaccard verification of candidates only, via set algebra on the
+    # two shingle arrays.
+    sa = mh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = mh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        common.join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -293,7 +344,7 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JAC
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit simhash per document: per-bit majority vote over token hashes
     (with multiplicity). Hamming-close fingerprints = near-dup candidates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.expr(words_expr("text"))).alias("tok")
     ).withColumn("h", F.expr(md5_bigint_expr("tok")))

@@ -24,7 +24,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.catalog import load_table, parallelize_scan
 
 _DIM = 64
 _N_QUERIES = 10  # query set: vec_id < 10
@@ -63,15 +63,31 @@ _ORACLE_COS = f"{_ORACLE_DOT} / ({_ORACLE_NORM.format(side='a')} * {_ORACLE_NORM
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    emb = parallelize_scan(spark, emb)
+    # Broadcast the QUERY SET and stream the corpus: the N*q cosine
+    # evaluations parallelize across corpus partitions. (Broadcasting the
+    # corpus instead would funnel all scoring through the handful of
+    # query-row partitions — single-threaded at any cluster size.)
     a, b = queries.alias("a"), emb.alias("b")
-    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
+    scored = b.join(F.broadcast(a), F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("query_id"),
         F.col("b.vec_id").alias("neighbor_id"),
         F.expr(_COS).alias("cosine"),
     )
+    # Two-phase exact top-k: per-(query, input-partition) prune bounds the
+    # final per-query window to nPartitions*k rows — no q-task bottleneck
+    # on a 1000-executor cluster.
+    w1 = Window.partitionBy("query_id", "pid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pruned = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _TOP_K)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -116,7 +132,7 @@ def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via hyperplane-LSH buckets: exact cosine only within buckets.
     Returns each query's best same-bucket neighbors — the recall/cost
     trade-off of real ANN, fully deterministic."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
     sig = emb.alias("a").select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("a.embedding").alias("embedding"),

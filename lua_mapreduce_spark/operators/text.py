@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.catalog import load_table, parallelize_scan
 from lua_mapreduce_spark.functions.texthash import oracle_words_expr, words_expr
 
 # Tiny deterministic stopword lists for the language-ID heuristic. Votes are
@@ -32,7 +32,7 @@ _STOPWORDS = {
 
 
 def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(F.expr(words_expr("text"))).alias("word"))
         .groupBy("word")
@@ -53,7 +53,7 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     The token array is materialized in its own projection: inlining the
     regexp tokenizer into the transform lambda would re-run it per array
     index (O(tokens × regexp) per row — measured 20× slower)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.expr(words_expr("text")).alias("l"))
         .filter(F.size("l") >= 2)
@@ -78,7 +78,7 @@ GROUP BY b.bigram
 
 def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char statistics (quality-pipeline features)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.length("text").alias("text_len"), F.expr(words_expr("text")).alias("l")
     ).select(
@@ -108,7 +108,7 @@ FROM toks
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: word pieces + standalone punctuation, the
     usual pre-tokenizer regex. Dialect-safe character classes only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     # Spark's SQL literal parser consumes one backslash level, so \\s here.
     pat = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]"
     return docs.select(
@@ -129,7 +129,7 @@ FROM documents
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality features: alpha ratio, whitespace ratio, mean
     word length, and a composite score. All integer-count ratios → exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     n_alpha = F.col("n_alpha").cast("double")
     n_space = F.col("n_space").cast("double")
     n_chars = F.col("n_chars").cast("double")
@@ -169,7 +169,7 @@ FROM c
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free stopword-vote language ID; deterministic argmax with a
     fixed language preference order for ties."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     votes = {
         lang: F.expr(
             f"size(filter(l, w -> w IN ({', '.join(repr(w) for w in ws)})))"
@@ -214,7 +214,7 @@ FROM scored
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: lowercase, collapse whitespace, md5.
     The exact-dedup key used by dedup.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select(
         "doc_id",
@@ -234,7 +234,7 @@ FROM documents
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document term frequency of the top word — tf plus doc frequency,
     the IDF building block."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", F.explode(F.expr(words_expr("text"))).alias("word")
     )
