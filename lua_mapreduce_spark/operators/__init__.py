@@ -22,6 +22,7 @@ from lua_mapreduce_spark.operators import (
     relational2,
     relational3,
     similarity,
+    streaming_ops,
     text,
     windows,
 )
@@ -39,6 +40,7 @@ _MODULES = [
     similarity,
     multimodal,
     mapreduce_layer,
+    streaming_ops,
 ]
 
 QUERIES: dict[str, QueryFn] = {}

@@ -1,0 +1,114 @@
+"""Custom stateful streaming operators (SURVEY.md §2.4 streaming row).
+
+The reference never implemented its streaming aspiration
+(example/word-count-taskfile.lua:81); this module supplies the pieces a
+real event pipeline needs beyond windowed aggs:
+
+* `stream_user_totals_stateful` — arbitrary per-key state via
+  `applyInPandasWithState`: running (count, sum) per user, updated per
+  micro-batch. The state store is per-key and partitioned by the grouping
+  key, so state scales horizontally with executors; Arrow batches keep the
+  Python crossing amortized.
+* `stream_dedup_events` — streaming exact dedup via
+  `dropDuplicatesWithinWatermark`: state holds only keys younger than the
+  watermark, so memory is bounded by (event rate x watermark), not by
+  stream length — the 100 TB/day answer to exact dedup.
+* `stream_sliding_counts` — sliding-window twin of
+  operators.events.events_sliding_windows.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from lua_mapreduce_spark.functions.exact import dec
+
+_SINK_IDS = itertools.count()
+
+
+def stream_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.events.events_sliding_windows: 2-hour
+    windows sliding by 1 hour."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(f"CAST(SUM({dec('value')}) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_user_totals_stateful(events: DataFrame, max_users: int = 100) -> DataFrame:
+    """Running per-user (n_events, sum_value) via arbitrary keyed state.
+
+    This is the faithful streaming analogue of the reference's reducefn
+    slot (holistic per-key aggregation, lua-mapreduce-client.lua:188-213):
+    user code sees the key plus its accumulated values and owns the output.
+    Here state lives in Spark's per-key state store instead of coordinator
+    RAM (lua-mapreduce-server.lua:31-34) — the scalability fix.
+    """
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [total]}
+        )
+
+    return (
+        events.filter(F.col("user_id") < max_users)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type, ts): keeps the first
+    arrival, drops replays within the watermark horizon. State is bounded:
+    keys older than the watermark are evicted."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+
+
+def drain_stream(stream_df: DataFrame, prefix: str, output_mode: str, timeout_sec: int = 120) -> DataFrame:
+    """Drain with availableNow into a uniquely-named memory sink and return
+    the sink table. Unique names keep repeated calls (tests, bench, the
+    driver's per-query loop) from colliding."""
+    name = f"{prefix}_{next(_SINK_IDS)}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(name)

@@ -27,12 +27,19 @@ EVENTS_SCHEMA = (
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, glob: str | None = None
+) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     ts arrives as int64 nanos (nanosAsLong, see catalog.load_table) and is
-    converted to a µs timestamp identically to the batch path."""
+    converted to a µs timestamp identically to the batch path. ``glob``
+    narrows the directory to matching files (the file source requires a
+    directory basePath, so single-file streams use a glob filter)."""
     configure_runtime(spark)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(events_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
 
 

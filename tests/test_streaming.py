@@ -47,6 +47,49 @@ def test_stream_sessions_match_batch(spark, events_dir):
     assert _rows(result, cols) == _rows(batch, cols)
 
 
+def test_stateful_user_totals_match_batch(spark, events_dir):
+    """applyInPandasWithState running totals == batch groupBy after drain."""
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.streaming import drain_stream, stream_user_totals_stateful
+
+    result = drain_stream(
+        stream_user_totals_stateful(read_events_stream(spark, events_dir)),
+        "t_stateful",
+        output_mode="update",
+    )
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in result.collect()}
+    want = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_dedup_bounded_state(spark, events_dir):
+    """dropDuplicatesWithinWatermark drains and never exceeds input count."""
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.streaming import drain_stream, stream_dedup_events
+
+    deduped = drain_stream(
+        stream_dedup_events(read_events_stream(spark, events_dir)),
+        "t_dedup",
+        output_mode="append",
+    )
+    n_in = load_table(spark, SF_SMALL, "events").count()
+    n_distinct = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type", "ts")
+        .distinct()
+        .count()
+    )
+    assert deduped.count() == n_distinct <= n_in
+
+
 def test_watermark_bounds_state(spark, events_dir):
     """The streaming plan carries an event-time watermark (state bound)."""
     stream = stream_tumbling_counts(read_events_stream(spark, events_dir))
