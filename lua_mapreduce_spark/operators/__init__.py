@@ -21,6 +21,7 @@ from lua_mapreduce_spark.operators import (
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     streaming_ops,
     text,
@@ -33,6 +34,7 @@ _MODULES = [
     relational,
     relational2,
     relational3,
+    relational4,
     windows,
     text,
     events,

@@ -1,0 +1,15 @@
+"""Sketch aggregates: HLL estimates must land near the exact counts."""
+
+from __future__ import annotations
+
+from lua_mapreduce_spark.operators import QUERIES
+from tests.conftest import SF_MEDIUM
+
+
+def test_approx_distinct_within_error(spark):
+    rows = QUERIES["agg_approx_distinct_sketch"](spark, SF_MEDIUM).collect()
+    assert rows, "no groups"
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        # rsd=0.02 => 3-sigma bound ~6%; generous margin for small groups.
+        assert rel_err < 0.10, f"{r.l_returnflag}: {rel_err:.3f}"
