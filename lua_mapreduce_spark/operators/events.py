@@ -184,7 +184,49 @@ FROM events GROUP BY 1
 """
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase by first-occurrence time):
+    per-stage user counts. One shuffle on user_id (conditional min-aggs),
+    then a single-row reduction — the standard large-scale funnel shape;
+    no self-joins, no per-user event lists."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("n_click_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view")) & (F.col("t_buy") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_viewed,
+       SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_click_after_view,
+       SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+FROM per_user
+"""
+
+
 QUERIES = {
+    "events_funnel_conversion": events_funnel_conversion,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
     "events_session_windows": events_session_windows,
@@ -193,6 +235,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel_conversion": FUNNEL_ORACLE,
     "events_tumbling_hourly": TUMBLING_ORACLE,
     "events_sliding_windows": SLIDING_ORACLE,
     "events_session_windows": SESSION_ORACLE,

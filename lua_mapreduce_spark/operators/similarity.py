@@ -177,12 +177,118 @@ WHERE rank <= {_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize the corpus into cells around
+# centroid vectors; probe only the query's nearest cells. The other classic
+# ANN scale path next to LSH: candidate cost drops from O(N) to
+# O(N * nprobe / n_cells) per query. Deterministic "training" (centroids =
+# the first C corpus vectors by vec_id) keeps it fully oracle-checkable;
+# swap in k-means centroids without touching the plan.
+# --------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+_N_PROBE = 2
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb")
+    )
+    corpus = parallelize_scan(spark, emb)
+
+    cos_to_cent = (
+        "aggregate(zip_with(embedding, cemb,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        " * sqrt(aggregate(cemb, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    )
+    # Assignment: N x C cosines, centroids broadcast, one window on vec_id.
+    rank_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    assign = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cent_id", F.expr(cos_to_cent).alias("ccos"))
+        .withColumn("crank", F.row_number().over(rank_w))
+    )
+    cells = assign.filter(F.col("crank") == 1).select("vec_id", "embedding", "cent_id")
+    probes = (
+        assign.filter((F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= _N_PROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "cent_id")
+    )
+    scored = (
+        probes.alias("a")
+        .join(cells.alias("b"), "cent_id")
+        .filter(F.col("a.q_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.q_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(a.q_emb, b.embedding,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                " / (sqrt(aggregate(a.q_emb, CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+                " * sqrt(aggregate(b.embedding, CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+            ).alias("cosine"),
+        )
+        .distinct()  # a vector in 2 probed cells would otherwise pair twice
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ivf_oracle() -> str:
+    cos_ab = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({a},"
+        " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b},"
+        " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+  WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos_ab.format(a="e.embedding", b="c.cemb")} DESC,
+                                     c.cent_id ASC) AS crank
+  FROM embeddings e CROSS JOIN cent c),
+cells AS (SELECT vec_id, embedding, cent_id FROM assign WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, cent_id
+  FROM assign WHERE vec_id < {_N_QUERIES} AND crank <= {_N_PROBE}),
+scored AS (
+  SELECT DISTINCT a.q_id AS query_id, b.vec_id AS neighbor_id,
+         {cos_ab.format(a="a.q_emb", b="b.embedding")} AS cosine
+  FROM probes a JOIN cells b ON a.cent_id = b.cent_id AND a.q_id != b.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh_buckets": sim_ann_lsh_buckets,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 ORACLES = {
     "sim_cosine_topk": SIM_TOPK_ORACLE,
     "sim_ann_lsh_buckets": _ann_oracle(),
+    "sim_ivf_topk": _ivf_oracle(),
 }
