@@ -25,15 +25,24 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q18_large_orders",
     "agg_distinct_counts",
+    "agg_grouping_sets",
     "window_topk_per_group",
     "sort_topk_orders",
+    "asof_join_attribution",
+    "join_skew_salted",
     "text_wordcount",
     "text_bigrams",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "events_session_windows",
     "events_tumbling_hourly",
+    "events_funnel_conversion",
 ]
 
 

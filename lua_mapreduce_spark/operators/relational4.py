@@ -102,13 +102,58 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 """
 
 
+# --------------------------------------------------------------------------
+# Salted join: the manual hot-key mitigation. The fact side gets a
+# deterministic salt; the dim side is replicated SALT ways, so one hot join
+# key spreads over SALT reducers instead of melting a single task. Results
+# are identical to the plain join — the oracle IS the plain join, which is
+# the whole point: salting is a physical rewrite, not a semantic one.
+# (AQE's skewJoin does this automatically per-partition; the explicit form
+# is for engines/joins AQE can't split, and for doc value.)
+# --------------------------------------------------------------------------
+
+_SALT = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT))
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+    )
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == orders["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_expr(REVENUE, "revenue"),
+        )
+    )
+
+
+SALTED_JOIN_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {dsum_sql(REVENUE, "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "scalar_math_funcs": scalar_math_funcs,
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "join_skew_salted": join_skew_salted,
 }
 
 ORACLES = {
     "scalar_math_funcs": SCALAR_MATH_ORACLE,
     "q19_disjunctive_revenue": Q19_ORACLE,
+    "join_skew_salted": SALTED_JOIN_ORACLE,
 }
