@@ -145,7 +145,115 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Advanced string scalars — the portable set (both engines agree exactly on
+# these; initcap/soundex-style locale-sensitive functions are excluded).
+# --------------------------------------------------------------------------
+
+
+def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 101 == 0)
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.lpad(name, 25, "*").alias("lpadded"),
+        F.rpad(name, 25, ".").alias("rpadded"),
+        F.translate(name, "Cu0", "Kv_").alias("translated"),
+        F.repeat(F.substring(name, 1, 4), 2).alias("repeated"),
+        F.reverse(name).alias("reversed"),
+        F.regexp_replace(name, "Customer", "Cust").alias("replaced"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.expr("left(c_name, 8)").alias("left8"),
+        F.expr("right(c_name, 4)").alias("right4"),
+        F.expr("split_part(c_name, '#', 2)").alias("num_part"),
+        F.ascii(name).alias("first_ascii"),
+    )
+
+
+SCALAR_STRING_ADV_ORACLE = """
+SELECT c_custkey,
+       lpad(c_name, 25, '*') AS lpadded,
+       rpad(c_name, 25, '.') AS rpadded,
+       translate(c_name, 'Cu0', 'Kv_') AS translated,
+       repeat(substring(c_name, 1, 4), 2) AS repeated,
+       reverse(c_name) AS reversed,
+       replace(c_name, 'Customer', 'Cust') AS replaced,
+       CAST(instr(c_name, '#') AS INT) AS hash_pos,
+       left(c_name, 8) AS left8,
+       right(c_name, 4) AS right4,
+       split_part(c_name, '#', 2) AS num_part,
+       CAST(ascii(c_name) AS INT) AS first_ascii
+FROM customer WHERE c_custkey % 101 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Array aggregation with deterministic output: collect_set sorted. (Raw
+# collect_list order is partition-dependent — never expose it unsorted.)
+# --------------------------------------------------------------------------
+
+
+def agg_collect_sorted_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws("|", F.sort_array(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
+        F.concat_ws(
+            "|", F.sort_array(F.collect_set(F.col("l_linenumber").cast("string")))
+        ).alias("linenumbers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+COLLECT_SETS_ORACLE = """
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS statuses,
+       string_agg(DISTINCT CAST(l_linenumber AS VARCHAR), '|'
+                  ORDER BY CAST(l_linenumber AS VARCHAR)) AS linenumbers,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Null semantics: null grouping keys group together (SQL standard), COUNT
+# skips nulls, null-safe equality. Nulls are synthesized with NULLIF since
+# the test tables are fully populated.
+# --------------------------------------------------------------------------
+
+
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    nn = F.expr("NULLIF(o_orderstatus, 'O')")
+    return (
+        orders.withColumn("status_nn", nn)
+        .groupBy("status_nn")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("status_nn").alias("n_nonnull"),
+            F.sum(
+                F.when(F.expr("status_nn <=> NULL"), 1).otherwise(0)
+            ).alias("n_nullsafe_eq_null"),
+        )
+    )
+
+
+NULL_SEMANTICS_ORACLE = """
+SELECT NULLIF(o_orderstatus, 'O') AS status_nn,
+       COUNT(*) AS n_rows,
+       COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
+       SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL
+                THEN 1 ELSE 0 END) AS n_nullsafe_eq_null
+FROM orders
+GROUP BY NULLIF(o_orderstatus, 'O')
+"""
+
+
 QUERIES = {
+    "agg_null_semantics": agg_null_semantics,
+    "scalar_string_advanced": scalar_string_advanced,
+    "agg_collect_sorted_sets": agg_collect_sorted_sets,
     "scalar_math_funcs": scalar_math_funcs,
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -153,6 +261,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_null_semantics": NULL_SEMANTICS_ORACLE,
+    "scalar_string_advanced": SCALAR_STRING_ADV_ORACLE,
+    "agg_collect_sorted_sets": COLLECT_SETS_ORACLE,
     "scalar_math_funcs": SCALAR_MATH_ORACLE,
     "q19_disjunctive_revenue": Q19_ORACLE,
     "join_skew_salted": SALTED_JOIN_ORACLE,
