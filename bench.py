@@ -70,6 +70,9 @@ def main() -> None:
     # matters most: java.util.regex + UTF8String hot loops take ~2s of C2
     # JIT before they hit steady-state throughput.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(500_000).selectExpr(
+        "sum(CAST(id % 10000 AS DECIMAL(12,2)) * (1 - CAST(0.05 AS DECIMAL(3,2))))"
+    ).collect()
     spark.range(200_000).selectExpr(
         "explode(regexp_extract_all(concat('warm jit ', CAST(id AS STRING), ' path'),"
         " '([A-Za-z]+)', 1)) AS w"
