@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.catalog import load_table
 from lua_mapreduce_spark.functions.exact import REVENUE, dsum_expr, dsum_sql
+from lua_mapreduce_spark.functions.texthash import md5_bigint_expr, oracle_md5_bigint_expr
 
 # --------------------------------------------------------------------------
 # Math scalar functions (exact subset).
@@ -250,8 +251,33 @@ GROUP BY NULLIF(o_orderstatus, 'O')
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic sampling: hash-mod instead of TABLESAMPLE/rand(). Seeded
+# random sampling is engine- and partitioning-dependent; hashing the key is
+# reproducible everywhere, stable under repartitioning, and consistent
+# across runs — the only sane way to sample a 100 TB table for a dev loop
+# or an A/B split. 5% = hash % 20 == 0.
+# --------------------------------------------------------------------------
+
+
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h = md5_bigint_expr("CAST(o_orderkey AS STRING)")
+    return orders.filter(F.expr(f"({h}) % 20 = 0")).select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("totalprice")
+    )
+
+
+SAMPLE_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+FROM orders
+WHERE ({oracle_md5_bigint_expr("CAST(o_orderkey AS VARCHAR)")}) % 20 = 0
+"""
+
+
 QUERIES = {
     "agg_null_semantics": agg_null_semantics,
+    "sample_deterministic_hash": sample_deterministic_hash,
     "scalar_string_advanced": scalar_string_advanced,
     "agg_collect_sorted_sets": agg_collect_sorted_sets,
     "scalar_math_funcs": scalar_math_funcs,
@@ -262,6 +288,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
+    "sample_deterministic_hash": SAMPLE_ORACLE,
     "scalar_string_advanced": SCALAR_STRING_ADV_ORACLE,
     "agg_collect_sorted_sets": COLLECT_SETS_ORACLE,
     "scalar_math_funcs": SCALAR_MATH_ORACLE,

@@ -15,6 +15,7 @@ Everything here is built-in-function only — zero Python in the row path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -255,7 +256,38 @@ WHERE tf.tf >= 5
 """
 
 
+def text_normalize_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Pandas UDF doing canonical text normalization
+    (lower, collapse whitespace, trim) — the pattern for when Python IS
+    required (tokenizers, model calls): one Arrow batch crossing, pandas
+    vectorized string kernels, never row-at-a-time Python. Output parity
+    with the pure-SQL formulation is oracle-checked, so the UDF path is
+    proven semantics-identical to the JVM path."""
+
+    @F.pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        return (
+            s.str.lower()
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip()
+        )
+
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        normalize(F.col("text")).alias("norm_text"),
+    ).filter(F.col("doc_id") % 10 == 0)
+
+
+NORMALIZE_UDF_ORACLE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g')) AS norm_text
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 QUERIES = {
+    "text_normalize_pandas_udf": text_normalize_pandas_udf,
     "text_wordcount": text_wordcount,
     "text_bigrams": text_bigrams,
     "text_doc_stats": text_doc_stats,
@@ -267,6 +299,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_normalize_pandas_udf": NORMALIZE_UDF_ORACLE,
     "text_wordcount": WORDCOUNT_ORACLE,
     "text_bigrams": BIGRAMS_ORACLE,
     "text_doc_stats": DOC_STATS_ORACLE,
