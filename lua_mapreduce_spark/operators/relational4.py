@@ -275,8 +275,46 @@ WHERE ({oracle_md5_bigint_expr("CAST(o_orderkey AS VARCHAR)")}) % 20 = 0
 """
 
 
+# --------------------------------------------------------------------------
+# Custom UDAF via applyInPandas: per-group pandas computation — the batch
+# analogue of the reference's holistic reducefn (full value list per key,
+# lua-mapreduce-client.lua:188-213). Arrow moves each group as columnar
+# batches; at scale budget executor memory for the largest group (same
+# constraint the reference had, but per-executor instead of per-server).
+# Oracle-checked: pandas' interpolated median == DuckDB quantile_cont(0.5).
+# --------------------------------------------------------------------------
+
+
+def udaf_group_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n": [len(pdf)],
+                "median_price": [pdf["o_totalprice"].median()],
+            }
+        )
+
+    return orders.groupBy("o_orderpriority").applyInPandas(
+        stats, "o_orderpriority string, n long, median_price double"
+    )
+
+
+UDAF_MEDIAN_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       quantile_cont(o_totalprice, 0.5) AS median_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_null_semantics": agg_null_semantics,
+    "udaf_group_median_pandas": udaf_group_median_pandas,
     "sample_deterministic_hash": sample_deterministic_hash,
     "scalar_string_advanced": scalar_string_advanced,
     "agg_collect_sorted_sets": agg_collect_sorted_sets,
@@ -288,6 +326,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
+    "udaf_group_median_pandas": UDAF_MEDIAN_ORACLE,
     "sample_deterministic_hash": SAMPLE_ORACLE,
     "scalar_string_advanced": SCALAR_STRING_ADV_ORACLE,
     "agg_collect_sorted_sets": COLLECT_SETS_ORACLE,
