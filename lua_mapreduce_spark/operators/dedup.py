@@ -208,14 +208,14 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JAC
 # tokenize+hash passes over the full text into one. Memoized per
 # (session, sf_dir) so repeated calls reuse ONE cache entry instead of
 # stacking new ones.
-_MH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles, m0..m31) — one text scan, array-fold minhash,
     persisted (memory-and-disk: at 100 TB the shingle arrays spill, which
     still beats recomputing regex tokenization four times)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MH_CACHE:
         arr = _shingle_arrays_df(spark, sf_dir)
         hashed = arr.select(
