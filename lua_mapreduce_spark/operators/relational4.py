@@ -104,6 +104,59 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between two nations — a 5-way
+# join (lineitem |><| orders |><| customer + supplier + nation x2). Join
+# order at scale: the two fact joins shuffle on their keys once each; all
+# dimension joins broadcast (asserted cheap: nation is constant-size,
+# supplier/customer pre-filtered to the two nations of interest).
+# --------------------------------------------------------------------------
+
+
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nations = ("NATION_3", "NATION_7")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+
+    supp_n = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+
+    return (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum_expr(REVENUE, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {dsum_sql(REVENUE, "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+  AND n2.n_name IN ('NATION_3', 'NATION_7')
+  AND n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Salted join: the manual hot-key mitigation. The fact side gets a
 # deterministic salt; the dim side is replicated SALT ways, so one hot join
 # key spreads over SALT reducers instead of melting a single task. Results
@@ -321,6 +374,7 @@ QUERIES = {
     "scalar_math_funcs": scalar_math_funcs,
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q7_nation_trade_volume": q7_nation_trade_volume,
     "join_skew_salted": join_skew_salted,
 }
 
@@ -332,5 +386,6 @@ ORACLES = {
     "agg_collect_sorted_sets": COLLECT_SETS_ORACLE,
     "scalar_math_funcs": SCALAR_MATH_ORACLE,
     "q19_disjunctive_revenue": Q19_ORACLE,
+    "q7_nation_trade_volume": Q7_ORACLE,
     "join_skew_salted": SALTED_JOIN_ORACLE,
 }

@@ -90,6 +90,33 @@ def test_stream_dedup_bounded_state(spark, events_dir):
     assert deduped.count() == n_distinct <= n_in
 
 
+def test_file_sink_exactly_once_on_restart(spark, events_dir, tmp_path):
+    """availableNow + checkpoint -> parquet sink: restarting the drained
+    query emits NO duplicate rows (the checkpoint + file-sink commit log
+    give end-to-end exactly-once for file outputs)."""
+    from lua_mapreduce_spark.catalog import load_table
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain_once():
+        q = (
+            read_events_stream(spark, events_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain_once()
+    drain_once()  # restart against the same checkpoint: must be a no-op
+    n_in = load_table(spark, SF_SMALL, "events").count()
+    assert spark.read.parquet(out).count() == n_in
+
+
 def test_watermark_bounds_state(spark, events_dir):
     """The streaming plan carries an event-time watermark (state bound)."""
     stream = stream_tumbling_counts(read_events_stream(spark, events_dir))
