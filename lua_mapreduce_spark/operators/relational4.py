@@ -166,7 +166,7 @@ GROUP BY 1, 2, 3
 # is for engines/joins AQE can't split, and for doc value.)
 # --------------------------------------------------------------------------
 
-_SALT = 8
+_SALT = 4
 
 
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,8 +365,86 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Histogram binning: fixed-width buckets computed with arithmetic (portable;
+# width_bucket exists in Spark but not everywhere). One map-side projection
+# + one tiny agg — the at-scale histogram recipe.
+# --------------------------------------------------------------------------
+
+
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bin_w = 50_000.0
+    bin_expr = F.floor(F.col("o_totalprice") / F.lit(bin_w)).cast("int")
+    return (
+        orders.groupBy(bin_expr.alias("bin_idx"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bin_low", (F.col("bin_idx") * bin_w))
+        .withColumn("bin_high", ((F.col("bin_idx") + 1) * bin_w))
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bin_idx,
+       COUNT(*) AS n_orders,
+       CAST(FLOOR(o_totalprice / 50000.0) AS INT) * 50000.0 AS bin_low,
+       (CAST(FLOOR(o_totalprice / 50000.0) AS INT) + 1) * 50000.0 AS bin_high
+FROM orders
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Upsert (SCD-1 merge) + change audit over immutable parquet: full outer
+# join of base vs updates, COALESCE picks the new value, change flags
+# classify insert/update/unchanged. This is the snapshot-merge pattern for
+# formats without MERGE INTO; one shuffle on the merge key. The updates
+# side here is derived deterministically (high-balance customers get a
+# bonus) so the whole merge is oracle-checkable.
+# --------------------------------------------------------------------------
+
+
+def upsert_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = (
+        base.filter(F.col("c_acctbal") > 9000.0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("u_acctbal"),
+        )
+    )
+    merged = base.alias("b").join(
+        updates.alias("u"), F.col("b.c_custkey") == F.col("u.c_custkey"), "full"
+    )
+    return merged.select(
+        F.coalesce(F.col("b.c_custkey"), F.col("u.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.u_acctbal"), F.col("b.c_acctbal")).alias("acctbal"),
+        F.when(F.col("b.c_custkey").isNull(), "insert")
+        .when(F.col("u.c_custkey").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("change_kind"),
+    )
+
+
+UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS u_acctbal
+  FROM customer WHERE c_acctbal > 9000.0)
+SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+       COALESCE(u.u_acctbal, b.c_acctbal) AS acctbal,
+       CASE WHEN b.c_custkey IS NULL THEN 'insert'
+            WHEN u.c_custkey IS NULL THEN 'unchanged'
+            ELSE 'update' END AS change_kind
+FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+"""
+
+
 QUERIES = {
     "agg_null_semantics": agg_null_semantics,
+    "agg_histogram_bins": agg_histogram_bins,
+    "upsert_snapshot_merge": upsert_snapshot_merge,
     "udaf_group_median_pandas": udaf_group_median_pandas,
     "sample_deterministic_hash": sample_deterministic_hash,
     "scalar_string_advanced": scalar_string_advanced,
@@ -380,6 +458,8 @@ QUERIES = {
 
 ORACLES = {
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
+    "agg_histogram_bins": HISTOGRAM_ORACLE,
+    "upsert_snapshot_merge": UPSERT_ORACLE,
     "udaf_group_median_pandas": UDAF_MEDIAN_ORACLE,
     "sample_deterministic_hash": SAMPLE_ORACLE,
     "scalar_string_advanced": SCALAR_STRING_ADV_ORACLE,
