@@ -225,7 +225,38 @@ FROM per_user
 """
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    distinct per (cohort_week, activity_week). Two shuffles total — one for
+    first-seen per user, one for the cohort x week distinct count; the
+    first-seen relation re-joins the event stream on user_id (the standard
+    cohort shape, no event-list materialization)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format(week("first_ts"), "yyyy-MM-dd").alias("cohort_week"),
+            F.date_format(week(F.col("ts")), "yyyy-MM-dd").alias("activity_week"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+       strftime(date_trunc('week', ts), '%Y-%m-%d') AS activity_week,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "events_cohort_retention": events_cohort_retention,
     "events_funnel_conversion": events_funnel_conversion,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
@@ -235,6 +266,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cohort_retention": COHORT_ORACLE,
     "events_funnel_conversion": FUNNEL_ORACLE,
     "events_tumbling_hourly": TUMBLING_ORACLE,
     "events_sliding_windows": SLIDING_ORACLE,

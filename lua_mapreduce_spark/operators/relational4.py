@@ -157,6 +157,69 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one supplier nation within one customer
+# region, per year. share = one IEEE division of two exact decimal sums per
+# year group. All dims broadcast; the lineitem |><| orders shuffle is the
+# only large exchange.
+# --------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    cust_in_region = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region.filter(F.col("r_name") == "REGION_1")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "s_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nation")
+
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN s_nation = 'NATION_2' THEN {REVENUE}"
+                f" ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)"
+                f" / CAST(SUM({REVENUE}) AS DOUBLE)"
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n_s.n_name = 'NATION_2' THEN {REVENUE}
+                     ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+         / CAST(SUM({REVENUE}) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+JOIN region ON n_c.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+WHERE r_name = 'REGION_1'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Salted join: the manual hot-key mitigation. The fact side gets a
 # deterministic salt; the dim side is replicated SALT ways, so one hot join
 # key spreads over SALT reducers instead of melting a single task. Results
@@ -453,6 +516,7 @@ QUERIES = {
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q7_nation_trade_volume": q7_nation_trade_volume,
+    "q8_market_share": q8_market_share,
     "join_skew_salted": join_skew_salted,
 }
 
@@ -467,5 +531,6 @@ ORACLES = {
     "scalar_math_funcs": SCALAR_MATH_ORACLE,
     "q19_disjunctive_revenue": Q19_ORACLE,
     "q7_nation_trade_volume": Q7_ORACLE,
+    "q8_market_share": Q8_ORACLE,
     "join_skew_salted": SALTED_JOIN_ORACLE,
 }
