@@ -95,6 +95,44 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_b")
 
 
+# Queries allowed to evaluate Python on executors (UDF/pandas by design).
+_PYTHON_OK = {
+    "text_normalize_pandas_udf",
+    "udaf_group_median_pandas",
+    "multimodal_decode_features",
+    "mr_wordcount",  # Layer A: opaque Python closures ARE the operator
+}
+# Queries allowed a nested-loop/cartesian strategy (broadcast-tiny sides or
+# intentionally non-equi join conditions).
+_NESTED_LOOP_OK = {
+    "join_cross_region_status",
+    "range_join_monthly",
+    "sim_cosine_topk",        # != condition against broadcast query set
+    "sim_ivf_topk",           # centroid cross join (8 rows, broadcast)
+    "dedup_embedding_cosine", # all-pairs exact baseline (documented)
+}
+# True streaming queries: explaining them would run a stream; audited by
+# their own tests instead.
+_SKIP_AUDIT = {"streaming_user_totals", "streaming_dedup_count", "streaming_sliding_counts"}
+
+
+def test_registry_wide_plan_audit(spark):
+    """Engine-wide invariants over EVERY registered query's physical plan:
+    no Python evaluation outside the declared UDF operators, no
+    cartesian/nested-loop joins outside the declared non-equi joins."""
+    offenders_py, offenders_nl = [], []
+    for name, fn in sorted(QUERIES.items()):
+        if name in _SKIP_AUDIT:
+            continue
+        plan = _explain(fn(spark, SF_MEDIUM))
+        if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan) and name not in _PYTHON_OK:
+            offenders_py.append(name)
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and name not in _NESTED_LOOP_OK:
+            offenders_nl.append(name)
+    assert not offenders_py, f"unexpected Python in plans: {offenders_py}"
+    assert not offenders_nl, f"unexpected nested-loop joins: {offenders_nl}"
+
+
 def test_minhash_single_text_pass(spark):
     """The near-dup pipeline reads the documents table through ONE cached
     signature relation — not one scan per pipeline stage."""
