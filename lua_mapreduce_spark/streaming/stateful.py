@@ -98,6 +98,54 @@ def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static (batch)
+    per-user dimension. The static side is re-planned per micro-batch (so a
+    dim refresh is picked up) and broadcast when small — no stream-side
+    state at all, unlike stream-stream joins."""
+    return (
+        events.join(F.broadcast(user_dim), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            "user_tier",
+        )
+    )
+
+
+def stream_stream_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same user's
+    clicks within the preceding hour. Both sides watermarked; the time-bound
+    join condition lets Spark evict state older than (watermark + interval)
+    — without the bound, stream-stream join state grows forever."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 def drain_stream(stream_df: DataFrame, prefix: str, output_mode: str, timeout_sec: int = 120) -> DataFrame:
     """Drain with availableNow into a uniquely-named memory sink and return
     the sink table. Unique names keep repeated calls (tests, bench, the

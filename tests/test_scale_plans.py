@@ -113,7 +113,13 @@ _NESTED_LOOP_OK = {
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
-_SKIP_AUDIT = {"streaming_user_totals", "streaming_dedup_count", "streaming_sliding_counts"}
+_SKIP_AUDIT = {
+    "streaming_user_totals",
+    "streaming_dedup_count",
+    "streaming_sliding_counts",
+    "streaming_static_enrich_counts",
+    "streaming_stream_stream_join",
+}
 
 
 def test_registry_wide_plan_audit(spark):
