@@ -504,8 +504,78 @@ FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Higher-order array functions: filter / exists / forall / aggregate /
+# zip_with over arrays built from the token stream — all JVM-side lambda
+# evaluation, zero Python, zero explode (the array never leaves the row).
+# --------------------------------------------------------------------------
+
+
+def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), w -> length(w))").alias("_lens"),
+    ).select(
+        "doc_id",
+        F.expr("size(filter(_lens, x -> x > 4))").alias("n_long_words"),
+        F.expr("exists(_lens, x -> x > 10)").alias("has_very_long"),
+        F.expr("forall(_lens, x -> x < 50)").alias("all_reasonable"),
+        F.expr("aggregate(_lens, 0, (acc, x) -> acc + x)").alias("total_chars"),
+        F.expr(
+            "aggregate(zip_with(_lens, reverse(_lens), (a, b) -> a * b),"
+            " 0, (acc, x) -> acc + x)"
+        ).alias("palindromic_dot"),
+    )
+
+
+HOF_ORACLE = """
+WITH lens AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS l
+  FROM documents WHERE doc_id % 25 = 0)
+SELECT doc_id,
+       CAST(len(list_filter(l, x -> x > 4)) AS INT) AS n_long_words,
+       len(list_filter(l, x -> x > 10)) > 0 AS has_very_long,
+       len(list_filter(l, x -> x >= 50)) = 0 AS all_reasonable,
+       CAST(list_sum(l) AS INT) AS total_chars,
+       CAST(list_sum(list_transform(range(1, len(l) + 1),
+                     i -> l[i] * l[len(l) - i + 1])) AS INT) AS palindromic_dot
+FROM lens
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of orders-per-customer. LEFT join keeps
+# zero-order customers; two shuffles (custkey count, then count-of-counts —
+# the second input is |customers| rows, the output ~dozens).
+# --------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
 QUERIES = {
     "agg_null_semantics": agg_null_semantics,
+    "scalar_higher_order_funcs": scalar_higher_order_funcs,
+    "q13_customer_distribution": q13_customer_distribution,
     "agg_histogram_bins": agg_histogram_bins,
     "upsert_snapshot_merge": upsert_snapshot_merge,
     "udaf_group_median_pandas": udaf_group_median_pandas,
@@ -522,6 +592,8 @@ QUERIES = {
 
 ORACLES = {
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
+    "scalar_higher_order_funcs": HOF_ORACLE,
+    "q13_customer_distribution": Q13_ORACLE,
     "agg_histogram_bins": HISTOGRAM_ORACLE,
     "upsert_snapshot_merge": UPSERT_ORACLE,
     "udaf_group_median_pandas": UDAF_MEDIAN_ORACLE,
