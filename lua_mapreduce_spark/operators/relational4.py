@@ -220,6 +220,97 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue from small-quantity orders of one brand —
+# correlated AVG subquery decorrelated into a per-part aggregate + join
+# (Catalyst's RewriteCorrelatedScalarSubquery, written out). The per-part
+# avg relation is keyed like the probe side, so the join shuffles on
+# partkey once; the brand filter broadcasts.
+# --------------------------------------------------------------------------
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+            " / CAST(COUNT(l_quantity) AS DOUBLE)"
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0"
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_ORACLE = """
+WITH ppa AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN ppa ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < 0.5 * avg_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: high-balance customers with no orders — a scalar
+# subquery (global average, 1 row, broadcast by construction) + anti join.
+# --------------------------------------------------------------------------
+
+
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)"
+            " / CAST(COUNT(c_acctbal) AS DOUBLE)"
+        ).alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)").alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+Q22_ORACLE = """
+WITH ab AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(COUNT(c_acctbal) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Salted join: the manual hot-key mitigation. The fact side gets a
 # deterministic salt; the dim side is replicated SALT ways, so one hot join
 # key spreads over SALT reducers instead of melting a single task. Results
@@ -587,6 +678,8 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q7_nation_trade_volume": q7_nation_trade_volume,
     "q8_market_share": q8_market_share,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_dormant_rich_customers": q22_dormant_rich_customers,
     "join_skew_salted": join_skew_salted,
 }
 
@@ -604,5 +697,7 @@ ORACLES = {
     "q19_disjunctive_revenue": Q19_ORACLE,
     "q7_nation_trade_volume": Q7_ORACLE,
     "q8_market_share": Q8_ORACLE,
+    "q17_small_quantity_revenue": Q17_ORACLE,
+    "q22_dormant_rich_customers": Q22_ORACLE,
     "join_skew_salted": SALTED_JOIN_ORACLE,
 }

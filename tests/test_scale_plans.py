@@ -110,6 +110,7 @@ _NESTED_LOOP_OK = {
     "sim_cosine_topk",        # != condition against broadcast query set
     "sim_ivf_topk",           # centroid cross join (8 rows, broadcast)
     "dedup_embedding_cosine", # all-pairs exact baseline (documented)
+    "q22_dormant_rich_customers",  # 1-row scalar subquery broadcast
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
