@@ -663,8 +663,81 @@ FROM per_cust GROUP BY c_count
 """
 
 
+# --------------------------------------------------------------------------
+# Regex predicates & extraction (RE2-safe subset — no backrefs/lookaround,
+# so the same pattern text runs on Spark's java.util.regex and DuckDB's
+# RE2 with identical semantics).
+# --------------------------------------------------------------------------
+
+
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0)
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike("[A-Z][a-z]+ing\\b").alias("has_ing_word"),
+        F.col("text").like("%the%").alias("like_the"),
+        F.col("text").ilike("%THE%").alias("ilike_the"),
+        F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.expr("regexp_extract_all(text, '([A-Za-z]{7,})', 1)")).alias(
+            "n_long_words"
+        ),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+SCALAR_REGEX_ORACLE = r"""
+SELECT doc_id,
+       regexp_matches(text, '[A-Z][a-z]+ing\b') AS has_ing_word,
+       text LIKE '%the%' AS like_the,
+       text ILIKE '%THE%' AS ilike_the,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]{7,}')) AS INT) AS n_long_words,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+FROM documents WHERE doc_id % 40 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Timestamp arithmetic: diffs, truncation, epoch math — the integer-exact
+# subset (no months_between: its fractional-day semantics differ between
+# engines).
+# --------------------------------------------------------------------------
+
+
+def scalar_timestamp_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 151 == 0)
+    anchor = F.lit("1998-01-01").cast("timestamp")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(anchor, F.col("o_orderdate")).alias("days_to_anchor"),
+        (F.unix_timestamp(anchor) - F.unix_timestamp("o_orderdate")).alias(
+            "secs_to_anchor"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+    )
+
+
+SCALAR_TSDIFF_ORACLE = """
+SELECT o_orderkey,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS INT) AS days_to_anchor,
+       CAST(date_diff('second', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT) AS secs_to_anchor,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start
+FROM orders WHERE o_orderkey % 151 = 0
+"""
+
+
 QUERIES = {
     "agg_null_semantics": agg_null_semantics,
+    "scalar_regex_funcs": scalar_regex_funcs,
+    "scalar_timestamp_diff": scalar_timestamp_diff,
     "scalar_higher_order_funcs": scalar_higher_order_funcs,
     "q13_customer_distribution": q13_customer_distribution,
     "agg_histogram_bins": agg_histogram_bins,
@@ -685,6 +758,8 @@ QUERIES = {
 
 ORACLES = {
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
+    "scalar_regex_funcs": SCALAR_REGEX_ORACLE,
+    "scalar_timestamp_diff": SCALAR_TSDIFF_ORACLE,
     "scalar_higher_order_funcs": HOF_ORACLE,
     "q13_customer_distribution": Q13_ORACLE,
     "agg_histogram_bins": HISTOGRAM_ORACLE,

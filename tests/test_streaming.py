@@ -117,6 +117,58 @@ def test_file_sink_exactly_once_on_restart(spark, events_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_in
 
 
+def test_stateful_recovery_across_restart(spark, tmp_path):
+    """Keyed state survives a query restart via the checkpoint: feeding the
+    same events twice (second file added between runs) yields cumulative
+    totals — exactly double the single-pass counts."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.streaming import stream_user_totals_stateful
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "batch1.parquet")
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    def drain():
+        q = (
+            stream_user_totals_stateful(read_events_stream(spark, str(src)))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "batch2.parquet")
+    drain()
+
+    single = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    latest = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max_by("n_events", "batch_id").alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in latest.collect()}
+    assert got == {u: 2 * n for u, n in single.items()}
+
+
 def test_watermark_bounds_state(spark, events_dir):
     """The streaming plan carries an event-time watermark (state bound)."""
     stream = stream_tumbling_counts(read_events_stream(spark, events_dir))
