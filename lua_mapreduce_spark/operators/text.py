@@ -286,7 +286,53 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+_RK_K = 16  # rolling-hash window (chars)
+
+
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp-style rolling fingerprint: base-8 polynomial hash over
+    every 16-char window, reduced to (min hash, distinct count) per doc —
+    the winnowing building block. Base 8 keeps every term an exact shifted
+    integer (max ~2^56 < int64), so the same arithmetic is bit-identical
+    in any engine — no modular reduction, no float. All computed in ONE
+    projection via nested array lambdas: no explode, no shuffle."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    k = _RK_K
+    hashes = (
+        f"transform(sequence(0, length(text) - {k}), i -> "
+        f"aggregate(transform(sequence(1, {k}), j -> "
+        f"CAST(ascii(substring(text, i + j, 1)) AS BIGINT)"
+        f" * shiftleft(CAST(1 AS BIGINT), 3 * ({k} - j))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+    return (
+        docs.filter(F.length("text") >= k)
+        .select("doc_id", F.expr(hashes).alias("_h"))
+        .select(
+            "doc_id",
+            F.array_min("_h").alias("min_fingerprint"),
+            F.size(F.array_distinct("_h")).alias("n_distinct_windows"),
+        )
+    )
+
+
+ROLLING_FP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(0, length(text) - {_RK_K} + 1), i ->
+           list_sum(list_transform(range(1, {_RK_K} + 1), j ->
+             CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT)
+               * (CAST(1 AS BIGINT) << (3 * ({_RK_K} - j)))))) AS hs
+  FROM documents WHERE length(text) >= {_RK_K})
+SELECT doc_id,
+       CAST(list_min(hs) AS BIGINT) AS min_fingerprint,
+       CAST(len(list_distinct(hs)) AS INT) AS n_distinct_windows
+FROM h
+"""
+
+
 QUERIES = {
+    "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_normalize_pandas_udf": text_normalize_pandas_udf,
     "text_wordcount": text_wordcount,
     "text_bigrams": text_bigrams,
@@ -299,6 +345,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_rolling_fingerprint": ROLLING_FP_ORACLE,
     "text_normalize_pandas_udf": NORMALIZE_UDF_ORACLE,
     "text_wordcount": WORDCOUNT_ORACLE,
     "text_bigrams": BIGRAMS_ORACLE,
