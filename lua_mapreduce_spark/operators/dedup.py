@@ -434,7 +434,43 @@ WHERE {_ORACLE_DOT} / ({_ORACLE_NORM.format(side='a')} * {_ORACLE_NORM.format(si
 """
 
 
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key (CDC/log compaction): one window on user_id,
+    event_id as the deterministic tiebreak for equal timestamps. At scale
+    this is the standard snapshot-compaction shape — a single sort-shuffle
+    on the key, no self-join against MAX(ts)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        )
+    )
+
+
+DEDUP_LATEST_ORACLE = """
+SELECT user_id,
+       event_id AS latest_event_id,
+       event_type AS latest_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "dedup_latest_per_key": dedup_latest_per_key,
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -444,6 +480,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_latest_per_key": DEDUP_LATEST_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_exact_keep_first": DEDUP_KEEP_FIRST_ORACLE,
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
