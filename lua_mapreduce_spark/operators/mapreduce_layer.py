@@ -40,5 +40,40 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.to_dataframe(spark, schema="word string, cnt long")
 
 
-QUERIES = {"mr_wordcount": mr_wordcount}
-ORACLES = {"mr_wordcount": WORDCOUNT_ORACLE}
+def _grep_mapfn(key, text):
+    """distributed-grep mapfn (the other canonical MapReduce example from
+    the Google paper the reference cites, README.md:6): emit the doc's
+    source label when the text matches."""
+    if "the " in text.lower():
+        yield key, 1
+
+
+def _sum_reducefn(key, values):
+    yield key, sum(values)
+
+
+def mr_grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-A grep: per-source count of documents containing 'the '.
+    Exercises a SELECTIVE mapfn (emits 0-or-1 pairs, unlike word count's
+    fan-out) and a summing reducefn, with combiner enabled — the map-side
+    partial-agg path of MapReduceJob."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    job = MapReduceJob(
+        source_df=docs,
+        mapfn=_grep_mapfn,
+        reducefn=_sum_reducefn,
+        combinefn=lambda a, b: a + b,
+    )
+    return job.to_dataframe(spark, schema="source string, n_matching long")
+
+
+MR_GREP_ORACLE = """
+SELECT source, COUNT(*) AS n_matching
+FROM documents
+WHERE contains(lower(text), 'the ')
+GROUP BY source
+"""
+
+
+QUERIES = {"mr_wordcount": mr_wordcount, "mr_grep_count": mr_grep_count}
+ORACLES = {"mr_wordcount": WORDCOUNT_ORACLE, "mr_grep_count": MR_GREP_ORACLE}
