@@ -255,7 +255,65 @@ GROUP BY 1, 2
 """
 
 
+def events_sessionize_gap_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by the manual lag+cumsum method: a session starts
+    where the gap to the previous event exceeds 30 minutes; the running
+    count of session-starts labels each event's session. Same single
+    sort-shuffle on user_id as F.session_window, but portable to any
+    engine with window functions — and the label (user_id, session_seq) is
+    a stable join key for downstream enrichment, which session_window's
+    struct key is not."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_start = ev.withColumn(
+        "is_start",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(order_w)
+            > 1800,
+            1,
+        )
+        .otherwise(
+            F.when(F.lag("ts").over(order_w).isNull(), 1).otherwise(0)
+        ),
+    )
+    return (
+        with_start.withColumn("session_seq", F.sum("is_start").over(run_w))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+    )
+
+
+SESSIONIZE_GAP_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_start
+  FROM events WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+labeled AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM labeled GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
+    "events_sessionize_gap_method": events_sessionize_gap_method,
     "events_cohort_retention": events_cohort_retention,
     "events_funnel_conversion": events_funnel_conversion,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -266,6 +324,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_sessionize_gap_method": SESSIONIZE_GAP_ORACLE,
     "events_cohort_retention": COHORT_ORACLE,
     "events_funnel_conversion": FUNNEL_ORACLE,
     "events_tumbling_hourly": TUMBLING_ORACLE,

@@ -71,6 +71,19 @@ def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna): fixed-size mergeable state vs the
+    exact percentile's full sort — the 100 TB quantile path. Sketch
+    internals are engine-specific -> rows-only; the accuracy test bounds it
+    against the exact interpolated percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("p50_approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H Q19 shape: OR of conjunctive predicate groups across a join.
 # Catalyst extracts the common join key so the OR doesn't force a nested-
@@ -748,6 +761,7 @@ QUERIES = {
     "agg_collect_sorted_sets": agg_collect_sorted_sets,
     "scalar_math_funcs": scalar_math_funcs,
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
+    "agg_approx_percentile_sketch": agg_approx_percentile_sketch,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q7_nation_trade_volume": q7_nation_trade_volume,
     "q8_market_share": q8_market_share,

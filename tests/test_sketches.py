@@ -6,6 +6,14 @@ from lua_mapreduce_spark.operators import QUERIES
 from tests.conftest import SF_MEDIUM
 
 
+def test_approx_percentile_within_error(spark):
+    rows = QUERIES["agg_approx_percentile_sketch"](spark, SF_MEDIUM).collect()
+    assert rows, "no groups"
+    for r in rows:
+        rel_err = abs(r.p50_approx - r.p50_exact) / max(abs(r.p50_exact), 1e-9)
+        assert rel_err < 0.05, f"{r.o_orderstatus}: {rel_err:.4f}"
+
+
 def test_approx_distinct_within_error(spark):
     rows = QUERIES["agg_approx_distinct_sketch"](spark, SF_MEDIUM).collect()
     assert rows, "no groups"
