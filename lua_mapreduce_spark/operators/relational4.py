@@ -747,8 +747,60 @@ FROM orders WHERE o_orderkey % 151 = 0
 """
 
 
+# --------------------------------------------------------------------------
+# Map-typed higher-order functions: build a word->count map per doc, then
+# filter/transform it — all in-row, no explode. Output is rendered as a
+# sorted entry string because map iteration order is undefined in every
+# engine (never compare raw maps).
+# --------------------------------------------------------------------------
+
+
+def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')),"
+            " w -> struct(w AS k, size(filter(split(text, ' '), x -> x = w)) AS v))"
+        ).alias("_entries"),
+    ).select(
+        "doc_id",
+        F.expr("size(map_from_entries(_entries))").alias("n_distinct_words"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.expr(
+                    "transform(filter(_entries, e -> e.v >= 2),"
+                    " e -> concat(e.k, ':', CAST(e.v AS STRING)))"
+                )
+            ),
+        ).alias("repeated_words"),
+        F.expr(
+            "aggregate(map_values(map_from_entries(_entries)), 0, (acc, x) -> acc + x)"
+        ).alias("n_total_words"),
+    )
+
+
+MAP_HOF_ORACLE = """
+WITH e AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+           w -> struct_pack(k := w,
+                v := len(list_filter(string_split(text, ' '), x -> x = w)))) AS entries
+  FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id,
+       CAST(len(entries) AS INT) AS n_distinct_words,
+       COALESCE(list_aggregate(list_sort(list_transform(
+           list_filter(entries, x -> x.v >= 2),
+           x -> x.k || ':' || CAST(x.v AS VARCHAR))), 'string_agg', ','), '') AS repeated_words,
+       CAST(list_sum(list_transform(entries, x -> x.v)) AS INT) AS n_total_words
+FROM e
+"""
+
+
 QUERIES = {
     "agg_null_semantics": agg_null_semantics,
+    "scalar_map_higher_order": scalar_map_higher_order,
     "scalar_regex_funcs": scalar_regex_funcs,
     "scalar_timestamp_diff": scalar_timestamp_diff,
     "scalar_higher_order_funcs": scalar_higher_order_funcs,
@@ -772,6 +824,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
+    "scalar_map_higher_order": MAP_HOF_ORACLE,
     "scalar_regex_funcs": SCALAR_REGEX_ORACLE,
     "scalar_timestamp_diff": SCALAR_TSDIFF_ORACLE,
     "scalar_higher_order_funcs": HOF_ORACLE,
