@@ -153,7 +153,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_ORACLE = """
 SELECT event_type,
        COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -219,8 +219,9 @@ WITH per_user AS (
   FROM events GROUP BY user_id)
 SELECT COUNT(*) AS n_users,
        COUNT(t_view) AS n_viewed,
-       SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_click_after_view,
-       SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+       CAST(SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 
@@ -301,8 +302,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 labeled AS (
   SELECT user_id, ts,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM flagged)
 SELECT user_id, session_seq,
        COUNT(*) AS n_events,

@@ -464,8 +464,8 @@ NULL_SEMANTICS_ORACLE = """
 SELECT NULLIF(o_orderstatus, 'O') AS status_nn,
        COUNT(*) AS n_rows,
        COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
-       SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL
-                THEN 1 ELSE 0 END) AS n_nullsafe_eq_null
+       CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
 FROM orders
 GROUP BY NULLIF(o_orderstatus, 'O')
 """

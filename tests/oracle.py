@@ -24,6 +24,70 @@ def _duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# ---------------------------------------------------------------------------
+# Type normalization: the driver's value-hash is TYPED, so a DuckDB HUGEINT
+# (int128, e.g. from SUM over INT) hashes differently from Spark's BIGINT even
+# when every value is identical — that was the single r01 driver failure.
+# Compare normalized dtypes per column so this class fails locally first.
+# Calibrated against observed driver behavior in CORRECTNESS_r01: int widths
+# up to 64 bits are interchangeable (scalar_functions_showcase passed with
+# Spark int32 vs DuckDB int64), and decimal vs double is tolerated
+# (agg_histogram_bins passed with Spark double vs DuckDB DECIMAL), but
+# HUGEINT/int128 is NOT (agg_null_semantics failed on it — DuckDB's
+# dataframe fetch coerces int128 outside the int64 domain).
+# ---------------------------------------------------------------------------
+
+_INT_WIDTHS = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "int",
+    "hugeint": "int128",
+    "utinyint": "int",
+    "usmallint": "int",
+    "uinteger": "int",
+    "ubigint": "uint64",
+}
+
+
+def _norm_type(t: str) -> str:
+    """Normalize a Spark simpleString or DuckDB type string to one family."""
+    import re
+
+    t = t.strip().lower()
+    # duckdb list syntax T[] -> array<T>
+    if t.endswith("[]"):
+        return f"array<{_norm_type(t[:-2])}>"
+    m = re.fullmatch(r"array<(.*)>", t)
+    if m:
+        return f"array<{_norm_type(m.group(1))}>"
+    if t.startswith(("map", "struct", "row")):
+        return t.split("(")[0].split("<")[0]
+    m = re.fullmatch(r"decimal\s*\((\d+),\s*(\d+)\)", t)
+    if m:
+        return "numeric"
+    if t in _INT_WIDTHS:
+        return _INT_WIDTHS[t]
+    if t in ("double", "float64"):
+        return "numeric"
+    if t in ("float", "real", "float32"):
+        return "float32"
+    if t in ("string", "varchar", "text"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("bool", "boolean"):
+        return "bool"
+    if t in ("binary", "blob"):
+        return "binary"
+    return t
+
+
+def _spark_types(df) -> dict[str, str]:
+    return {f.name: _norm_type(f.dataType.simpleString()) for f in df.schema.fields}
+
+
 def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
@@ -54,12 +118,14 @@ class CompareResult:
 
 def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
     spark_cols = spark_df.columns
+    spark_types = _spark_types(spark_df)
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
     con = _duckdb_conn(sf_dir)
     try:
         rel = con.sql(oracle_sql)
         oracle_cols = rel.columns
+        oracle_types = {c: _norm_type(str(t)) for c, t in zip(rel.columns, rel.types)}
         oracle_rows = rel.fetchall()
     finally:
         con.close()
@@ -68,6 +134,14 @@ def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
     if sorted(spark_cols) != sorted(oracle_cols):
         res.ok = False
         res.mismatches.append(f"columns: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+        return res
+    for c in sorted(spark_cols):
+        if spark_types[c] != oracle_types[c]:
+            res.ok = False
+            res.mismatches.append(
+                f"dtype {c}: spark={spark_types[c]} oracle={oracle_types[c]}"
+            )
+    if not res.ok:
         return res
     if len(spark_rows) != len(oracle_rows):
         res.ok = False
