@@ -17,9 +17,11 @@ usually tested rows-only.
 Scale notes: the LSH band join is the scale path — candidate pairs are
 generated per (band_idx, band_hash) bucket, never all-pairs. The n-gram
 jaccard join is quadratic per shared shingle and exists as the exact
-baseline; rare shingles keep it tractable (common-shingle skew is the known
-hazard — at 100 TB add a document-frequency cap on join shingles, the same
-fix TPC-style engines use for hot keys).
+baseline; a document-frequency cap (shingles appearing in more than
+_DF_CAP documents are dropped from the index before the self-join) bounds
+the per-key fan-out, the standard hot-key fix — a shingle shared by d docs
+produces d^2 candidate rows, and stopword-like shingles carry no dedup
+signal anyway.
 """
 
 from __future__ import annotations
@@ -49,6 +51,9 @@ _B = [_rng.randrange(0, _P) for _ in range(_N_HASHES)]
 
 _JACCARD_THRESHOLD = 0.6
 _SIMHASH_BITS = 16
+# Max documents a shingle may appear in and still enter the jaccard
+# inverted index: caps the quadratic fan-out per hot shingle.
+_DF_CAP = 50
 
 
 def _minhash_exprs(base: str) -> list[str]:
@@ -154,24 +159,33 @@ shingles AS (
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index candidate join (pairs sharing >= 1 shingle), jaccard
-    from n_common counted by the join itself + per-doc set sizes carried as
-    array lengths. One text scan for the exploded index, one for sizes —
-    the exploded self-join is the inherently quadratic exact baseline; the
-    scale path is dedup_minhash_lsh."""
+    """Inverted-index candidate join over the DF-capped shingle universe:
+    shingles in more than _DF_CAP documents are dropped before the
+    self-join (one window count over the shingle-partitioned index — the
+    same sort-shuffle the join needs anyway), so a hot shingle can't fan
+    out into d^2 candidate rows. Jaccard is computed over the capped
+    universe consistently: sizes = per-doc capped-shingle counts, joined
+    back by key (a shuffle join — per-doc relations are O(n_docs), never
+    broadcast). Still the quadratic-per-shingle exact baseline; the scale
+    path is dedup_minhash_lsh."""
+    from pyspark.sql import Window
+
     sh = _shingles_df(spark, sf_dir)
-    sizes = _shingle_arrays_df(spark, sf_dir).select(
-        "doc_id", F.size("shingles").alias("n_shingles")
+    capped = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= _DF_CAP)
+        .drop("df")
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = capped.alias("a"), capped.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        common.join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -184,10 +198,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_JACCARD_ORACLE = f"""
 WITH {_SHINGLES_ORACLE_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingles a JOIN shingles b
+  FROM capped a JOIN capped b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
@@ -211,12 +228,24 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JAC
 _MH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_signature_cache() -> None:
+    """Unpersist and drop every memoized signature relation. Called on
+    sf_dir change (below) and exposed for tests/bench so executor storage
+    does not accumulate across scale factors for the life of the process."""
+    for df in _MH_CACHE.values():
+        df.unpersist()
+    _MH_CACHE.clear()
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles, m0..m31) — one text scan, array-fold minhash,
     persisted (memory-and-disk: at 100 TB the shingle arrays spill, which
-    still beats recomputing regex tokenization four times)."""
+    still beats recomputing regex tokenization four times). Only the
+    current (session, sf_dir) entry is kept live: switching inputs evicts
+    and unpersists the stale signatures."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MH_CACHE:
+        clear_signature_cache()
         arr = _shingle_arrays_df(spark, sf_dir)
         hashed = arr.select(
             "doc_id",

@@ -79,9 +79,10 @@ ORDER BY l_returnflag, l_linestatus
 
 # --------------------------------------------------------------------------
 # Q3-style shipping priority: 3-way join + agg + deterministic top-k.
-# customer is the small side of (customer ⋈ orders) — broadcast it; the
-# orders⋈lineitem join shuffles on orderkey (both sides huge at 100 TB, AQE
-# handles skew). Top-k via TakeOrderedAndProject, ties broken on orderkey.
+# customer grows linearly with SF, so no forced broadcast — AQE broadcasts
+# it at runtime only while it fits the budget; the orders⋈lineitem join
+# shuffles on orderkey (both sides huge at 100 TB, AQE handles skew).
+# Top-k via TakeOrderedAndProject, ties broken on orderkey.
 # --------------------------------------------------------------------------
 
 
@@ -94,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
@@ -122,7 +123,9 @@ LIMIT 10
 
 # --------------------------------------------------------------------------
 # Q5-style local-supplier volume: 6-way join through the dimension chain.
-# region/nation/supplier broadcast; only the orders⋈lineitem edge shuffles.
+# Only region/nation carry broadcast hints (constant 5/25 rows at any SF);
+# customer/supplier grow linearly, so their join strategy is left to
+# AQE/CBO — forcing a broadcast there OOMs a 100 TB run.
 # --------------------------------------------------------------------------
 
 
@@ -133,8 +136,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -173,7 +176,7 @@ ORDER BY revenue DESC, n_name ASC
 def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("o_totalprice") > 400000.0)
         .select(
             "o_orderkey",
@@ -224,15 +227,21 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join against the URGENT order subset: at the test SFs every
+    customer has SOME order, so anti-joining all of orders returned 0 rows
+    and verified nothing — restricting the right side keeps the check
+    non-vacuous while exercising the same left_anti plan."""
     customer, orders = load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    return customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
 
 JOIN_ANTI_ORACLE = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 

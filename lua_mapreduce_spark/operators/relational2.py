@@ -52,8 +52,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 # --------------------------------------------------------------------------
 # Q18-style: semi-join against an aggregated subquery (large-quantity
-# orders). The subquery aggregates THEN joins — at scale the agg output is
-# tiny, so it broadcasts into the probe side.
+# orders). The subquery aggregates THEN joins; its cardinality is
+# data-dependent (O(|orders|) worst case), so no forced broadcast — AQE
+# broadcasts at runtime iff the aggregate output is actually small.
 # --------------------------------------------------------------------------
 
 
@@ -66,7 +67,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 150.0)
     )
     return (
-        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             "o_orderkey",
             "o_custkey",
@@ -219,11 +220,16 @@ WHERE event_type = 'purchase'
 
 
 def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by — single-pass argmax, no self-join, no window."""
+    """max_by/min_by — single-pass argmax, no self-join, no window.
+    Tie-breaking in max_by/arg_max is unspecified in both engines, so the
+    argmax is expressed as MAX over a (price, orderkey) struct + field
+    extraction: lexicographic struct comparison makes the winner unique
+    even with duplicate prices (DuckDB's arg_max cannot take a composite
+    ordering value, but MIN/MAX over a struct works in both engines)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.expr("max_by(o_orderkey, o_totalprice)").alias("priciest_order"),
-        F.expr("min_by(o_orderkey, o_totalprice)").alias("cheapest_order"),
+        F.expr("max(struct(o_totalprice, o_orderkey)).o_orderkey").alias("priciest_order"),
+        F.expr("min(struct(o_totalprice, o_orderkey)).o_orderkey").alias("cheapest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
@@ -231,8 +237,8 @@ def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARGMAX_ORACLE = """
 SELECT o_orderpriority,
-       arg_max(o_orderkey, o_totalprice) AS priciest_order,
-       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).k AS priciest_order,
+       (MIN(struct_pack(p := o_totalprice, k := o_orderkey))).k AS cheapest_order,
        MAX(o_totalprice) AS max_price,
        MIN(o_totalprice) AS min_price
 FROM orders GROUP BY o_orderpriority

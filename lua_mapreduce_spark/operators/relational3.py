@@ -332,7 +332,8 @@ LIMIT 20
 
 # --------------------------------------------------------------------------
 # TPC-H Q14 shape: promo revenue share for one ship-month. part is the
-# small side -> broadcast hash join, no shuffle of lineitem. The share is
+# smaller side but grows linearly with SF, so AQE chooses the join
+# strategy (broadcast while it fits, shuffle beyond). The share is
 # one IEEE division of two exact decimal sums — deterministic.
 # --------------------------------------------------------------------------
 
@@ -344,7 +345,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.expr(
                 f"CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE} ELSE CAST(0 AS DECIMAL(22,6)) END) "

@@ -87,14 +87,15 @@ def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q19 shape: OR of conjunctive predicate groups across a join.
 # Catalyst extracts the common join key so the OR doesn't force a nested-
-# loop join; part broadcasts; non-common predicate parts evaluate post-join.
+# loop join; part grows linearly with SF, so its join strategy is AQE's
+# call; non-common predicate parts evaluate post-join.
 # --------------------------------------------------------------------------
 
 
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5)) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
         | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
@@ -119,9 +120,10 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 # --------------------------------------------------------------------------
 # TPC-H Q7 shape: bilateral trade volume between two nations — a 5-way
 # join (lineitem |><| orders |><| customer + supplier + nation x2). Join
-# order at scale: the two fact joins shuffle on their keys once each; all
-# dimension joins broadcast (asserted cheap: nation is constant-size,
-# supplier/customer pre-filtered to the two nations of interest).
+# order at scale: the two fact joins shuffle on their keys once each;
+# nation broadcasts (constant 25 rows). supp_n/cust_n are a constant
+# FRACTION (2/25) of linearly-growing tables — still unbounded, so no
+# forced broadcast; AQE decides from their runtime size.
 # --------------------------------------------------------------------------
 
 
@@ -141,9 +143,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
 
     return (
-        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dsum_expr(REVENUE, "revenue"), F.count(F.lit(1)).alias("n_items"))
@@ -172,8 +174,10 @@ GROUP BY 1, 2, 3
 # --------------------------------------------------------------------------
 # TPC-H Q8 shape: market share of one supplier nation within one customer
 # region, per year. share = one IEEE division of two exact decimal sums per
-# year group. All dims broadcast; the lineitem |><| orders shuffle is the
-# only large exchange.
+# year group. nation/region broadcast (constant-size); the filtered
+# customer/supplier sub-relations grow linearly with SF, so AQE picks
+# their strategy; the lineitem |><| orders shuffle is the only forced
+# large exchange.
 # --------------------------------------------------------------------------
 
 
@@ -200,8 +204,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.expr(
@@ -237,7 +241,8 @@ GROUP BY 1
 # correlated AVG subquery decorrelated into a per-part aggregate + join
 # (Catalyst's RewriteCorrelatedScalarSubquery, written out). The per-part
 # avg relation is keyed like the probe side, so the join shuffles on
-# partkey once; the brand filter broadcasts.
+# partkey once; the brand-filtered part relation is still linear in SF,
+# so AQE picks its join strategy at runtime.
 # --------------------------------------------------------------------------
 
 
@@ -251,7 +256,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part_avg, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -798,8 +803,48 @@ FROM e
 """
 
 
+# --------------------------------------------------------------------------
+# S4 starts/ends predicates + S6 debug stringification. The reference ships
+# string.starts/string.ends (utils.lua:93-105) and table.tostring
+# (utils.lua:21-68); Spark's startswith/endswith are scan-pushable
+# predicates (StringStartsWith reaches the parquet reader) and to_json is
+# the structured-debug equivalent — all JVM-side, zero Python.
+# --------------------------------------------------------------------------
+
+
+def scalar_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    starts = F.col("c_name").startswith("Customer#00000001")
+    ends = F.col("c_mktsegment").endswith("ING")
+    return (
+        c.filter(starts | ends)
+        .select(
+            "c_custkey",
+            starts.alias("name_starts"),
+            ends.alias("seg_ends"),
+            F.to_json(
+                F.struct(
+                    F.col("c_custkey").alias("k"),
+                    F.col("c_mktsegment").alias("seg"),
+                )
+            ).alias("as_json"),
+        )
+    )
+
+
+STRING_PREDICATES_ORACLE = """
+SELECT c_custkey,
+       starts_with(c_name, 'Customer#00000001') AS name_starts,
+       ends_with(c_mktsegment, 'ING') AS seg_ends,
+       CAST(to_json(struct_pack(k := c_custkey, seg := c_mktsegment)) AS VARCHAR) AS as_json
+FROM customer
+WHERE starts_with(c_name, 'Customer#00000001') OR ends_with(c_mktsegment, 'ING')
+"""
+
+
 QUERIES = {
     "agg_null_semantics": agg_null_semantics,
+    "scalar_string_predicates": scalar_string_predicates,
     "scalar_map_higher_order": scalar_map_higher_order,
     "scalar_regex_funcs": scalar_regex_funcs,
     "scalar_timestamp_diff": scalar_timestamp_diff,
@@ -824,6 +869,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
+    "scalar_string_predicates": STRING_PREDICATES_ORACLE,
     "scalar_map_higher_order": MAP_HOF_ORACLE,
     "scalar_regex_funcs": SCALAR_REGEX_ORACLE,
     "scalar_timestamp_diff": SCALAR_TSDIFF_ORACLE,

@@ -107,11 +107,11 @@ WHERE rank <= {_TOP_K}
 """
 
 
-def _signature_expr(side: str, plane_dot_fmt: str) -> str:
+def _signature_expr(side: str, plane_dot_fmt: str, planes: list | None = None) -> str:
     """Bit-OR of sign bits across the hyperplanes (engine-agnostic text
     built by the caller via plane_dot_fmt)."""
     terms = []
-    for p_idx, plane in enumerate(_PLANES):
+    for p_idx, plane in enumerate(planes if planes is not None else _PLANES):
         arr = ", ".join(f"CAST({w} AS DOUBLE)" for w in plane)
         dot = plane_dot_fmt.format(side=side, arr=arr)
         terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p_idx} ELSE 0 END)")
@@ -173,6 +173,107 @@ SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored)
+WHERE rank <= {_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-table hyperplane LSH: the standard L-tables x B-bits banding. A
+# single B-bit table's recall collapses as the corpus grows (a true
+# neighbor must agree on ALL B sign bits); with L independent tables a pair
+# is a candidate if it collides in ANY table, so recall ~ 1-(1-p^B)^L while
+# per-table buckets stay small. Same trick as MinHash banding (dedup.py),
+# applied to the cosine/hyperplane family.
+# --------------------------------------------------------------------------
+
+_MT_TABLES = 6
+_MT_BITS = 5
+
+# Independent deterministic plane sets per table (seeded, quantized so the
+# SQL literal text is the exact double in both engines).
+_mt_rng = random.Random(11)
+_MT_PLANES = [
+    [[round(_mt_rng.gauss(0.0, 1.0), 6) for _ in range(_DIM)] for _ in range(_MT_BITS)]
+    for _ in range(_MT_TABLES)
+]
+
+
+def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via L-table hyperplane LSH. One scan computes all L signatures
+    per vector in a single projection; stack() unpivots to (table, sig)
+    rows, candidates join on (table, sig), and per-pair dedup is a groupBy
+    that also counts collision multiplicity (n_tables — a free confidence
+    signal). Cosine is evaluated in the join projection (at most L times
+    per pair, L=4) rather than re-joining embeddings after dedup: two
+    extra shuffle joins would cost more than the redundant folds."""
+    emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.alias("a").select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.embedding").alias("embedding"),
+        *[
+            F.expr(_signature_expr("a", _SPARK_PLANE_DOT, _MT_PLANES[t]))
+            .cast("int")
+            .alias(f"sig{t}")
+            for t in range(_MT_TABLES)
+        ],
+    )
+    stack_args = ", ".join(f"{t}, sig{t}" for t in range(_MT_TABLES))
+    long = sigs.selectExpr(
+        "vec_id", "embedding", f"stack({_MT_TABLES}, {stack_args}) AS (t, sig)"
+    )
+    a = long.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    b = long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(_COS).alias("cosine"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_tables"), F.min("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "n_tables", "rank")
+    )
+
+
+def _multitable_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"CAST({_signature_expr('a', _ORACLE_PLANE_DOT, _MT_PLANES[t])} AS INT) AS sig{t}"
+        for t in range(_MT_TABLES)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {t} AS t, sig{t} AS sig FROM sig"
+        for t in range(_MT_TABLES)
+    )
+    return f"""
+WITH sig AS (
+  SELECT a.vec_id AS vec_id, a.embedding AS embedding,
+         {sig_cols}
+  FROM embeddings a),
+long AS (
+{unions}),
+cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         COUNT(*) AS n_tables,
+         MIN({_ORACLE_COS}) AS cosine
+  FROM long a JOIN long b ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {_N_QUERIES}
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cosine, n_tables, rank FROM (
+  SELECT query_id, neighbor_id, cosine, n_tables,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand)
 WHERE rank <= {_TOP_K}
 """
 
@@ -284,11 +385,13 @@ WHERE rank <= {_TOP_K}
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh_buckets": sim_ann_lsh_buckets,
+    "sim_ann_multitable": sim_ann_multitable,
     "sim_ivf_topk": sim_ivf_topk,
 }
 
 ORACLES = {
     "sim_cosine_topk": SIM_TOPK_ORACLE,
     "sim_ann_lsh_buckets": _ann_oracle(),
+    "sim_ann_multitable": _multitable_oracle(),
     "sim_ivf_topk": _ivf_oracle(),
 }

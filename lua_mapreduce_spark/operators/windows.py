@@ -20,7 +20,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern; deterministic tie-break on orderkey."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    joined = orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    joined = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         joined.withColumn("rn", F.row_number().over(w))

@@ -140,6 +140,43 @@ def test_registry_wide_plan_audit(spark):
     assert not offenders_nl, f"unexpected nested-loop joins: {offenders_nl}"
 
 
+# Relations whose cardinality is provably bounded at ANY scale factor, and
+# therefore safe to pin with an F.broadcast() hint. Everything else (base
+# tables, filtered fractions of base tables, per-doc/per-user aggregates)
+# grows with the data: a forced broadcast OOMs at 100 TB where AQE would
+# have picked a shuffle join. Keyed (filename, variable) so an allowlisted
+# name in one file doesn't bless the same name elsewhere.
+_BROADCAST_OK = {
+    ("relational.py", "nation"),      # constant 25 rows
+    ("relational.py", "region"),      # constant 5 rows
+    ("relational2.py", "nation_avg"), # grouped by nationkey: <= 25 rows
+    ("relational2.py", "months"),     # generated calendar spine
+    ("relational3.py", "status"),     # distinct order status: 3 values
+    ("relational4.py", "nation"),
+    ("relational4.py", "region"),
+    ("relational4.py", "avg_bal"),    # single-row global aggregate
+    ("similarity.py", "a"),           # fixed-size query vector set
+    ("similarity.py", "cent"),        # fixed k centroids
+}
+
+
+def test_no_broadcast_hint_on_unbounded_relations():
+    """Every F.broadcast() hint in the source targets a relation with a
+    documented constant size bound. Hints on linearly-growing relations
+    are the 100 TB scale-killer class: the hint FORCES the plan, so AQE
+    cannot fall back when the relation outgrows the broadcast budget."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "lua_mapreduce_spark"
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_.]*)", path.read_text()):
+            target = m.group(1).split(".")[0]
+            if (path.name, target) not in _BROADCAST_OK:
+                offenders.append(f"{path.name}: F.broadcast({m.group(1)})")
+    assert not offenders, f"broadcast hints on unbounded relations: {offenders}"
+
+
 def test_minhash_single_text_pass(spark):
     """The near-dup pipeline reads the documents table through ONE cached
     signature relation — not one scan per pipeline stage."""

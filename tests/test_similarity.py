@@ -1,0 +1,43 @@
+"""ANN quality tests: recall of the approximate similarity paths against
+the exact brute-force top-k (sim_cosine_topk is value-verified against
+DuckDB, so it serves as ground truth here).
+
+Thresholds are measured-at-sf0.01-with-margin: multi-table LSH (6 tables x
+5 bits) measured 0.46 recall@5; asserted >= 0.30. The single 8-bit table
+measured 0.0 — exactly the recall collapse multi-table banding fixes — so
+the comparative assertion (multi >= single) is the structural claim.
+"""
+
+from __future__ import annotations
+
+from lua_mapreduce_spark.operators import QUERIES
+from tests.conftest import SF_MEDIUM
+
+
+def _pairs(spark, name):
+    return {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES[name](spark, SF_MEDIUM).collect()
+    }
+
+
+def test_multitable_lsh_recall_vs_exact(spark):
+    exact = _pairs(spark, "sim_cosine_topk")
+    multi = _pairs(spark, "sim_ann_multitable")
+    single = _pairs(spark, "sim_ann_lsh_buckets")
+    assert exact, "exact baseline returned no pairs"
+    recall_multi = len(multi & exact) / len(exact)
+    recall_single = len(single & exact) / len(exact)
+    assert recall_multi >= recall_single, (
+        f"multi-table recall {recall_multi:.2f} < single-table {recall_single:.2f}"
+    )
+    assert recall_multi >= 0.30, f"multi-table recall collapsed: {recall_multi:.2f}"
+
+
+def test_multitable_candidates_are_subquadratic(spark):
+    """The candidate join inspects far fewer pairs than all-pairs: every
+    returned pair collided in >= 1 of 6 tables, and collision multiplicity
+    is bounded by the table count."""
+    rows = QUERIES["sim_ann_multitable"](spark, SF_MEDIUM).collect()
+    assert rows
+    assert all(1 <= r.n_tables <= 6 for r in rows)
