@@ -1,0 +1,116 @@
+"""Task-file CLI runner — the reference engine's actual user experience.
+
+The reference is driven as ``lua lua-mapreduce-server.lua -t taskfile.lua
+[-a arg]``: the server loads a user task file defining the four job slots
+and runs it (/root/reference/lua-mapreduce-server.lua:397-417 entry point,
+:383-388 slot table; clients attach via lua-mapreduce-client.lua:296-328).
+This module is the Spark-side equivalent::
+
+    python -m lua_mapreduce_spark -t my_job.py [-a ARG] [--master URL]
+        [--num-partitions N]
+
+The task file is a plain Python module defining:
+
+* ``taskfn(arg)``      — yields ``(key, value)`` map tasks  (required)
+* ``mapfn(key, value)``— yields ``(k, v)`` pairs            (required)
+* ``reducefn(key, values)`` — yields ``(k', v')``           (optional)
+* ``finalfn(results)`` — driver-side sink for the result dict (optional;
+  without it the results print to stdout as ``key<TAB>value`` sorted by key)
+* ``combinefn(a, b)``  — associative pairwise combiner enabling map-side
+  partial aggregation (optional; no reference equivalent — its shuffle
+  ships raw pairs, lua-mapreduce-client.lua:168-175)
+
+There is no host/port pair because Spark subsumes the TCP coordinator: the
+cluster manager plays the server role and ``--master`` replaces the
+connection arguments (SURVEY.md §2.2 F1-F9 mapping).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+from typing import Any
+
+from lua_mapreduce_spark.mapreduce import MapReduceJob
+
+
+def load_task_module(path: str) -> Any:
+    """Import a user task file from an arbitrary path.
+
+    The module is registered with cloudpickle's pickle-by-value so the
+    closures it defines serialize to executors even though workers cannot
+    import the file by module name (the same problem the reference solves
+    by shipping the whole task-file SOURCE to every client over TCP,
+    lua-mapreduce-server.lua:269-291 — pickle-by-value is the Spark-native
+    version of that).
+    """
+    mod_name = "lua_mapreduce_task_" + os.path.splitext(os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(mod_name, path)
+    if spec is None or spec.loader is None:
+        raise SystemExit(f"cannot load task file: {path}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # older vendored cloudpickle: closures may still pickle by value
+    return mod
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m lua_mapreduce_spark",
+        description="Run a MapReduce task file on Spark "
+        "(reference-equivalent of lua-mapreduce-server.lua -t).",
+    )
+    p.add_argument("-t", "--task-file", required=True, help="path to the task-file module")
+    p.add_argument("-a", "--arg", default=None, help="argument passed to taskfn")
+    p.add_argument(
+        "--master",
+        default=os.environ.get("SPARK_MASTER", "local[*]"),
+        help="Spark master URL (default: $SPARK_MASTER or local[*])",
+    )
+    p.add_argument("--num-partitions", type=int, default=None, help="shuffle partition count")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    mod = load_task_module(args.task_file)
+    for slot in ("taskfn", "mapfn"):
+        if not callable(getattr(mod, slot, None)):
+            raise SystemExit(f"task file must define {slot}() (see module docstring)")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName(f"lua-mapreduce: {os.path.basename(args.task_file)}")
+        .getOrCreate()
+    )
+    try:
+        job = MapReduceJob(
+            taskfn=mod.taskfn,
+            mapfn=mod.mapfn,
+            reducefn=getattr(mod, "reducefn", None),
+            finalfn=getattr(mod, "finalfn", None),
+            combinefn=getattr(mod, "combinefn", None),
+            arg=args.arg,
+            num_partitions=args.num_partitions,
+        )
+        results = job.run(spark)
+        if getattr(mod, "finalfn", None) is None:
+            for key in sorted(results, key=str):
+                print(f"{key}\t{results[key]}")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,66 @@
+"""End-to-end test of the task-file CLI runner: ``python -m
+lua_mapreduce_spark -t examples/wordcount_task.py -a <dir>`` reproduces the
+reference's golden word-count (FIXTURES.md §1) through a real subprocess —
+argument parsing, task-module loading, closure shipping to executors, and
+stdout sink all exercised the way a user would."""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import subprocess
+import sys
+
+from tests.test_mapreduce_api import FIXTURES, GOLDEN
+
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_cli_wordcount_matches_reference_golden(tmp_path):
+    for name, text in FIXTURES.items():
+        (tmp_path / name).write_text(text, encoding="utf-8")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "lua_mapreduce_spark",
+            "-t",
+            str(_REPO / "examples" / "wordcount_task.py"),
+            "-a",
+            str(tmp_path),
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = {}
+    for line in proc.stdout.splitlines():
+        if "\t" in line:
+            word, count = line.split("\t")
+            got[word] = int(count)
+    assert got == GOLDEN
+
+
+def test_cli_rejects_task_file_without_mapfn(tmp_path):
+    bad = tmp_path / "bad_task.py"
+    bad.write_text("def taskfn(arg):\n    yield 'k', 'v'\n", encoding="utf-8")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "lua_mapreduce_spark", "-t", str(bad)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode != 0
+    assert "mapfn" in proc.stderr
