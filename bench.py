@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ann_multitable",
     "sim_ivf_topk",
     "events_session_windows",
     "events_tumbling_hourly",
@@ -82,8 +83,22 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    from lua_mapreduce_spark.operators.dedup import (
+        _minhash_signatures,
+        clear_signature_cache,
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name == "dedup_minhash_lsh":
+            # Cold/warm split: the signature-cache build dominates the LSH
+            # query's first run, so it gets its own line — per-round deltas
+            # on the query itself stay interpretable under the +-30% machine
+            # noise BASELINE.md documents.
+            clear_signature_cache()
+            t0 = time.perf_counter()
+            _minhash_signatures(spark, sf_dir).count()
+            timings["dedup_minhash_signature_build"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

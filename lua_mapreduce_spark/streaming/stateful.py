@@ -101,10 +101,11 @@ def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFr
 def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a static (batch)
     per-user dimension. The static side is re-planned per micro-batch (so a
-    dim refresh is picked up) and broadcast when small — no stream-side
-    state at all, unlike stream-stream joins."""
+    dim refresh is picked up); a per-user dim grows with the user base, so
+    the join strategy is left to the planner rather than a forced broadcast
+    — no stream-side state either way, unlike stream-stream joins."""
     return (
-        events.join(F.broadcast(user_dim), "user_id")
+        events.join(user_dim, "user_id")
         .select(
             "event_id",
             "user_id",
@@ -158,5 +159,9 @@ def drain_stream(stream_df: DataFrame, prefix: str, output_mode: str, timeout_se
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    if not query.awaitTermination(timeout_sec):
+        # Timed out: the query is still running and the sink is partial —
+        # returning it would silently present truncated results as final.
+        query.stop()
+        raise TimeoutError(f"stream {name} did not drain within {timeout_sec}s")
     return stream_df.sparkSession.table(name)

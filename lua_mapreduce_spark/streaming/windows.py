@@ -90,6 +90,10 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_sec: int = 120) 
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    if not query.awaitTermination(timeout_sec):
+        # Timed out: stop the still-running query and fail loudly rather
+        # than returning a partially-filled sink as if fully drained.
+        query.stop()
+        raise TimeoutError(f"stream {name} did not drain within {timeout_sec}s")
     spark = stream_df.sparkSession
     return spark.table(name)

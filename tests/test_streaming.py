@@ -174,3 +174,59 @@ def test_watermark_bounds_state(spark, events_dir):
     stream = stream_tumbling_counts(read_events_stream(spark, events_dir))
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Out-of-order events older than the watermark are DROPPED from the
+    windowed aggregation, not silently counted. Two checkpointed drains:
+    batch 1 advances the watermark to 12:00 (13:00 max event - 1h delay);
+    batch 2 replays an event at 10:40 — below the watermark — plus a fresh
+    13:30 event. The finalized 10:00 window must count only the two
+    on-time events; 3 would mean the late row leaked into closed state."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(name, times):
+        pd.DataFrame(
+            {"event_id": range(len(times)), "ts": pd.to_datetime(times), "value": 1.0}
+        ).to_parquet(src / name, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_batch("b1.parquet", [t(10, 0), t(10, 15), t(13, 0)])
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, value double")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def drain():
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    write_batch("b2.parquet", [t(10, 40), t(13, 30)])  # late + on-time
+    drain()
+
+    emitted = {(r.ws, r.n) for r in spark.read.parquet(out).collect()}
+    assert (t(10, 0), 2) in emitted, f"10:00 window wrong or missing: {emitted}"
+    assert all(n != 3 for _, n in emitted), f"late event leaked: {emitted}"
