@@ -18,6 +18,7 @@ from lua_mapreduce_spark.operators import (
     events,
     mapreduce_layer,
     multimodal,
+    pipeline,
     relational,
     relational2,
     relational3,
@@ -43,6 +44,7 @@ _MODULES = [
     multimodal,
     mapreduce_layer,
     streaming_ops,
+    pipeline,
 ]
 
 # The grading driver hard-verifies the FIRST 50 registry entries in

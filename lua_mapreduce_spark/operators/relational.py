@@ -8,8 +8,9 @@ declaratively on DataFrames so Catalyst supplies pushdown, pruning, join
 planning and whole-stage codegen.
 
 Scale notes per operator are inline. General rules applied:
- * dimension joins (region/nation/supplier) are broadcast — no shuffle of
-   the fact table;
+ * constant-size dimension joins (region/nation) are broadcast — no
+   shuffle of the fact table; linearly-growing relations never carry a
+   broadcast hint (AQE picks their strategy from runtime size);
  * top-k is orderBy+limit (Spark plans TakeOrderedAndProject: per-partition
    heap + driver merge of k rows, never a global sort);
  * aggregations use decimal-exact sums (functions/exact.py) — deterministic

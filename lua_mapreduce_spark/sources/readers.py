@@ -59,6 +59,27 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: the other splittable columnar format Spark ships natively;
+    same pushdown/pruning path as parquet."""
+    return configure_runtime(spark).read.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, pattern: str = "*") -> DataFrame:
+    """Multimodal ingest: one row per file with (path, modificationTime,
+    length, content binary) — the raw-bytes source for image/audio/video
+    columns (decode happens downstream via mapInPandas, multimodal.py).
+    Unlike wholeTextFiles this is a DataFrame source: the scan is
+    Catalyst-planned and `length`/`path` predicates prune before bytes are
+    read."""
+    return (
+        configure_runtime(spark)
+        .read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     writer = df.write.mode(mode)
     if partition_by:
@@ -72,3 +93,7 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

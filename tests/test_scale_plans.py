@@ -47,6 +47,14 @@ def test_q5_broadcasts_small_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_string_predicate_pushdown(spark):
+    """startswith/endswith (S4) compile to data-source filters: even as an
+    OR across two columns they reach the parquet scan."""
+    plan = _explain(QUERIES["scalar_string_predicates"](spark, SF_MEDIUM))
+    assert re.search(r"PushedFilters:.*StringStartsWith", plan), "startswith not pushed"
+    assert re.search(r"PushedFilters:.*StringEndsWith", plan), "endswith not pushed"
+
+
 def test_wordcount_stays_in_codegen(spark):
     """The tokenize -> explode -> agg pipeline is JVM codegen, no Python.
     AQE only reveals codegen spans in the FINAL plan, so run the query and
@@ -157,6 +165,7 @@ _BROADCAST_OK = {
     ("relational4.py", "avg_bal"),    # single-row global aggregate
     ("similarity.py", "a"),           # fixed-size query vector set
     ("similarity.py", "cent"),        # fixed k centroids
+    ("pipeline.py", "max_rev"),       # single-row global aggregate (Q15)
 }
 
 

@@ -6,13 +6,16 @@ from __future__ import annotations
 import os
 
 from lua_mapreduce_spark.sources import (
+    read_binary_files,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_text,
     whole_text_files,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 from tests.test_mapreduce_api import FIXTURES
@@ -74,3 +77,25 @@ def test_json_roundtrip(spark, tmp_path):
     write_json(df, path)
     back = read_json(spark, path, schema="id long, name string")
     assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_binary_file_source(spark, tmp_path):
+    """Raw-bytes multimodal ingest: one row per file, content is the exact
+    byte string, and the glob filter prunes non-matching files."""
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payload = bytes(range(256))
+    (d / "img1.bin").write_bytes(payload)
+    (d / "img2.bin").write_bytes(payload[:16])
+    (d / "skip.txt").write_text("not a blob")
+    df = read_binary_files(spark, str(d), pattern="*.bin")
+    rows = {(os.path.basename(r.path), bytes(r.content), r.length) for r in df.collect()}
+    assert rows == {("img1.bin", payload, 256), ("img2.bin", payload[:16], 16)}
