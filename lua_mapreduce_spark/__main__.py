@@ -76,7 +76,44 @@ def build_parser() -> argparse.ArgumentParser:
         help="Spark master URL (default: $SPARK_MASTER or local[*])",
     )
     p.add_argument("--num-partitions", type=int, default=None, help="shuffle partition count")
+    p.add_argument(
+        "-o",
+        "--output",
+        default=None,
+        help="write reduce output as parquet to this path (distributed sink; "
+        "results never touch the driver) instead of printing to stdout",
+    )
+    p.add_argument(
+        "--output-schema",
+        default="key string, value long",
+        help="DDL schema for --output rows (default: 'key string, value long')",
+    )
     return p
+
+
+def run_task_file(mod: Any, args: argparse.Namespace, spark: "Any") -> None:
+    """Execute a loaded task module on an existing session (separated from
+    main() so tests can drive it without owning session lifecycle)."""
+    job = MapReduceJob(
+        taskfn=mod.taskfn,
+        mapfn=mod.mapfn,
+        reducefn=getattr(mod, "reducefn", None),
+        finalfn=getattr(mod, "finalfn", None),
+        combinefn=getattr(mod, "combinefn", None),
+        arg=args.arg,
+        num_partitions=args.num_partitions,
+    )
+    if args.output is not None:
+        # Scale path: the reduce output goes straight to a parquet sink,
+        # executor-parallel; finalfn (driver-side by contract) is skipped.
+        job.to_dataframe(spark, schema=args.output_schema).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        return
+    results = job.run(spark)
+    if getattr(mod, "finalfn", None) is None:
+        for key in sorted(results, key=str):
+            print(f"{key}\t{results[key]}")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -94,19 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
     try:
-        job = MapReduceJob(
-            taskfn=mod.taskfn,
-            mapfn=mod.mapfn,
-            reducefn=getattr(mod, "reducefn", None),
-            finalfn=getattr(mod, "finalfn", None),
-            combinefn=getattr(mod, "combinefn", None),
-            arg=args.arg,
-            num_partitions=args.num_partitions,
-        )
-        results = job.run(spark)
-        if getattr(mod, "finalfn", None) is None:
-            for key in sorted(results, key=str):
-                print(f"{key}\t{results[key]}")
+        run_task_file(mod, args, spark)
     finally:
         spark.stop()
     return 0

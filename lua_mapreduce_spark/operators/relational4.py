@@ -842,9 +842,77 @@ WHERE starts_with(c_name, 'Customer#00000001') OR ends_with(c_mktsegment, 'ING')
 """
 
 
+# --------------------------------------------------------------------------
+# Bitwise scalars: integer-exact in every engine, so fully oracle-checkable.
+# DuckDB's ^ is exponentiation, so the oracle spells xor(a, b).
+# --------------------------------------------------------------------------
+
+
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.selectExpr(
+        "o_orderkey",
+        "o_orderkey & 255 AS band",
+        "o_orderkey | 4096 AS bor",
+        "o_orderkey ^ 85 AS bxor",
+        "~o_orderkey AS bnot",
+        "shiftleft(o_orderkey, 3) AS shl",
+        "shiftright(o_orderkey, 2) AS shr",
+        "bit_count(o_orderkey) AS popcount",
+    )
+
+
+BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, 85) AS bxor,
+       ~o_orderkey AS bnot,
+       o_orderkey << 3 AS shl,
+       o_orderkey >> 2 AS shr,
+       bit_count(o_orderkey) AS popcount
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+# --------------------------------------------------------------------------
+# Filtered aggregates (SQL:2003 FILTER clause) + boolean aggregates: the
+# conditional-aggregation form that pushes the predicate INTO the agg
+# buffer update instead of a CASE projection — one pass, no extra columns.
+# --------------------------------------------------------------------------
+
+
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("count(*) FILTER (WHERE o_totalprice > 200000.0)").alias("n_big"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))"
+            " FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)"
+        ).alias("urgent_total"),
+        F.expr("bool_or(o_totalprice > 400000.0)").alias("any_huge"),
+        F.expr("bool_and(o_totalprice > 1000.0)").alias("all_above_1k"),
+        F.expr("count_if(o_orderpriority = '5-LOW')").alias("n_low"),
+    )
+
+
+FILTERED_AGG_ORACLE = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
+       bool_or(o_totalprice > 400000.0) AS any_huge,
+       bool_and(o_totalprice > 1000.0) AS all_above_1k,
+       CAST(count_if(o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "agg_null_semantics": agg_null_semantics,
     "scalar_string_predicates": scalar_string_predicates,
+    "scalar_bitwise_funcs": scalar_bitwise_funcs,
+    "agg_filtered_counts": agg_filtered_counts,
     "scalar_map_higher_order": scalar_map_higher_order,
     "scalar_regex_funcs": scalar_regex_funcs,
     "scalar_timestamp_diff": scalar_timestamp_diff,
@@ -870,6 +938,8 @@ QUERIES = {
 ORACLES = {
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
     "scalar_string_predicates": STRING_PREDICATES_ORACLE,
+    "scalar_bitwise_funcs": BITWISE_ORACLE,
+    "agg_filtered_counts": FILTERED_AGG_ORACLE,
     "scalar_map_higher_order": MAP_HOF_ORACLE,
     "scalar_regex_funcs": SCALAR_REGEX_ORACLE,
     "scalar_timestamp_diff": SCALAR_TSDIFF_ORACLE,

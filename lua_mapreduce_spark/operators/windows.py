@@ -142,8 +142,47 @@ FROM orders WHERE o_custkey < 100
 """
 
 
+def window_gap_fill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward (LOCF) over sparse attributes:
+    first_value/last_value/lag with IGNORE NULLS — the standard gap-fill
+    for sensor/event streams where most rows carry no value. One sort
+    shuffle on the partition key; nulls synthesized with NULLIF since the
+    test tables are fully populated. lag takes no frame clause (Spark
+    rejects framed lag), so it gets its own window."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("NULLIF(o_orderpriority, '1-URGENT')").alias("pri_nn"),
+    )
+    frame = (
+        "PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    return base.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        f"first_value(pri_nn) IGNORE NULLS OVER ({frame}) AS first_pri",
+        f"last_value(pri_nn) IGNORE NULLS OVER ({frame}) AS carried_pri",
+        "lag(pri_nn) IGNORE NULLS OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_pri",
+    )
+
+
+WINDOW_GAP_FILL_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       first_value(NULLIF(o_orderpriority, '1-URGENT') IGNORE NULLS) OVER w AS first_pri,
+       last_value(NULLIF(o_orderpriority, '1-URGENT') IGNORE NULLS) OVER w AS carried_pri,
+       lag(NULLIF(o_orderpriority, '1-URGENT') IGNORE NULLS)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_pri
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "window_topk_per_group": window_topk_per_group,
+    "window_gap_fill_ignore_nulls": window_gap_fill_ignore_nulls,
     "window_running_total": window_running_total,
     "window_lag_lead": window_lag_lead,
     "window_rank_dense": window_rank_dense,
@@ -152,6 +191,7 @@ QUERIES = {
 
 ORACLES = {
     "window_topk_per_group": WINDOW_TOPK_ORACLE,
+    "window_gap_fill_ignore_nulls": WINDOW_GAP_FILL_ORACLE,
     "window_running_total": WINDOW_RUNNING_ORACLE,
     "window_lag_lead": WINDOW_LAG_ORACLE,
     "window_rank_dense": WINDOW_RANK_ORACLE,

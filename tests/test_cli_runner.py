@@ -49,6 +49,31 @@ def test_cli_wordcount_matches_reference_golden(tmp_path):
     assert got == GOLDEN
 
 
+def test_cli_output_parquet_sink(spark, tmp_path):
+    """-o writes the reduce output as parquet through the distributed sink
+    (to_dataframe): results never touch the driver. Run in-process against
+    the shared session via run_task_file."""
+    from lua_mapreduce_spark.__main__ import build_parser, load_task_module, run_task_file
+
+    for name, text in FIXTURES.items():
+        (tmp_path / name).write_text(text, encoding="utf-8")
+    out = str(tmp_path / "wc_out")
+    args = build_parser().parse_args(
+        [
+            "-t",
+            str(_REPO / "examples" / "wordcount_task.py"),
+            "-a",
+            str(tmp_path),
+            "-o",
+            out,
+        ]
+    )
+    mod = load_task_module(args.task_file)
+    run_task_file(mod, args, spark)
+    got = {r.key: r.value for r in spark.read.parquet(out).collect()}
+    assert got == GOLDEN
+
+
 def test_cli_rejects_task_file_without_mapfn(tmp_path):
     bad = tmp_path / "bad_task.py"
     bad.write_text("def taskfn(arg):\n    yield 'k', 'v'\n", encoding="utf-8")
