@@ -92,7 +92,12 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int, float]:
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (doc_id, blob) partitions.
-    Rows-only checked (the decode is Python by nature, not SQL)."""
+    Because the stand-in decode is a pure function of the bytes and the
+    corpus is ASCII, the whole Python path is value-checkable against a
+    byte-arithmetic DuckDB oracle — the mapInPandas plumbing (Arrow
+    batching, schema, partition shape) gets a hard correctness signal, not
+    just a rows-only smoke check. A real PIL/ffmpeg decode would drop back
+    to rows-only."""
     blobs = _with_blob(spark, sf_dir).select("doc_id", "blob")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,6 +157,21 @@ FROM frames
 """
 
 
+# Byte-arithmetic replay of _fake_decode: the corpus is ASCII (asserted in
+# tests), so byte i of the blob == ascii(substring(text, i+1, 1)). Integer
+# modulo and an exact int/int division make every column bit-identical.
+MULTIMODAL_DECODE_ORACLE = """
+SELECT doc_id,
+       64 + ascii(substring(text, 1, 1)) % 64 AS width,
+       64 + ascii(substring(text, length(text), 1)) % 64 AS height,
+       1 + ascii(substring(text, (length(text) // 2) + 1, 1)) % 3 AS n_channels,
+       list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                               i -> ascii(substring(text, CAST(i AS INT), 1))))
+         / least(length(text), 256) AS mean_intensity
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
@@ -160,6 +180,6 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_metadata": MULTIMODAL_METADATA_ORACLE,
+    "multimodal_decode_features": MULTIMODAL_DECODE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_ORACLE,
-    # multimodal_decode_features: Python decode — rows-only by design.
 }
