@@ -278,6 +278,82 @@ WHERE rank <= {_TOP_K}
 """
 
 
+# Embedding near-dup threshold — mirrors dedup.dedup_embedding_cosine's
+# exact all-pairs baseline (dedup.py), for which this is the scale path.
+_DUP_COSINE_THRESHOLD = 0.40
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at scale: candidate pairs must collide in
+    >= 1 of the L hyperplane tables, then exact cosine + threshold inside
+    the buckets — the bucketed twin of dedup_embedding_cosine's all-pairs
+    exact baseline (dedup.py). Near-identical vectors agree on almost
+    every sign bit, so true duplicates collide with high probability while
+    the candidate count stays ~sum of squared bucket sizes instead of
+    n^2/2. n_tables (collision multiplicity) rides along as a confidence
+    signal."""
+    emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.alias("a").select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.embedding").alias("embedding"),
+        *[
+            F.expr(_signature_expr("a", _SPARK_PLANE_DOT, _MT_PLANES[t]))
+            .cast("int")
+            .alias(f"sig{t}")
+            for t in range(_MT_TABLES)
+        ],
+    )
+    stack_args = ", ".join(f"{t}, sig{t}" for t in range(_MT_TABLES))
+    long = sigs.selectExpr(
+        "vec_id", "embedding", f"stack({_MT_TABLES}, {stack_args}) AS (t, sig)"
+    )
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(_COS).alias("cosine"),
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count(F.lit(1)).alias("n_tables"), F.min("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= _DUP_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine", "n_tables")
+    )
+
+
+def _dedup_lsh_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"CAST({_signature_expr('a', _ORACLE_PLANE_DOT, _MT_PLANES[t])} AS INT) AS sig{t}"
+        for t in range(_MT_TABLES)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {t} AS t, sig{t} AS sig FROM sig"
+        for t in range(_MT_TABLES)
+    )
+    return f"""
+WITH sig AS (
+  SELECT a.vec_id AS vec_id, a.embedding AS embedding,
+         {sig_cols}
+  FROM embeddings a),
+long AS (
+{unions}),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         COUNT(*) AS n_tables,
+         MIN({_ORACLE_COS}) AS cosine
+  FROM long a JOIN long b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT vec_a, vec_b, cosine, n_tables
+FROM cand WHERE cosine >= {_DUP_COSINE_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse-quantize the corpus into cells around
 # centroid vectors; probe only the query's nearest cells. The other classic
@@ -387,6 +463,7 @@ QUERIES = {
     "sim_ann_lsh_buckets": sim_ann_lsh_buckets,
     "sim_ann_multitable": sim_ann_multitable,
     "sim_ivf_topk": sim_ivf_topk,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 ORACLES = {
@@ -394,4 +471,5 @@ ORACLES = {
     "sim_ann_lsh_buckets": _ann_oracle(),
     "sim_ann_multitable": _multitable_oracle(),
     "sim_ivf_topk": _ivf_oracle(),
+    "dedup_embedding_lsh": _dedup_lsh_oracle(),
 }

@@ -186,6 +186,18 @@ def test_no_broadcast_hint_on_unbounded_relations():
     assert not offenders, f"broadcast hints on unbounded relations: {offenders}"
 
 
+def test_curation_single_scan_single_shuffle(spark):
+    """The corpus-curation composite reads the text ONCE and shuffles once
+    (fingerprint hash-partition for keep-first); the rn=1 filter compiles
+    to WindowGroupLimit, pruning per-fingerprint groups map-side BEFORE
+    the shuffle. The only other Exchange is parallelize_scan's small-input
+    repartition (a no-op at real scale)."""
+    plan = _explain(QUERIES["text_corpus_curation"](spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, "text scanned more than once"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, "extra shuffles appeared"
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown missing"
+
+
 def test_minhash_single_text_pass(spark):
     """The near-dup pipeline reads the documents table through ONE cached
     signature relation — not one scan per pipeline stage."""

@@ -79,6 +79,23 @@ def test_json_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
 
 
+def test_json_corrupt_record_tolerance(spark, tmp_path):
+    """Malformed rows land in _corrupt_record instead of failing the read —
+    at 100 TB some fraction of any real corpus is malformed, and a pipeline
+    that dies on row 3 billion is not a pipeline. PERMISSIVE is Spark's
+    default; asserted here so a config change can't silently flip it."""
+    p = tmp_path / "mixed.json"
+    p.write_text('{"id": 1, "name": "ok"}\n{broken json!!\n{"id": 2, "name": "also ok"}\n')
+    df = read_json(
+        spark, str(p), schema="id long, name string, _corrupt_record string"
+    )
+    rows = df.collect()
+    good = {(r.id, r.name) for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {(1, "ok"), (2, "also ok")}
+    assert bad == ["{broken json!!"]
+
+
 def test_orc_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
     path = str(tmp_path / "orc")
