@@ -2,9 +2,15 @@
 
 Each entry runs a true streaming pipeline (readStream file source → stateful
 transformation → availableNow drain into a memory sink) and returns the
-drained table. They are registered WITHOUT oracles — custom stateful
-streaming is the brief's canonical non-SQL-expressible case — but the
-pytest suite asserts each agrees with its batch twin where one exists
+drained table.
+
+Oracle policy: the source is pinned to ONE file (glob="events.parquet"), so
+availableNow drains in a single micro-batch — the watermark never advances
+mid-drain and nothing is dropped — which makes every INTEGER- or
+decimal-exact streaming result equal its batch formulation, and therefore
+fully oracle-checkable — including the arbitrary-state op
+(`streaming_user_totals` accumulates integer cents, not floats, exactly so
+this holds). pytest additionally asserts each against its batch twin
 (tests/test_streaming.py).
 """
 
@@ -103,8 +109,37 @@ QUERIES = {
     "streaming_stream_stream_join": streaming_stream_stream_join,
 }
 
-# Both joins drain completely under availableNow (no late data in a finite
-# backfill), so their results equal the batch formulations — full oracles.
+# The stateful op sums integer cents (2-decimal grid asserted in tests);
+# the oracle mirrors the cents arithmetic including the final /100.0 IEEE
+# division. SUM over BIGINT is HUGEINT in DuckDB — cast back before the
+# division so the dtype comparison holds too.
+USER_TOTALS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events WHERE user_id < 100 GROUP BY user_id
+"""
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_unique
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+GROUP BY event_type
+"""
+
+# 2-hour windows sliding 1 hour: every event belongs to exactly two
+# windows; sum is decimal-exact on both sides.
+STREAM_SLIDING_ORACLE = """
+WITH exploded AS (
+  SELECT u.ws_epoch AS ws_epoch, event_type, value
+  FROM events,
+       unnest([CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT),
+               CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT)]) AS u(ws_epoch)
+  WHERE epoch(ts) >= u.ws_epoch AND epoch(ts) < u.ws_epoch + 7200
+)
+SELECT ws_epoch, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM exploded GROUP BY 1, 2
+"""
+
 STATIC_ENRICH_ORACLE = """
 WITH dim AS (
   SELECT user_id,
@@ -126,6 +161,9 @@ GROUP BY 1
 """
 
 ORACLES: dict[str, str] = {
+    "streaming_user_totals": USER_TOTALS_ORACLE,
+    "streaming_dedup_count": STREAM_DEDUP_ORACLE,
+    "streaming_sliding_counts": STREAM_SLIDING_ORACLE,
     "streaming_static_enrich_counts": STATIC_ENRICH_ORACLE,
     "streaming_stream_stream_join": STREAM_STREAM_ORACLE,
 }

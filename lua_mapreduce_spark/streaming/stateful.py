@@ -67,13 +67,21 @@ def stream_user_totals_stateful(events: DataFrame, max_users: int = 100) -> Data
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
+        # State accumulates integer CENTS, not floats: the input grid is
+        # 2-decimal (asserted in tests), so integer accumulation is exact
+        # and association-order-free — a float running sum would depend on
+        # pandas' pairwise summation order and break value-level parity.
+        n, total_cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_cents += int(pdf["value"].mul(100.0).round().sum())
+        state.update((n, total_cents))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "sum_value": [total]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [total_cents / 100.0],
+            }
         )
 
     return (
@@ -82,7 +90,7 @@ def stream_user_totals_stateful(events: DataFrame, max_users: int = 100) -> Data
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, n_events long, sum_value double",
-            stateStructType="n long, total double",
+            stateStructType="n long, total_cents long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -47,6 +47,17 @@ def test_stream_sessions_match_batch(spark, events_dir):
     assert _rows(result, cols) == _rows(batch, cols)
 
 
+def test_event_values_on_cent_grid(spark):
+    """Precondition of the stateful op's integer-cents accumulation (and
+    its oracle): every event value sits on the 2-decimal grid."""
+    from lua_mapreduce_spark.catalog import load_table
+    from tests.conftest import SF_MEDIUM
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        n = load_table(spark, sf, "events").filter("value != round(value, 2)").count()
+        assert n == 0, f"non-2-decimal event values in {sf}"
+
+
 def test_stateful_user_totals_match_batch(spark, events_dir):
     """applyInPandasWithState running totals == batch groupBy after drain."""
     from pyspark.sql import functions as F
