@@ -314,8 +314,46 @@ FROM labeled GROUP BY user_id, session_seq
 """
 
 
+def events_trending_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types per hour: windowed count + rank, top 2 per
+    hour with deterministic tie-break (count desc, type asc). Two
+    shuffles: the (hour, type) agg and the per-hour rank — the standard
+    'trending now' dashboard shape; at scale the rank input is already
+    tiny (one row per hour x type)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("hour_epoch").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("hour_epoch", "event_type", "n_events", "rank")
+    )
+
+
+TRENDING_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT hour_epoch, event_type, n_events, rank FROM (
+  SELECT hour_epoch, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY hour_epoch
+                            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM hourly)
+WHERE rank <= 2
+"""
+
+
 QUERIES = {
     "events_sessionize_gap_method": events_sessionize_gap_method,
+    "events_trending_hourly": events_trending_hourly,
     "events_cohort_retention": events_cohort_retention,
     "events_funnel_conversion": events_funnel_conversion,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -327,6 +365,7 @@ QUERIES = {
 
 ORACLES = {
     "events_sessionize_gap_method": SESSIONIZE_GAP_ORACLE,
+    "events_trending_hourly": TRENDING_ORACLE,
     "events_cohort_retention": COHORT_ORACLE,
     "events_funnel_conversion": FUNNEL_ORACLE,
     "events_tumbling_hourly": TUMBLING_ORACLE,
