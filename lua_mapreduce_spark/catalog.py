@@ -33,12 +33,6 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# Small dimension tables: always broadcast-join these. At TPC-H scale nation
-# and region are constant-size; supplier/part/customer grow with SF but stay
-# orders of magnitude under the fact tables.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -144,8 +144,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .persist()
     )
+    converged = False
     try:
-        for _ in range(_MAX_LP_ITERS):
+        for it in range(_MAX_LP_ITERS):
             nbr = (
                 edges.join(labels, edges["v"] == labels["doc_id"])
                 .groupBy("u")
@@ -162,16 +163,35 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
+            # Convergence is checked only every 2nd propagation step (and on
+            # the final one): each check is a sequential driver-blocking job
+            # launch, and min-label propagation is monotone, so a skipped
+            # check can never mask convergence — it only defers detection by
+            # one cheap extra step while halving job launches.
+            if it % 2 == 1 or it == _MAX_LP_ITERS - 1:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "doc_id")
+                    .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                    .count()
+                )
+                labels.unpersist()
+                labels = new_labels
+                if changed == 0:
+                    converged = True
+                    break
+            else:
+                labels.unpersist()
+                labels = new_labels
+        if not converged:
+            # A component whose min-vertex eccentricity exceeds the cap
+            # would otherwise get silently-wrong cluster_ids; fail loudly
+            # instead (long near-dup chains are plausible in real corpora).
+            raise RuntimeError(
+                f"dedup_cluster_components did not converge in {_MAX_LP_ITERS} "
+                "label-propagation iterations; raise _MAX_LP_ITERS or switch "
+                "to the O(log n)-round large-star/small-star variant"
             )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
         # Truncate lineage so the caches can be released immediately: the
         # checkpointed result is executor-resident and cleaned by Spark's
         # ContextCleaner once the returned DataFrame is garbage collected.

@@ -204,7 +204,7 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, candidates join on (table, sig), and per-pair dedup is a groupBy
     that also counts collision multiplicity (n_tables — a free confidence
     signal). Cosine is evaluated in the join projection (at most L times
-    per pair, L=4) rather than re-joining embeddings after dedup: two
+    per pair, L=_MT_TABLES) rather than re-joining embeddings after dedup: two
     extra shuffle joins would cost more than the redundant folds."""
     emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
     sigs = emb.alias("a").select(
@@ -358,20 +358,99 @@ FROM cand WHERE cosine >= {_DUP_COSINE_THRESHOLD}
 # IVF (inverted-file) ANN: coarse-quantize the corpus into cells around
 # centroid vectors; probe only the query's nearest cells. The other classic
 # ANN scale path next to LSH: candidate cost drops from O(N) to
-# O(N * nprobe / n_cells) per query. Deterministic "training" (centroids =
-# the first C corpus vectors by vec_id) keeps it fully oracle-checkable;
-# swap in k-means centroids without touching the plan.
+# O(N * nprobe / n_cells) per query.
+#
+# Centroid training is a fixed-iteration seeded Lloyd's k-means over a
+# deterministic hash sample, made oracle-exact by doing the only
+# order-sensitive arithmetic (the per-cluster mean) in INTEGER space:
+# each embedding element is quantized to round(x * 1e6) as BIGINT, so the
+# cluster sums are exact integers (order-independent in both engines) and
+# the centroid element is the bitwise-identical double sum/count. Cosine
+# folds are sequential over identical doubles, so assignments — including
+# tie-breaks — replay exactly in DuckDB.
 # --------------------------------------------------------------------------
 
+# Demo-scale constants: the testdata embeddings are near-random (top-5
+# exact neighbors share the generator's `label` at chance rate), which is
+# ANN's worst case — recall can only come from coverage, so k=8 cells with
+# nprobe=5 (~62% coverage) is what holds recall@5 at 0.86/0.80 (sf0.001/
+# sf0.01), matching the pre-k-means numbers, which were inflated by the old
+# "centroids = first 8 corpus vectors" coinciding with the query set. At
+# real corpus scale k grows to ~sqrt(N) (4096+) and nprobe/k drops to a few
+# percent; the plan shape (broadcast centroids, cell join) is unchanged.
 _N_CENTROIDS = 8
-_N_PROBE = 2
+_N_PROBE = 5
+_KM_ITERS = 5
+_KM_SAMPLE_MOD = 4  # train on the vec_id % 4 == 0 quarter-sample
+
+# Quantized-integer and scaled-double views of a vector (scale cancels in
+# cosine, so training can stay in the 1e6-scaled domain end to end).
+_KM_QV = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+_KM_DV = "transform(qv, s -> CAST(s AS DOUBLE))"
+_KM_COS = (
+    "aggregate(zip_with(dv, cdv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+    " (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(dv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+    " * sqrt(aggregate(cdv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))"
+)
+
+
+def _km_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cent_id, cemb) after _KM_ITERS Lloyd rounds; cemb is in the
+    1e6-scaled double domain. Seeds are the first _N_CENTROIDS sample
+    vectors by vec_id (testdata vec_ids are dense from 0). Empty clusters
+    keep their previous centroid. At 100 TB the sample projection is one
+    cheap scan and every round is one broadcast join + one 8-row hash agg;
+    the 64 per-dimension SUMs stay bounded (|element| <= ~1e6 * sample
+    rows) well inside BIGINT."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = (
+        emb.filter(F.col("vec_id") % _KM_SAMPLE_MOD == 0)
+        .select("vec_id", F.expr(_KM_QV).alias("qv"))
+        .withColumn("dv", F.expr(_KM_DV))
+    )
+    cent = sample.filter(F.col("vec_id") < _KM_SAMPLE_MOD * _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("dv").alias("cdv")
+    )
+    for _ in range(_KM_ITERS):
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+        assign = (
+            sample.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", F.expr(_KM_COS))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+        )
+        upd = assign.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(F.col("qv").getItem(i)).alias(f"s{i}") for i in range(_DIM)],
+        )
+        upd = upd.select(
+            "cent_id",
+            F.array(
+                *[
+                    F.col(f"s{i}").cast("double") / F.col("cnt").cast("double")
+                    for i in range(_DIM)
+                ]
+            ).alias("new_cdv"),
+        )
+        cent = (
+            cent.alias("c")
+            .join(upd.alias("u"), "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("u.new_cdv"), F.col("c.cdv")).alias("cdv"),
+            )
+        )
+    # 8 tiny rows referenced several times downstream: materialize once so
+    # the final query doesn't replay 5 Lloyd rounds per reference.
+    return cent.localCheckpoint(eager=True).select(
+        "cent_id", F.col("cdv").alias("cemb")
+    )
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb")
-    )
+    cent = _km_centroids(spark, sf_dir)
     corpus = parallelize_scan(spark, emb)
 
     cos_to_cent = (
@@ -422,6 +501,48 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_oracle_ctes() -> str:
+    """DuckDB replay of _km_centroids: same quantization, same seeds, same
+    _KM_ITERS Lloyd rounds; ends in a `cent(cent_id, cemb)` CTE."""
+    qv_sql = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    )
+    km_cos = (
+        "list_sum(list_transform(list_zip(s.dv, c.cdv), p -> p[1] * p[2]))"
+        " / (sqrt(list_sum(list_transform(s.dv, v -> v * v)))"
+        " * sqrt(list_sum(list_transform(c.cdv, v -> v * v))))"
+    )
+    sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(_DIM))
+    ctes = [
+        f"""km_s AS (
+  SELECT vec_id, qv, list_transform(qv, s -> CAST(s AS DOUBLE)) AS dv
+  FROM (SELECT vec_id, {qv_sql} AS qv FROM embeddings
+        WHERE vec_id % {_KM_SAMPLE_MOD} = 0))""",
+        f"""km_c0 AS (
+  SELECT vec_id AS cent_id, dv AS cdv FROM km_s
+  WHERE vec_id < {_KM_SAMPLE_MOD * _N_CENTROIDS})""",
+    ]
+    for t in range(1, _KM_ITERS + 1):
+        ctes.append(f"""km_a{t} AS (
+  SELECT s.vec_id, s.qv, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                            ORDER BY {km_cos} DESC, c.cent_id ASC) AS rnk
+  FROM km_s s CROSS JOIN km_c{t - 1} c)""")
+        ctes.append(f"""km_u{t} AS (
+  SELECT cent_id, COUNT(*) AS cnt, list_value({sums}) AS csum
+  FROM km_a{t} WHERE rnk = 1 GROUP BY cent_id)""")
+        ctes.append(f"""km_c{t} AS (
+  SELECT c.cent_id,
+         CASE WHEN u.cnt IS NULL THEN c.cdv
+              ELSE list_transform(u.csum,
+                                  s -> CAST(s AS DOUBLE) / CAST(u.cnt AS DOUBLE))
+         END AS cdv
+  FROM km_c{t - 1} c LEFT JOIN km_u{t} u USING (cent_id))""")
+    ctes.append(f"cent AS (SELECT cent_id, cdv AS cemb FROM km_c{_KM_ITERS})")
+    return ",\n".join(ctes)
+
+
 def _ivf_oracle() -> str:
     cos_ab = (
         "list_sum(list_transform(list_zip({a}, {b}),"
@@ -432,9 +553,7 @@ def _ivf_oracle() -> str:
         " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
     )
     return f"""
-WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
-  WHERE vec_id < {_N_CENTROIDS}),
+WITH {_km_oracle_ctes()},
 assign AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id

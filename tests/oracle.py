@@ -35,6 +35,16 @@ def _duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 # (agg_histogram_bins passed with Spark double vs DuckDB DECIMAL), but
 # HUGEINT/int128 is NOT (agg_null_semantics failed on it — DuckDB's
 # dataframe fetch coerces int128 outside the int64 domain).
+#
+# NOTE: these equivalence classes are EMPIRICAL, not documented driver
+# behavior — they encode exactly what the driver's typed value-hash has been
+# observed to tolerate. If the driver's hash ever changes (a new
+# CORRECTNESS round disagreeing with this suite is the symptom), re-verify
+# the classes against that round before trusting local green. Width
+# differences INSIDE a family (e.g. a sum narrowing int64 -> int32) are
+# therefore invisible here by design; `compare` logs them to stderr so
+# genuine Spark-side type regressions stay visible without failing the
+# parity gate.
 # ---------------------------------------------------------------------------
 
 _INT_WIDTHS = {
@@ -116,6 +126,27 @@ class CompareResult:
         return f"{self.name}: {status} ({self.spark_rows} rows){extra}"
 
 
+_WIDTHS = {"tinyint": 8, "smallint": 16, "int": 32, "integer": 32, "bigint": 64}
+
+
+def _log_width_drift(name: str, spark_df, rel_types_raw: dict[str, str]) -> None:
+    """Within-family int width differences are tolerated by the driver's
+    hash (see note above) but logged so a Spark-side narrowing regression
+    stays visible."""
+    import sys
+
+    for f in spark_df.schema.fields:
+        s_raw = f.dataType.simpleString().lower()
+        o_raw = rel_types_raw.get(f.name, "")
+        sw, ow = _WIDTHS.get(s_raw), _WIDTHS.get(o_raw)
+        if sw is not None and ow is not None and sw != ow:
+            print(
+                f"[oracle-parity] {name}.{f.name}: int width drift "
+                f"spark={s_raw} oracle={o_raw} (tolerated, not failed)",
+                file=sys.stderr,
+            )
+
+
 def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
     spark_cols = spark_df.columns
     spark_types = _spark_types(spark_df)
@@ -126,6 +157,7 @@ def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
         rel = con.sql(oracle_sql)
         oracle_cols = rel.columns
         oracle_types = {c: _norm_type(str(t)) for c, t in zip(rel.columns, rel.types)}
+        oracle_raw = {c: str(t).lower() for c, t in zip(rel.columns, rel.types)}
         oracle_rows = rel.fetchall()
     finally:
         con.close()
@@ -135,6 +167,7 @@ def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
         res.ok = False
         res.mismatches.append(f"columns: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
         return res
+    _log_width_drift(name, spark_df, rel_types_raw=oracle_raw)
     for c in sorted(spark_cols):
         if spark_types[c] != oracle_types[c]:
             res.ok = False
