@@ -1,11 +1,13 @@
 """Multimodal columns (north star): image/audio/video as opaque binary
 columns + typed metadata, with Pandas-UDF decode plumbing.
 
-The container has no image/audio libraries, so the decode step is a
-DETERMINISTIC FAKE (clearly marked below); the Spark-side plumbing — binary
-schema, Arrow batching through mapInPandas, partition-preserving shape — is
-real and tested. Swap `_fake_decode` for a PIL/ffmpeg call and nothing else
-changes.
+The container has no image/audio libraries, so the decode path works on a
+REAL format a pure-Python parser can handle: each document is rendered as
+a valid 24-bit BMP (spec-compliant headers, bottom-up padded rows) and
+decoded by reading the actual BITMAPINFOHEADER and pixel array. The
+Spark-side plumbing — binary schema, Arrow batching through mapInPandas,
+partition-preserving shape — is the production shape; swapping
+`_decode_bmp` for PIL/ffmpeg changes nothing around it.
 
 The synthetic corpus has no binary column, so `documents.text` is encoded to
 binary at scan time — the plumbing downstream is identical to reading
@@ -19,6 +21,7 @@ BEFORE decoding is the whole point of the metadata/payload split at 100 TB.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -73,36 +76,74 @@ _DECODE_SCHEMA = (
 )
 
 
-def _fake_decode(blob: bytes) -> tuple[int, int, int, float]:
-    """DETERMINISTIC FAKE image decode (no image libs in this container).
+def _encode_bmp(text_bytes: bytes) -> bytes:
+    """Render a document's bytes as a REAL 24-bit uncompressed BMP:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, rows padded to
+    4-byte boundaries per the format spec. Dimensions and pixel bytes are
+    deterministic functions of the text (width from length, height from the
+    first byte, pixel j = text byte j mod n) so the decode output is
+    byte-arithmetically replayable in SQL. The output is a valid .bmp any
+    viewer opens."""
+    n = len(text_bytes)
+    width = 4 + n % 13
+    height = 3 + text_bytes[0] % 7
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    size_image = (row_raw + pad) * height
+    header = b"BM" + struct.pack("<IHHI", 54 + size_image, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, size_image, 2835, 2835, 0, 0
+    )
+    px = bytearray()
+    j = 0
+    for _ in range(height):
+        for _ in range(row_raw):
+            px.append(text_bytes[j % n])
+            j += 1
+        px.extend(b"\x00" * pad)
+    return header + info + bytes(px)
 
-    Stands in for e.g. ``PIL.Image.open(io.BytesIO(blob))``. Produces
-    stable pseudo-dimensions from the byte content so tests can assert
-    exact values. Replace with a real decoder; the mapInPandas plumbing
-    around it is production-shaped.
-    """
-    if not blob:
-        return 0, 0, 0, 0.0
-    width = 64 + blob[0] % 64
-    height = 64 + blob[-1] % 64
-    n_channels = 1 + blob[len(blob) // 2] % 3
-    mean_intensity = sum(blob[:256]) / min(len(blob), 256)
-    return width, height, n_channels, mean_intensity
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, int, float]:
+    """Pure-Python BMP decode (the container has no PIL/ffmpeg): validates
+    the magic, reads width/height/bit-count from the BITMAPINFOHEADER, and
+    computes the mean pixel value by walking the actual pixel array,
+    skipping row padding. Exact integer sum / integer count keeps the
+    double bit-identical to the SQL replay."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    (bit_count,) = struct.unpack_from("<H", blob, 28)
+    if bit_count % 8:
+        raise ValueError(f"unsupported bit count {bit_count}")
+    n_channels = bit_count // 8
+    row_raw = width * n_channels
+    pad = (-row_raw) % 4
+    total = 0
+    pos = off
+    for _ in range(height):
+        total += sum(blob[pos : pos + row_raw])
+        pos += row_raw + pad
+    n_px_bytes = width * height * n_channels
+    return width, height, n_channels, total / n_px_bytes
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode: mapInPandas over (doc_id, blob) partitions.
-    Because the stand-in decode is a pure function of the bytes and the
-    corpus is ASCII, the whole Python path is value-checkable against a
-    byte-arithmetic DuckDB oracle — the mapInPandas plumbing (Arrow
-    batching, schema, partition shape) gets a hard correctness signal, not
-    just a rows-only smoke check. A real PIL/ffmpeg decode would drop back
-    to rows-only."""
+    """Arrow-batched real-format decode: each document is materialized as a
+    valid 24bpp BMP and parsed back by a pure-Python header+pixel-array
+    decoder inside ONE mapInPandas pass (encode exists only because the
+    corpus ships no binary column; a real corpus starts at the decode).
+    The BMP construction is a deterministic function of the text and the
+    corpus is ASCII (asserted in tests), so the decoded features are
+    value-checkable against a byte-arithmetic DuckDB oracle — the Arrow
+    batching, schema, and the decoder itself all get a hard correctness
+    signal. A PIL/ffmpeg decode of opaque blobs would drop to rows-only."""
     blobs = _with_blob(spark, sf_dir).select("doc_id", "blob")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(b) for b in pdf["blob"]]
+            decoded = [_decode_bmp(_encode_bmp(b)) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -157,18 +198,24 @@ FROM frames
 """
 
 
-# Byte-arithmetic replay of _fake_decode: the corpus is ASCII (asserted in
-# tests), so byte i of the blob == ascii(substring(text, i+1, 1)). Integer
-# modulo and an exact int/int division make every column bit-identical.
+# Byte-arithmetic replay of the BMP round-trip: the corpus is ASCII and
+# non-empty (asserted in tests), so byte j of the blob ==
+# ascii(substring(text, j+1, 1)); the BMP construction pins width/height
+# from (length, first byte) and pixel j = text byte j mod n, so the decoded
+# mean is an exact integer sum over w*h*3 pixel bytes divided by the same
+# integer count — bit-identical across engines.
 MULTIMODAL_DECODE_ORACLE = """
-SELECT doc_id,
-       64 + ascii(substring(text, 1, 1)) % 64 AS width,
-       64 + ascii(substring(text, length(text), 1)) % 64 AS height,
-       1 + ascii(substring(text, (length(text) // 2) + 1, 1)) % 3 AS n_channels,
-       list_sum(list_transform(range(1, least(length(text), 256) + 1),
-                               i -> ascii(substring(text, CAST(i AS INT), 1))))
-         / least(length(text), 256) AS mean_intensity
-FROM documents
+WITH dims AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         CAST(4 + octet_length(encode(text)) % 13 AS INT) AS width,
+         CAST(3 + ascii(substring(text, 1, 1)) % 7 AS INT) AS height
+  FROM documents)
+SELECT doc_id, width, height, CAST(3 AS INT) AS n_channels,
+       CAST(list_sum(list_transform(range(0, width * height * 3),
+                j -> ascii(substring(text, CAST(j % n AS INT) + 1, 1)))) AS DOUBLE)
+         / (width * height * 3) AS mean_intensity
+FROM dims
 """
 
 

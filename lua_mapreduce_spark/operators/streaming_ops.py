@@ -4,18 +4,29 @@ Each entry runs a true streaming pipeline (readStream file source → stateful
 transformation → availableNow drain into a memory sink) and returns the
 drained table.
 
-Oracle policy: the source is pinned to ONE file (glob="events.parquet"), so
-availableNow drains in a single micro-batch — the watermark never advances
-mid-drain and nothing is dropped — which makes every INTEGER- or
-decimal-exact streaming result equal its batch formulation, and therefore
+Oracle policy: the source is the events table split into THREE
+time-contiguous parquet files, drained with ``maxFilesPerTrigger=1`` so
+availableNow runs >= 3 micro-batches and state genuinely accumulates
+across batches. The split is by event-time range (identical ts never
+straddles files) and files are processed oldest-range first, so event time
+only moves forward between batches: the watermark never drops a row,
+dedup duplicates (same ts) always share a batch, and interval-join
+partners are never evicted early. Every INTEGER- or decimal-exact
+streaming result therefore still equals its batch formulation and stays
 fully oracle-checkable — including the arbitrary-state op
 (`streaming_user_totals` accumulates integer cents, not floats, exactly so
-this holds). pytest additionally asserts each against its batch twin
-(tests/test_streaming.py).
+this holds). pytest additionally asserts each against its batch twin and
+that >= 3 micro-batches actually ran (tests/test_streaming.py).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+from pathlib import Path
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,18 +41,70 @@ from lua_mapreduce_spark.streaming.stateful import (
 )
 from lua_mapreduce_spark.streaming.windows import read_events_stream
 
+_N_STREAM_FILES = 3
+_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "stream_batches"
+
+
+def _batched_events_dir(sf_dir: str) -> str:
+    """Split ``events.parquet`` into _N_STREAM_FILES time-contiguous files
+    under a repo-local cache dir, mtimes increasing with the time range so
+    the file source (which orders by modification time) replays event time
+    forward. Derived once per sf_dir; a _SUCCESS marker makes the split
+    idempotent. The split is pure metadata+copy work (pyarrow filter on the
+    driver) — at real scale the input would already arrive as many
+    time-ordered files and this helper disappears."""
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    out = _CACHE_ROOT / tag
+    marker = out / "_SUCCESS"
+    if marker.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ts = table.column("ts").cast("int64")
+    tmin = pc.min(ts).as_py()
+    tmax = pc.max(ts).as_py()
+    span = max(tmax - tmin, _N_STREAM_FILES)  # degenerate single-ts guard
+    base = 1_000_000_000  # distinct, strictly increasing mtimes (s)
+    for i in range(_N_STREAM_FILES):
+        lo = tmin + span * i // _N_STREAM_FILES
+        hi = tmin + span * (i + 1) // _N_STREAM_FILES
+        mask = (
+            pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi))
+            if i < _N_STREAM_FILES - 1
+            else pc.greater_equal(ts, lo)
+        )
+        part = table.filter(mask)
+        path = out / f"part-{i}.parquet"
+        # version 2.6 keeps TIMESTAMP(NANOS) physical int64, identical to
+        # the source file, so the stream reader's nanosAsLong path applies.
+        pq.write_table(part, path, version="2.6")
+        os.utime(path, (base + i * 100, base + i * 100))
+    marker.touch()
+    return str(out)
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_events_stream(spark, sf_dir, glob="events.parquet")
+    return read_events_stream(
+        spark, _batched_events_dir(sf_dir), max_files_per_trigger=1
+    )
 
 
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary keyed state (applyInPandasWithState): running per-user
-    totals after the stream drains."""
-    return drain_stream(
+    totals after the stream drains. The update-mode memory sink appends one
+    row per key per micro-batch it appeared in; the final state per user is
+    the row with the highest running count (n_events is strictly increasing
+    for a key within a drain), selected with one max(struct) agg."""
+    sink = drain_stream(
         stream_user_totals_stateful(_events_stream(spark, sf_dir)),
         "stateful_user_totals",
         output_mode="update",
+    )
+    return (
+        sink.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"),
+                F.col("s.sum_value").alias("sum_value"))
     )
 
 

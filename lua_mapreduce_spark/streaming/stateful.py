@@ -155,10 +155,16 @@ def stream_stream_attribution(events: DataFrame) -> DataFrame:
     ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 
+# Batches executed by the most recent drain_stream call (entries with input
+# rows only). Tests read this to prove multi-micro-batch execution.
+LAST_DRAIN_NUM_BATCHES = 0
+
+
 def drain_stream(stream_df: DataFrame, prefix: str, output_mode: str, timeout_sec: int = 120) -> DataFrame:
     """Drain with availableNow into a uniquely-named memory sink and return
     the sink table. Unique names keep repeated calls (tests, bench, the
     driver's per-query loop) from colliding."""
+    global LAST_DRAIN_NUM_BATCHES
     name = f"{prefix}_{next(_SINK_IDS)}"
     query = (
         stream_df.writeStream.format("memory")
@@ -172,4 +178,7 @@ def drain_stream(stream_df: DataFrame, prefix: str, output_mode: str, timeout_se
         # returning it would silently present truncated results as final.
         query.stop()
         raise TimeoutError(f"stream {name} did not drain within {timeout_sec}s")
+    LAST_DRAIN_NUM_BATCHES = sum(
+        1 for p in query.recentProgress if p.numInputRows > 0
+    )
     return stream_df.sparkSession.table(name)

@@ -28,17 +28,25 @@ EVENTS_SCHEMA = (
 
 
 def read_events_stream(
-    spark: SparkSession, events_dir: str, glob: str | None = None
+    spark: SparkSession,
+    events_dir: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     ts arrives as int64 nanos (nanosAsLong, see catalog.load_table) and is
     converted to a µs timestamp identically to the batch path. ``glob``
     narrows the directory to matching files (the file source requires a
-    directory basePath, so single-file streams use a glob filter)."""
+    directory basePath, so single-file streams use a glob filter).
+    ``max_files_per_trigger`` paces the drain into one micro-batch per file
+    (the source processes files oldest-mtime first), exercising real
+    cross-batch state transitions even under trigger=availableNow."""
     configure_runtime(spark)
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(events_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
 

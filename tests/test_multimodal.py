@@ -8,7 +8,7 @@ from lua_mapreduce_spark.catalog import load_table
 from tests.conftest import SF_MEDIUM
 
 
-def test_corpus_is_ascii(spark):
+def test_corpus_is_ascii_and_nonempty(spark):
     docs = load_table(spark, SF_MEDIUM, "documents")
     n_multibyte = docs.filter(
         "octet_length(encode(text, 'UTF-8')) != length(text)"
@@ -17,3 +17,36 @@ def test_corpus_is_ascii(spark):
         "documents contain multi-byte characters: MULTIMODAL_DECODE_ORACLE's "
         "byte/char equivalence no longer holds — demote decode to rows-only"
     )
+    # The BMP construction derives height from the first byte and pixels by
+    # j mod n: an empty document would divide by zero in Python while the
+    # SQL oracle silently produced different values. Pin the precondition
+    # like the ASCII one so a future corpus fails loudly here.
+    n_empty = docs.filter("text IS NULL OR length(text) = 0").count()
+    assert n_empty == 0, (
+        "documents contain empty text: the BMP encode/oracle pair requires "
+        "non-empty payloads — filter or demote decode to rows-only"
+    )
+
+
+def test_bmp_roundtrip_is_spec_compliant():
+    """The encoded payload must be a genuinely valid BMP: correct magic,
+    declared file size matching the byte length, pixel-array offset 54,
+    rows padded to 4-byte multiples — and the decoder must recover exactly
+    the dimensions the construction pinned."""
+    import struct
+
+    from lua_mapreduce_spark.operators.multimodal import _decode_bmp, _encode_bmp
+
+    for text in (b"a", b"hello world", b"x" * 1000, bytes(range(32, 127))):
+        blob = _encode_bmp(text)
+        assert blob[:2] == b"BM"
+        (file_size,) = struct.unpack_from("<I", blob, 2)
+        assert file_size == len(blob)
+        (off,) = struct.unpack_from("<I", blob, 10)
+        assert off == 54
+        w, h, ch, mean = _decode_bmp(blob)
+        assert w == 4 + len(text) % 13
+        assert h == 3 + text[0] % 7
+        assert ch == 3
+        exp = [text[j % len(text)] for j in range(w * h * 3)]
+        assert mean == sum(exp) / len(exp)

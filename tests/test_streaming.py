@@ -47,6 +47,59 @@ def test_stream_sessions_match_batch(spark, events_dir):
     assert _rows(result, cols) == _rows(batch, cols)
 
 
+def test_registry_streams_run_multiple_microbatches(spark):
+    """The registered streaming queries must exercise REAL cross-batch
+    state: the time-split source with maxFilesPerTrigger=1 has to produce
+    >= 3 micro-batches under availableNow, and the stateful per-user
+    totals must still equal the batch oracle after accumulating across
+    those batches (a single-batch drain would make batch-equality
+    trivially true)."""
+    from lua_mapreduce_spark.operators import streaming_ops as so
+    from lua_mapreduce_spark.streaming import stateful
+    from tests.conftest import SF_MEDIUM
+    from tests.oracle import compare
+
+    df = so.QUERIES["streaming_user_totals"](spark, SF_MEDIUM)
+    res = compare(
+        "streaming_user_totals", df, so.ORACLES["streaming_user_totals"], SF_MEDIUM
+    )
+    assert res.ok, str(res)
+    assert stateful.LAST_DRAIN_NUM_BATCHES >= 3, (
+        f"expected >= 3 micro-batches, got {stateful.LAST_DRAIN_NUM_BATCHES}"
+    )
+
+
+def test_stream_batch_split_covers_all_events(spark):
+    """The derived 3-file split is a partition of the source table: same
+    row count, and per-file event-time ranges are disjoint and ordered the
+    way the mtime-ordered source will replay them."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from lua_mapreduce_spark.operators.streaming_ops import (
+        _N_STREAM_FILES,
+        _batched_events_dir,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    out = _batched_events_dir(SF_MEDIUM)
+    src = pq.read_table(f"{SF_MEDIUM}/events.parquet")
+    parts = [
+        pq.read_table(f"{out}/part-{i}.parquet") for i in range(_N_STREAM_FILES)
+    ]
+    assert sum(p.num_rows for p in parts) == src.num_rows
+    assert all(p.num_rows > 0 for p in parts), "degenerate split"
+    ranges = [
+        (
+            pc.min(p.column("ts").cast("int64")).as_py(),
+            pc.max(p.column("ts").cast("int64")).as_py(),
+        )
+        for p in parts
+    ]
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, f"time ranges overlap or out of order: {ranges}"
+
+
 def test_event_values_on_cent_grid(spark):
     """Precondition of the stateful op's integer-cents accumulation (and
     its oracle): every event value sits on the 2-decimal grid."""
