@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from lua_mapreduce_spark.operators import (
+    curation,
     dedup,
     events,
     mapreduce_layer,
@@ -45,6 +46,7 @@ _MODULES = [
     mapreduce_layer,
     streaming_ops,
     pipeline,
+    curation,
 ]
 
 # The grading driver hard-verifies the FIRST 50 registry entries in

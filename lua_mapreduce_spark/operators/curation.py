@@ -1,0 +1,299 @@
+"""Training-data curation operators beyond the reference's own surface
+(north-star §2.4 rows): benchmark decontamination, Gopher-style repetition
+filters, TF-IDF term weighting, and deterministic mixture sampling.
+
+These are the standard passes an LLM pre-training pipeline runs between
+raw-crawl ingestion and tokenization (decontaminate → repetition/quality
+filter → weight/sample to a target source mixture); each is expressed as a
+single declarative plan over the `documents` table with a full DuckDB
+oracle. The reference engine has no analogue (its one workload is word
+count, example/word-count-taskfile.lua:73-159); these compose the same
+tokenize/shingle primitives its map/reduce contract exposes.
+
+Everything is built-in-function only — zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table, parallelize_scan
+from lua_mapreduce_spark.functions.texthash import (
+    md5_bigint_expr,
+    oracle_md5_bigint_expr,
+    oracle_words_expr,
+    words_expr,
+)
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing any word n-gram
+# with a held-out benchmark set. Production pipelines use 8-13-gram overlap
+# against eval benchmarks; the synthetic corpus is short word-soup (48-553
+# chars), so _DECON_N is calibrated to 4 to keep the check non-vacuous
+# (15 flagged docs at sf0.01). The benchmark slice is every 31st doc_id —
+# a stand-in for the external benchmark table a real pipeline would load.
+#
+# 100 TB shape: ONE corpus scan shingled once; the benchmark side is tiny
+# and bounded in production (eval suites are thousands of docs — the join
+# auto-broadcasts under AQE), while here it derives from `documents`, so it
+# stays an unhinted key join per the broadcast policy. Shingles join as
+# strings for oracle exactness; at scale you'd join on md5_bigint(shingle)
+# to cut shuffle bytes ~10x.
+# --------------------------------------------------------------------------
+
+_DECON_N = 4
+_DECON_BENCH_MOD = 31
+
+
+def _shingles_expr(n: int) -> str:
+    """Spark SQL: array of space-joined word n-grams of the token array l."""
+    return (
+        f"transform(sequence(0, size(l) - {n}), i -> concat_ws(' ', slice(l, i + 1, {n})))"
+    )
+
+
+def _oracle_shingles_expr(n: int) -> str:
+    """DuckDB twin of :func:`_shingles_expr` (1-based inclusive slices)."""
+    return (
+        f"list_transform(range(1, len(l) - {n} + 2),"
+        f" i -> list_aggregate(l[i:i + {n} - 1], 'string_agg', ' '))"
+    )
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.select("doc_id", F.expr(words_expr("text")).alias("l"))
+        .filter(F.size("l") >= _DECON_N)
+        .select("doc_id", F.explode(F.expr(_shingles_expr(_DECON_N))).alias("sg"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+        .groupBy("sg")
+        .agg(F.min("doc_id").alias("bench_doc"))
+    )
+    corpus = sh.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    return (
+        corpus.join(bench, "sg")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sg").alias("n_shared_shingles"),
+            F.min("bench_doc").alias("first_bench_doc"),
+        )
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents),
+sh AS (
+  SELECT doc_id, s.sg
+  FROM toks, unnest({_oracle_shingles_expr(_DECON_N)}) AS s(sg)
+  WHERE len(l) >= {_DECON_N}),
+bench AS (
+  SELECT sg, MIN(doc_id) AS bench_doc FROM sh
+  WHERE doc_id % {_DECON_BENCH_MOD} = 0 GROUP BY sg)
+SELECT c.doc_id AS doc_id,
+       COUNT(DISTINCT c.sg) AS n_shared_shingles,
+       MIN(b.bench_doc) AS first_bench_doc
+FROM sh c JOIN bench b ON c.sg = b.sg
+WHERE c.doc_id % {_DECON_BENCH_MOD} <> 0
+GROUP BY c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition features: fraction of duplicate tokens and the
+# share of the most frequent bigram (Rae et al. 2021 use duplicate-line /
+# top-n-gram fractions as removal signals; tokens stand in for lines in the
+# newline-free synthetic corpus). The per-doc "most frequent bigram" is an
+# array-lambda fold over the doc's own bigrams — O(u * n) per row on the
+# JVM, no shuffle at all until the (absent) downstream consumer aggregates.
+# All ratios are integer-count divisions → exact across engines.
+# --------------------------------------------------------------------------
+
+_REP_MAX_DUP_WORD_FRAC = 0.80
+_REP_MAX_TOP_BIGRAM_FRAC = 0.08
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    bigrams = "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"
+    top_bigram_cnt = (
+        "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))"
+    )
+    feats = (
+        docs.select("doc_id", F.expr(words_expr("text")).alias("l"))
+        .filter(F.size("l") >= 2)
+        .select("doc_id", "l", F.expr(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            (
+                (F.size("l") - F.size(F.array_distinct("l"))).cast("double")
+                / F.size("l").cast("double")
+            ).alias("dup_word_frac"),
+            (
+                F.expr(top_bigram_cnt).cast("double") / F.size("bg").cast("double")
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return feats.select(
+        "doc_id",
+        "dup_word_frac",
+        "top_bigram_frac",
+        (
+            (F.col("dup_word_frac") > _REP_MAX_DUP_WORD_FRAC)
+            | (F.col("top_bigram_frac") > _REP_MAX_TOP_BIGRAM_FRAC)
+        ).alias("flagged"),
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents),
+feats AS (
+  SELECT doc_id,
+         CAST(len(l) - len(list_distinct(l)) AS DOUBLE)
+           / CAST(len(l) AS DOUBLE) AS dup_word_frac,
+         CAST(list_max(list_transform(list_distinct(bg),
+                b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+           / CAST(len(bg) AS DOUBLE) AS top_bigram_frac
+  FROM (SELECT doc_id, l,
+               list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bg
+        FROM toks WHERE len(l) >= 2))
+SELECT doc_id, dup_word_frac, top_bigram_frac,
+       (dup_word_frac > {_REP_MAX_DUP_WORD_FRAC}
+        OR top_bigram_frac > {_REP_MAX_TOP_BIGRAM_FRAC}) AS flagged
+FROM feats
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF term weighting, top terms per document. idf is the RAW ratio
+# N/df rather than ln(N/df): ln is a transcendental whose libm rounding
+# differs across engines (excluded from oracles by project practice), and
+# N/df is order-isomorphic to ln(N/df) for ranking, so top-k selection is
+# identical. tfidf = (tf * N) / df evaluates exactly: tf*N is an exact
+# integer product well inside double range, and the single division is
+# IEEE-correctly-rounded in both engines.
+#
+# Plan: one tokenize scan → (doc, word) hash agg → word-level df agg →
+# key join back + per-doc window top-k. The N scalar is a broadcast 1-row
+# aggregate, never a driver round-trip.
+# --------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.expr(words_expr("text"))).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.desc("tf"), F.asc("word")
+    )
+    return (
+        tf.join(df_rel, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") * F.col("n_docs").cast("double"))
+            / F.col("df").cast("double"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rnk")
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, w.word
+  FROM documents, unnest({oracle_words_expr("text")}) AS w(word)),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
+dfr AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfr.df,
+         (CAST(tf.tf AS DOUBLE) * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE))
+           / CAST(dfr.df AS DOUBLE) AS tfidf
+  FROM tf JOIN dfr ON tf.word = dfr.word)
+SELECT doc_id, word, tf, df, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, tf DESC, word ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {_TFIDF_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic mixture sampling: down/up-weight sources to a target
+# mixture by hash-gating each document, the way pre-training pipelines mix
+# crawl/books/code at fixed ratios. The gate is a pure map-side predicate
+# on md5(doc_id) — NO shuffle, NO sampling state, reproducible across
+# retries and engines (Spark's `sample()` is seed-and-partition dependent,
+# so it can't be oracle-checked; a hash gate can). `weight` is the
+# inverse-propensity weight a loss-weighted trainer would consume.
+#
+# 100 TB shape: the predicate evaluates inside the scan stage and prunes
+# rows before any exchange; adding a source column partition filter would
+# push it into partition pruning.
+# --------------------------------------------------------------------------
+
+# Per-mille keep rates by source; sources absent from the map keep the
+# default rate. Rates are a demo mixture (one full-keep source, one
+# half-keep, one quarter-keep, long tail at 10%).
+_MIX_RATES = {"src0": 1000, "src1": 500, "src2": 250}
+_MIX_DEFAULT_RATE = 100
+_MIX_SALT = "mix|"
+
+
+def curation_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    rate = F.lit(_MIX_DEFAULT_RATE)
+    for src, r in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    gate = F.expr(md5_bigint_expr(f"concat('{_MIX_SALT}', CAST(doc_id AS STRING))"))
+    return (
+        docs.withColumn("rate", rate)
+        .filter(F.pmod(gate, F.lit(1000)) < F.col("rate"))
+        .select(
+            "doc_id",
+            "source",
+            (F.lit(1000.0) / F.col("rate").cast("double")).alias("weight"),
+        )
+    )
+
+
+_MIX_RATE_SQL = "CASE " + " ".join(
+    f"WHEN source = '{src}' THEN {r}" for src, r in sorted(_MIX_RATES.items())
+) + f" ELSE {_MIX_DEFAULT_RATE} END"
+
+MIXTURE_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, source, {_MIX_RATE_SQL} AS rate,
+         {oracle_md5_bigint_expr(f"'{_MIX_SALT}' || CAST(doc_id AS VARCHAR)")} % 1000
+           AS gate
+  FROM documents)
+SELECT doc_id, source, 1000.0 / CAST(rate AS DOUBLE) AS weight
+FROM gated WHERE gate < rate
+"""
+
+
+QUERIES = {
+    "text_decontaminate": text_decontaminate,
+    "text_repetition_filter": text_repetition_filter,
+    "text_tfidf": text_tfidf,
+    "curation_sample_mixture": curation_sample_mixture,
+}
+
+ORACLES = {
+    "text_decontaminate": DECONTAMINATE_ORACLE,
+    "text_repetition_filter": REPETITION_ORACLE,
+    "text_tfidf": TFIDF_ORACLE,
+    "curation_sample_mixture": MIXTURE_ORACLE,
+}

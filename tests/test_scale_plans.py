@@ -119,6 +119,7 @@ _NESTED_LOOP_OK = {
     "sim_ivf_topk",           # centroid cross join (8 rows, broadcast)
     "dedup_embedding_cosine", # all-pairs exact baseline (documented)
     "q22_dormant_rich_customers",  # 1-row scalar subquery broadcast
+    "text_tfidf",             # 1-row N-scalar broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -166,6 +167,7 @@ _BROADCAST_OK = {
     ("similarity.py", "a"),           # fixed-size query vector set
     ("similarity.py", "cent"),        # fixed k centroids
     ("pipeline.py", "max_rev"),       # single-row global aggregate (Q15)
+    ("curation.py", "n_docs"),        # single-row global aggregate (TF-IDF N)
 }
 
 
