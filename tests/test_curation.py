@@ -1,0 +1,112 @@
+"""Behavioral tests for the curation operators (curation.py).
+
+Value-level parity vs DuckDB is covered by test_oracle_parity.py; these
+tests pin the SEMANTICS the hash can't see: non-vacuous outputs (the
+round-2 anti-join lesson — a green hash on an accidentally-empty result
+proves nothing), selection invariants, and the scale-relevant plan shapes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.operators.curation import (
+    _DECON_BENCH_MOD,
+    _MIX_DEFAULT_RATE,
+    _MIX_RATES,
+    _TFIDF_TOPK,
+    curation_sample_mixture,
+    text_decontaminate,
+    text_repetition_filter,
+    text_tfidf,
+)
+from tests.conftest import SF_MEDIUM
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_decontaminate_nonvacuous_and_disjoint(spark):
+    rows = text_decontaminate(spark, SF_MEDIUM).collect()
+    assert len(rows) > 0, "calibrated n-gram size should flag some docs"
+    for r in rows:
+        # Benchmark docs are never flagged as corpus contamination...
+        assert r.doc_id % _DECON_BENCH_MOD != 0
+        # ...and every reported witness IS a benchmark doc.
+        assert r.first_bench_doc % _DECON_BENCH_MOD == 0
+        assert r.n_shared_shingles >= 1
+
+
+def test_repetition_filter_covers_corpus_and_flags_both_ways(spark):
+    df = text_repetition_filter(spark, SF_MEDIUM)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").count()
+    assert len(rows) == n_docs, "every (>=2-token) doc gets a feature row"
+    flags = {r.flagged for r in rows}
+    assert flags == {True, False}, "thresholds should split the corpus, not rubber-stamp it"
+    for r in rows:
+        assert 0.0 <= r.dup_word_frac < 1.0
+        assert 0.0 < r.top_bigram_frac <= 1.0
+
+
+def test_tfidf_topk_and_rarity_ordering(spark):
+    df = text_tfidf(spark, SF_MEDIUM)
+    rows = df.collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, terms in per_doc.items():
+        assert 1 <= len(terms) <= _TFIDF_TOPK
+        assert sorted(t.rnk for t in terms) == list(range(1, len(terms) + 1))
+        ordered = sorted(terms, key=lambda t: t.rnk)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.tfidf >= b.tfidf
+    # idf must do its job: a term every document contains (df == N) scores
+    # exactly tf * 1.0, never above a same-tf rarer term.
+    n_docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").count()
+    for r in rows:
+        if r.df == n_docs:
+            assert r.tfidf == float(r.tf)
+
+
+def test_mixture_rates_and_weights(spark):
+    df = curation_sample_mixture(spark, SF_MEDIUM)
+    rows = df.collect()
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    per_source_total = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    kept: dict[str, int] = {}
+    for r in rows:
+        kept[r.source] = kept.get(r.source, 0) + 1
+        rate = _MIX_RATES.get(r.source, _MIX_DEFAULT_RATE)
+        assert r.weight == 1000.0 / rate
+    # Full-keep source passes through completely; down-weighted sources
+    # actually shrink (binomial noise can't make 10% look like 100%).
+    assert kept["src0"] == per_source_total["src0"]
+    for src, total in per_source_total.items():
+        rate = _MIX_RATES.get(src, _MIX_DEFAULT_RATE)
+        if rate <= 250:
+            assert kept.get(src, 0) < total
+
+
+def test_mixture_is_map_side_only(spark):
+    """The sampling gate must evaluate inside the scan stage: no Exchange
+    beyond parallelize_scan's small-input repartition, no aggregation —
+    at 100 TB this operator is a pure pass-through filter."""
+    plan = _explain(curation_sample_mixture(spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "HashAggregate" not in plan and "Sort" not in plan
+
+
+def test_decontaminate_two_scans_max(spark):
+    """One scan per join side and no more (in production the benchmark
+    side is a separate tiny table, so the corpus text is scanned exactly
+    once; here both sides derive from `documents`, giving two scans). The
+    doc_id%mod split must reach both scans as a pushed filter so each side
+    reads only its slice."""
+    plan = _explain(text_decontaminate(spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
