@@ -284,11 +284,140 @@ FROM gated WHERE gate < rate
 """
 
 
+# --------------------------------------------------------------------------
+# Token chunking: split each document into fixed-size token windows with
+# overlap — the context-window preparation step between curation and
+# tokenization (chunk, then pack chunks into sequences). Chunks are emitted
+# as text plus (doc_id, chunk_id, n_tokens) so a downstream tokenizer can
+# consume them independently; the stride guarantees every token appears in
+# at least one chunk and boundary tokens appear in two.
+#
+# 100 TB shape: map-side explode — rows fan out by ~len/stride with no
+# shuffle at all; chunk outputs inherit the input partitioning, exactly
+# what a pack-and-shuffle-later pipeline wants.
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    # Chunk starts: 0, stride, 2*stride, ... up to the last index that
+    # starts a non-empty chunk; a doc shorter than one chunk yields itself.
+    # posexplode's position IS the chunk_id (start offset = pos * stride).
+    starts = f"sequence(0, greatest(size(l) - 1, 0), {_CHUNK_STRIDE})"
+    chunks = f"transform({starts}, s -> slice(l, s + 1, {_CHUNK_SIZE}))"
+    return (
+        docs.select("doc_id", F.expr(words_expr("text")).alias("l"))
+        .filter(F.size("l") >= 1)
+        .select("doc_id", F.posexplode(F.expr(chunks)).alias("chunk_id", "toks"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("toks").alias("n_tokens"),
+            F.concat_ws(" ", "toks").alias("chunk_text"),
+        )
+    )
+
+
+CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents),
+chunks AS (
+  SELECT doc_id, l, u.s AS off
+  FROM toks,
+       unnest(range(0, greatest(len(l) - 1, 0) + 1, {_CHUNK_STRIDE})) AS u(s)
+  WHERE len(l) >= 1)
+SELECT doc_id,
+       CAST(off // {_CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(len(l[off + 1:off + {_CHUNK_SIZE}]) AS INT) AS n_tokens,
+       array_to_string(l[off + 1:off + {_CHUNK_SIZE}], ' ') AS chunk_text
+FROM chunks
+"""
+
+
+# --------------------------------------------------------------------------
+# Boilerplate detection: the corpus-wide most-frequent trigrams (by
+# document frequency, deterministic tie-break) form a "boilerplate set";
+# each document reports the fraction of its trigrams that land in the set.
+# High-fraction docs are template/navigation boilerplate in a real crawl.
+#
+# 100 TB shape: phase 1 aggregates trigram->df and takes a LIMIT-K top
+# set — provably bounded at K rows, so the phase-2 membership join
+# auto-broadcasts under AQE (no hint needed; the unbounded-broadcast
+# policy stays intact). Phase 2 is one explode + broadcast probe + one
+# doc_id agg.
+# --------------------------------------------------------------------------
+
+_BOILER_N = 3
+_BOILER_TOPK = 20
+
+
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    tg = (
+        docs.select("doc_id", F.expr(words_expr("text")).alias("l"))
+        .filter(F.size("l") >= _BOILER_N)
+        .select(
+            "doc_id",
+            F.explode(F.expr(_shingles_expr(_BOILER_N))).alias("sg"),
+            F.size("l").alias("n_toks"),
+        )
+    )
+    top = (
+        tg.groupBy("sg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("sg"))
+        .limit(_BOILER_TOPK)
+        .select("sg", F.lit(1).alias("is_boiler"))
+    )
+    n_tg = (F.col("n_toks") - F.lit(_BOILER_N - 1)).cast("double")
+    return (
+        tg.join(top, "sg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+            F.min(n_tg).alias("n_trigrams"),  # constant per doc; min = exact
+        )
+        .select(
+            "doc_id",
+            F.col("n_boiler").cast("bigint").alias("n_boiler"),
+            (F.col("n_boiler").cast("double") / F.col("n_trigrams")).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents),
+tg AS (
+  SELECT doc_id, s.sg, len(l) - {_BOILER_N - 1} AS n_tg
+  FROM toks, unnest({_oracle_shingles_expr(_BOILER_N)}) AS s(sg)
+  WHERE len(l) >= {_BOILER_N}),
+top AS (
+  SELECT sg FROM (
+    SELECT sg, COUNT(DISTINCT doc_id) AS df FROM tg GROUP BY sg)
+  ORDER BY df DESC, sg ASC LIMIT {_BOILER_TOPK})
+SELECT tg.doc_id AS doc_id,
+       CAST(SUM(CASE WHEN top.sg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN top.sg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(MIN(tg.n_tg) AS DOUBLE) AS boiler_frac
+FROM tg LEFT JOIN top ON tg.sg = top.sg
+GROUP BY tg.doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition_filter": text_repetition_filter,
     "text_tfidf": text_tfidf,
     "curation_sample_mixture": curation_sample_mixture,
+    "text_chunk_tokens": text_chunk_tokens,
+    "text_boilerplate_ngrams": text_boilerplate_ngrams,
 }
 
 ORACLES = {
@@ -296,4 +425,6 @@ ORACLES = {
     "text_repetition_filter": REPETITION_ORACLE,
     "text_tfidf": TFIDF_ORACLE,
     "curation_sample_mixture": MIXTURE_ORACLE,
+    "text_chunk_tokens": CHUNK_ORACLE,
+    "text_boilerplate_ngrams": BOILERPLATE_ORACLE,
 }

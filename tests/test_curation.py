@@ -13,11 +13,16 @@ import re
 from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.operators.curation import (
+    _BOILER_TOPK,
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
     _DECON_BENCH_MOD,
     _MIX_DEFAULT_RATE,
     _MIX_RATES,
     _TFIDF_TOPK,
     curation_sample_mixture,
+    text_boilerplate_ngrams,
+    text_chunk_tokens,
     text_decontaminate,
     text_repetition_filter,
     text_tfidf,
@@ -100,6 +105,54 @@ def test_mixture_is_map_side_only(spark):
     plan = _explain(curation_sample_mixture(spark, SF_MEDIUM))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
     assert "HashAggregate" not in plan and "Sort" not in plan
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Reassembling chunks must reproduce each document's token stream:
+    chunk c covers tokens [c*stride, c*stride + size); consecutive chunks
+    overlap by size - stride tokens; no token is dropped."""
+    from lua_mapreduce_spark.functions.texthash import words_expr
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", f"size({words_expr('text')}) AS n"
+        ).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in text_chunk_tokens(spark, SF_MEDIUM).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == {d for d, n in n_toks.items() if n >= 1}
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda c: c.chunk_id)
+        total = n_toks[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        covered = 0
+        for c in chunks:
+            start = c.chunk_id * _CHUNK_STRIDE
+            assert c.n_tokens == min(_CHUNK_SIZE, total - start)
+            assert len(c.chunk_text.split(" ")) == c.n_tokens
+            covered = max(covered, start + c.n_tokens)
+        assert covered == total, "tail tokens dropped"
+
+
+def test_chunking_is_map_side_only(spark):
+    plan = _explain(text_chunk_tokens(spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1  # parallelize_scan only
+    assert "HashAggregate" not in plan
+
+
+def test_boilerplate_fraction_bounds_and_hits(spark):
+    rows = text_boilerplate_ngrams(spark, SF_MEDIUM).collect()
+    assert len(rows) > 0
+    assert any(r.n_boiler > 0 for r in rows), "top-K trigrams never matched — vacuous"
+    assert any(r.n_boiler == 0 for r in rows), "everything boilerplate — degenerate"
+    for r in rows:
+        assert 0.0 <= r.boiler_frac <= 1.0
+    # The boilerplate set is bounded: distinct matched trigrams <= K.
+    matched = text_boilerplate_ngrams(spark, SF_MEDIUM)
+    assert matched.agg(F.sum("n_boiler")).collect()[0][0] <= _BOILER_TOPK * len(rows)
 
 
 def test_decontaminate_two_scans_max(spark):
