@@ -157,6 +157,166 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
 
 
+_THUMB_W = 8
+_THUMB_H = 8
+
+
+def _resize_nn(blob: bytes) -> tuple[int, int, float]:
+    """Nearest-neighbor thumbnail of a decoded BMP: for output pixel (x, y)
+    sample source pixel (x*w//OUT_W, y*h//OUT_H) — the standard NN index
+    map, all-integer, so the sampled-byte mean replays exactly in SQL.
+    Walks the RAW pixel array (no row padding at raw index level)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    row_stride = width * 3 + ((-width * 3) % 4)
+    total = 0
+    for y in range(_THUMB_H):
+        sy = y * height // _THUMB_H
+        for x in range(_THUMB_W):
+            sx = x * width // _THUMB_W
+            base = off + sy * row_stride + sx * 3
+            total += blob[base] + blob[base + 1] + blob[base + 2]
+    return _THUMB_W, _THUMB_H, total / (_THUMB_W * _THUMB_H * 3)
+
+
+def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize in one Arrow-batched pass — the
+    feature-extraction shape for embedding-model preprocessing (decode,
+    resize to model input size, hand off). Same real-BMP payload and the
+    same byte-arithmetic oracle idea as multimodal_decode_features, so the
+    resize index math gets a hard value-level signal too."""
+    blobs = _with_blob(spark, sf_dir).select("doc_id", "blob")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_resize_nn(_encode_bmp(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": [o[0] for o in out],
+                    "out_height": [o[1] for o in out],
+                    "thumb_mean": [o[2] for o in out],
+                }
+            )
+
+    return blobs.mapInPandas(
+        resize_batches, schema="doc_id long, out_width int, out_height int, thumb_mean double"
+    )
+
+
+# Replay: the raw pixel byte at (sy, sx, c) is text byte
+# (sy*width*3 + sx*3 + c) mod n (construction order, padding lives outside
+# raw indices); NN sampling indexes are all-integer, so the 192-byte sum is
+# exact and the single division bit-matches.
+MULTIMODAL_RESIZE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         CAST(4 + octet_length(encode(text)) % 13 AS INT) AS width,
+         CAST(3 + ascii(substring(text, 1, 1)) % 7 AS INT) AS height
+  FROM documents)
+SELECT doc_id,
+       CAST({_THUMB_W} AS INT) AS out_width,
+       CAST({_THUMB_H} AS INT) AS out_height,
+       CAST(list_sum(list_transform(range(0, {_THUMB_W * _THUMB_H * 3}),
+         i -> ascii(substring(text,
+           CAST((((((i // {_THUMB_W * 3}) * height) // {_THUMB_H}) * width * 3
+                  + ((((i % {_THUMB_W * 3}) // 3) * width) // {_THUMB_W}) * 3
+                  + i % 3) % n) AS INT) + 1, 1)))) AS DOUBLE)
+         / {_THUMB_W * _THUMB_H * 3} AS thumb_mean
+FROM dims
+"""
+
+
+def _encode_wav(text_bytes: bytes) -> bytes:
+    """Render a document's bytes as a REAL 8-bit mono PCM WAV (RIFF +
+    fmt + data chunks per the spec; stdlib `wave` opens it). Sample rate
+    derives from the first byte, samples ARE the text bytes — so decoded
+    audio features replay in SQL, like the BMP path."""
+    n = len(text_bytes)
+    sample_rate = 8000 + (text_bytes[0] % 8) * 1000
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    data_hdr = b"data" + struct.pack("<I", n)
+    riff_size = 4 + (8 + len(fmt)) + (8 + n)
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + data_hdr
+        + text_bytes
+    )
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, float, float]:
+    """Chunk-walking WAV parse (not fixed offsets — real files interleave
+    LIST/fact chunks): find fmt for the sample rate, data for the samples;
+    return (sample_rate, n_samples, duration_ms, mean_amplitude)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            sample_rate = struct.unpack_from("<I", body, 4)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data)
+    return sample_rate, n, (n * 1000) / sample_rate, sum(data) / n
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality twin of the BMP decode: real WAV payloads parsed by a
+    chunk-walking pure-Python decoder in one mapInPandas pass, emitting the
+    features an audio curation pipeline filters on (rate, length, loudness
+    proxy). Value-checked end-to-end via byte arithmetic."""
+    blobs = _with_blob(spark, sf_dir).select("doc_id", "blob")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_decode_wav(_encode_wav(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [o[0] for o in out],
+                    "n_samples": [o[1] for o in out],
+                    "duration_ms": [o[2] for o in out],
+                    "mean_amplitude": [o[3] for o in out],
+                }
+            )
+
+    return blobs.mapInPandas(
+        decode_batches,
+        schema="doc_id long, sample_rate int, n_samples int, duration_ms double,"
+        " mean_amplitude double",
+    )
+
+
+MULTIMODAL_AUDIO_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         8000 + (ascii(substring(text, 1, 1)) % 8) * 1000 AS sample_rate
+  FROM documents)
+SELECT doc_id,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(n * 1000 AS DOUBLE) / sample_rate AS duration_ms,
+       CAST(list_sum(list_transform(range(0, n),
+              j -> ascii(substring(text, CAST(j AS INT) + 1, 1)))) AS DOUBLE)
+         / n AS mean_amplitude
+FROM base
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: explode each blob
     into K fixed-offset "frames" (deterministic byte slices), one row per
@@ -223,10 +383,14 @@ QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize_thumbnail": multimodal_resize_thumbnail,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 ORACLES = {
     "multimodal_metadata": MULTIMODAL_METADATA_ORACLE,
     "multimodal_decode_features": MULTIMODAL_DECODE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_ORACLE,
+    "multimodal_resize_thumbnail": MULTIMODAL_RESIZE_ORACLE,
+    "multimodal_audio_features": MULTIMODAL_AUDIO_ORACLE,
 }

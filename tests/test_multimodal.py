@@ -50,3 +50,50 @@ def test_bmp_roundtrip_is_spec_compliant():
         assert ch == 3
         exp = [text[j % len(text)] for j in range(w * h * 3)]
         assert mean == sum(exp) / len(exp)
+
+
+def test_wav_roundtrip_is_spec_compliant():
+    """The audio payload must be a genuinely valid WAV: Python's stdlib
+    `wave` reader (an independent implementation) must parse it and agree
+    with our chunk-walking decoder on rate, frames, and raw samples."""
+    import io
+    import wave
+
+    from lua_mapreduce_spark.operators.multimodal import _decode_wav, _encode_wav
+
+    for text in (b"a", b"hello world", b"x" * 1000, bytes(range(32, 127))):
+        blob = _encode_wav(text)
+        rd = wave.open(io.BytesIO(blob))
+        assert rd.getnchannels() == 1
+        assert rd.getsampwidth() == 1
+        assert rd.readframes(rd.getnframes()) == text
+        sample_rate, n, duration_ms, mean = _decode_wav(blob)
+        assert sample_rate == rd.getframerate() == 8000 + (text[0] % 8) * 1000
+        assert n == rd.getnframes() == len(text)
+        assert duration_ms == (len(text) * 1000) / sample_rate
+        assert mean == sum(text) / len(text)
+
+
+def test_resize_thumbnail_is_nearest_neighbor_exact():
+    """The thumbnail mean must equal the brute-force NN index map over the
+    raw construction bytes — catching any off-by-one in row-stride/padding
+    handling (the padded file layout vs raw pixel indices)."""
+    from lua_mapreduce_spark.operators.multimodal import (
+        _THUMB_H,
+        _THUMB_W,
+        _encode_bmp,
+        _resize_nn,
+    )
+
+    for text in (b"a", b"hello world", b"x" * 137, bytes(range(32, 127))):
+        w = 4 + len(text) % 13
+        h = 3 + text[0] % 7
+        total = 0
+        for y in range(_THUMB_H):
+            for x in range(_THUMB_W):
+                sy, sx = (y * h) // _THUMB_H, (x * w) // _THUMB_W
+                for c in range(3):
+                    total += text[(sy * w * 3 + sx * 3 + c) % len(text)]
+        ow, oh, mean = _resize_nn(_encode_bmp(text))
+        assert (ow, oh) == (_THUMB_W, _THUMB_H)
+        assert mean == total / (_THUMB_W * _THUMB_H * 3)

@@ -108,6 +108,8 @@ _PYTHON_OK = {
     "text_normalize_pandas_udf",
     "udaf_group_median_pandas",
     "multimodal_decode_features",
+    "multimodal_resize_thumbnail",
+    "multimodal_audio_features",
     "mr_wordcount",  # Layer A: opaque Python closures ARE the operator
 }
 # Queries allowed a nested-loop/cartesian strategy (broadcast-tiny sides or
