@@ -59,6 +59,12 @@ HEADLINE = [
     "events_session_windows",
     "events_tumbling_hourly",
     "events_funnel_conversion",
+    # Round 3 additions — the curation + multimodal surfaces get measured
+    # too (like-for-like round deltas compare the shared prefix).
+    "text_decontaminate",
+    "text_tfidf",
+    "curation_sample_mixture",
+    "multimodal_audio_features",
 ]
 
 N_RUNS = 3

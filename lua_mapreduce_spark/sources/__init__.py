@@ -9,6 +9,7 @@ from lua_mapreduce_spark.sources.readers import (
     write_csv,
     write_json,
     write_orc,
+    write_clustered_parquet,
     write_parquet,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "write_csv",
     "write_json",
     "write_orc",
+    "write_clustered_parquet",
     "write_parquet",
 ]

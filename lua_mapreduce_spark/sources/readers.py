@@ -97,3 +97,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster on `cluster_by` before writing: rows are range-
+    partitioned into n_files buckets and sorted within each, so every
+    output file carries a narrow, near-disjoint min/max range for the
+    cluster columns in its parquet footer. Readers that filter on those
+    columns then skip whole files/row-groups via footer statistics — the
+    data-layout half of predicate pushdown, and the single cheapest scan
+    optimization at 100 TB (sort once on write, save every subsequent
+    scan). This is the same contract as Delta/Iceberg `CLUSTER BY` and
+    the one-dimensional special case of Z-ordering.
+
+    Also the small-file compaction tool: compacting a directory is
+    `write_clustered_parquet(read_parquet(dir), out, keys, target_n)` —
+    the range exchange both coalesces and lays out.
+    """
+    df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+        *cluster_by
+    ).write.mode(mode).parquet(path)

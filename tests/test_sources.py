@@ -116,3 +116,76 @@ def test_binary_file_source(spark, tmp_path):
     df = read_binary_files(spark, str(d), pattern="*.bin")
     rows = {(os.path.basename(r.path), bytes(r.content), r.length) for r in df.collect()}
     assert rows == {("img1.bin", payload, 256), ("img2.bin", payload[:16], 16)}
+
+
+def test_clustered_write_narrows_file_ranges(spark, tmp_path):
+    """write_clustered_parquet must produce files whose parquet footer
+    min/max for the cluster column are near-disjoint narrow slices —
+    hard evidence (read via pyarrow, independent of Spark) that a reader
+    filtering on that column can skip whole files. A naive write of the
+    same data leaves every file spanning ~the full range, so the same
+    filter reads everything."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from lua_mapreduce_spark.sources import read_parquet, write_clustered_parquet
+
+    li = read_parquet(spark, "/root/testdata/sf0.01/lineitem.parquet")
+    n_files = 4
+
+    clustered = str(tmp_path / "clustered")
+    write_clustered_parquet(li, clustered, ["l_shipdate"], n_files)
+    naive = str(tmp_path / "naive")
+    li.repartition(n_files).write.parquet(naive)
+
+    def file_ranges(path):
+        ranges = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("l_shipdate")
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        return ranges
+
+    cl = file_ranges(clustered)
+    nv = file_ranges(naive)
+    assert len(cl) == n_files
+
+    # Clustered files tile the range: sorted by min, each file's range ends
+    # before the next one begins (boundary equality allowed for ties).
+    cl.sort()
+    for (_, hi), (lo2, _) in zip(cl, cl[1:]):
+        assert hi <= lo2, f"clustered file ranges overlap: {cl}"
+
+    # Every naive file spans (almost) the whole global range — the layout
+    # a filter can never prune; the clustered spans are each a fraction.
+    glo = min(lo for lo, _ in nv)
+    ghi = max(hi for _, hi in nv)
+    total = (ghi - glo).total_seconds()
+    for lo, hi in nv:
+        assert (hi - lo).total_seconds() > 0.6 * total
+    widths = [(hi - lo).total_seconds() for lo, hi in cl]
+    assert max(widths) < 0.6 * total
+
+    # And the data survives the layout intact.
+    assert read_parquet(spark, clustered).count() == li.count()
+
+
+def test_clustered_write_compacts_small_files(spark, tmp_path):
+    """The same helper is the small-file compactor: many tiny input files
+    in, target file count out, bytes and rows preserved."""
+    import glob
+
+    from lua_mapreduce_spark.sources import read_parquet, write_clustered_parquet
+
+    li = read_parquet(spark, "/root/testdata/sf0.01/lineitem.parquet")
+    shattered = str(tmp_path / "shattered")
+    li.repartition(64).write.parquet(shattered)  # the 100 TB anti-pattern
+    assert len(glob.glob(f"{shattered}/*.parquet")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    write_clustered_parquet(read_parquet(spark, shattered), compacted, ["l_orderkey"], 4)
+    assert len(glob.glob(f"{compacted}/*.parquet")) == 4
+    assert read_parquet(spark, compacted).count() == li.count()
