@@ -85,6 +85,90 @@ def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Heavy hitters (approximate top-k): distributed weighted Misra-Gries
+# (Agarwal et al., "Mergeable Summaries", PODS 2012). Each task keeps at
+# most `capacity` counters — fixed state regardless of how many distinct
+# keys stream through it — so at 100 TB the sketch pass shuffles at most
+# capacity x tasks candidate rows instead of every distinct key, and a
+# cheap broadcast-semi-join recount makes the final counts exact. Any key
+# with global frequency > N/(capacity+1) is guaranteed to survive the
+# merged candidate set (per-task decrements sum to <= N/(capacity+1)), so
+# the output equals the exact top-k whenever the k-th frequency clears
+# that bound. Part of the §2.4 sketch family (gap-fill beyond the
+# reference's surface, like HLL/GK above).
+# --------------------------------------------------------------------------
+
+_HH_CAPACITY = 256
+_HH_K = 10
+
+
+def _mg(capacity: int):
+    """Factory for the per-task weighted Misra-Gries pass (mapInPandas)."""
+
+    def mg_partial(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf["key"].value_counts().items():
+                counters[int(key)] = counters.get(int(key), 0) + int(cnt)
+            if len(counters) > capacity:
+                # Batched decrement: subtracting the (size-capacity)-th
+                # smallest count from every counter and dropping the
+                # non-positive ones collapses that many rounds of classic
+                # MG decrements into one O(m log m) step per batch.
+                delta = sorted(counters.values())[len(counters) - capacity - 1]
+                counters = {k: v - delta for k, v in counters.items() if v > delta}
+        yield pd.DataFrame(
+            {"key": list(counters.keys()), "est": list(counters.values())}
+        )
+
+    return mg_partial
+
+
+def heavy_hitters(
+    df: DataFrame, key: str, k: int, capacity: int = _HH_CAPACITY
+) -> DataFrame:
+    """Exact top-k over a sketch-bounded candidate set (int64 keys; hash
+    non-integer keys upstream). Returns (key, freq) ordered freq DESC,
+    key ASC — a deterministic total order, so ties at the k-th spot are
+    stable across engines."""
+    partials = df.select(F.col(key).cast("long").alias("key")).mapInPandas(
+        _mg(capacity), "key long, est long"
+    )
+    candidates = (
+        partials.groupBy("key").agg(F.sum("est").alias("est")).select("key")
+    )
+    # Candidate cardinality is bounded by capacity x tasks — a fixed size
+    # at any data scale — so pinning the broadcast is safe by construction.
+    exact = (
+        df.join(
+            F.broadcast(candidates.withColumnRenamed("key", key)), key, "left_semi"
+        )
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return exact.orderBy(F.col("freq").desc(), key).limit(k)
+
+
+def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most active users by event count via the MG sketch. At this
+    SF distinct users (~150) fit under the 256-counter capacity so no
+    decrements fire and the oracle match is exact by construction; the
+    eviction path is exercised by the synthetic-Zipf unit tests."""
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(events, "user_id", _HH_K)
+
+
+HEAVY_HITTERS_ORACLE = """
+SELECT user_id, count(*) AS freq
+FROM events GROUP BY user_id
+ORDER BY freq DESC, user_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q19 shape: OR of conjunctive predicate groups across a join.
 # Catalyst extracts the common join key so the OR doesn't force a nested-
 # loop join; part grows linearly with SF, so its join strategy is AQE's
@@ -927,6 +1011,7 @@ QUERIES = {
     "scalar_math_funcs": scalar_math_funcs,
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
     "agg_approx_percentile_sketch": agg_approx_percentile_sketch,
+    "agg_heavy_hitters_sketch": agg_heavy_hitters_sketch,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q7_nation_trade_volume": q7_nation_trade_volume,
     "q8_market_share": q8_market_share,
@@ -952,6 +1037,7 @@ ORACLES = {
     "scalar_string_advanced": SCALAR_STRING_ADV_ORACLE,
     "agg_collect_sorted_sets": COLLECT_SETS_ORACLE,
     "scalar_math_funcs": SCALAR_MATH_ORACLE,
+    "agg_heavy_hitters_sketch": HEAVY_HITTERS_ORACLE,
     "q19_disjunctive_revenue": Q19_ORACLE,
     "q7_nation_trade_volume": Q7_ORACLE,
     "q8_market_share": Q8_ORACLE,

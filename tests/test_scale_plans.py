@@ -111,6 +111,7 @@ _PYTHON_OK = {
     "multimodal_resize_thumbnail",
     "multimodal_audio_features",
     "mr_wordcount",  # Layer A: opaque Python closures ARE the operator
+    "agg_heavy_hitters_sketch",  # MG sketch pass is mapInPandas by design
 }
 # Queries allowed a nested-loop/cartesian strategy (broadcast-tiny sides or
 # intentionally non-equi join conditions).
@@ -169,6 +170,7 @@ _BROADCAST_OK = {
     ("similarity.py", "a"),           # fixed-size query vector set
     ("similarity.py", "cent"),        # fixed k centroids
     ("pipeline.py", "max_rev"),       # single-row global aggregate (Q15)
+    ("relational4.py", "candidates"), # MG sketch output: <= capacity x tasks
     ("curation.py", "n_docs"),        # single-row global aggregate (TF-IDF N)
 }
 

@@ -1,8 +1,13 @@
-"""Sketch aggregates: HLL estimates must land near the exact counts."""
+"""Sketch aggregates: HLL/GK estimates must land near the exact values;
+the Misra-Gries heavy-hitter sketch must honor its superset guarantee."""
 
 from __future__ import annotations
 
+import pandas as pd
+from pyspark.sql import functions as F
+
 from lua_mapreduce_spark.operators import QUERIES
+from lua_mapreduce_spark.operators.relational4 import _mg, heavy_hitters
 from tests.conftest import SF_MEDIUM
 
 
@@ -21,3 +26,64 @@ def test_approx_distinct_within_error(spark):
         rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
         # rsd=0.02 => 3-sigma bound ~6%; generous margin for small groups.
         assert rel_err < 0.10, f"{r.l_returnflag}: {rel_err:.3f}"
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    """The registry query's output must equal the exact top-10 computed
+    independently (groupBy count, same deterministic tie-break)."""
+    got = [tuple(r) for r in QUERIES["agg_heavy_hitters_sketch"](spark, SF_MEDIUM).collect()]
+    events = spark.read.parquet(f"{SF_MEDIUM}/events.parquet")
+    want = [
+        tuple(r)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "user_id")
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_misra_gries_partial_superset_guarantee():
+    """Weighted MG with capacity m over N rows: every key with frequency
+    > N/(m+1) survives; at most m counters are kept; every kept estimate
+    is a lower bound on the true count. Zipf-ish synthetic data with far
+    more distinct keys than capacity forces the eviction path."""
+    capacity = 8
+    # key i appears 1000//(i+1) times, i = 0..199: heavy head, long tail.
+    true = {i: 1000 // (i + 1) for i in range(200)}
+    rows = [k for k, c in true.items() for _ in range(c)]
+    n = len(rows)
+    # Split into 3 uneven batches to exercise cross-batch accumulation.
+    batches = [
+        pd.DataFrame({"key": rows[: n // 3]}),
+        pd.DataFrame({"key": rows[n // 3 : 2 * n // 3]}),
+        pd.DataFrame({"key": rows[2 * n // 3 :]}),
+    ]
+    (out,) = list(_mg(capacity)(batches))
+    est = dict(zip(out["key"], out["est"]))
+    assert len(est) <= capacity
+    threshold = n / (capacity + 1)
+    for k, c in true.items():
+        if c > threshold:
+            assert k in est, f"guaranteed heavy hitter {k} (freq {c}) evicted"
+    for k, e in est.items():
+        assert e <= true[k], f"MG estimate must lower-bound the true count"
+
+
+def test_heavy_hitters_distributed_eviction_still_exact(spark):
+    """End-to-end with capacity far below the distinct-key count: the
+    sketch pass must evict, yet the exact recount still returns the true
+    top-k because every true heavy hitter survives the candidate merge."""
+    true = {i: 2000 // (i + 1) for i in range(300)}
+    rows = [(k,) for k, c in true.items() for _ in range(c)]
+    n = sum(true.values())
+    # capacity chosen so the guarantee threshold N/(m+1) sits BELOW the
+    # 5th frequency (400) — exactness is then guaranteed, not lucky —
+    # while 300 distinct keys per task still force the eviction path.
+    capacity = 32
+    assert n / (capacity + 1) < sorted(true.values(), reverse=True)[4]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    got = [tuple(r) for r in heavy_hitters(df, "k", 5, capacity=capacity).collect()]
+    want = sorted(true.items(), key=lambda kc: (-kc[1], kc[0]))[:5]
+    assert got == [(k, c) for k, c in want]
