@@ -411,6 +411,125 @@ GROUP BY tg.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): lay the corpus's token stream out
+# into fixed-budget context windows — the batching step between chunking
+# and the trainer. Documents are concatenated in doc_id order within a
+# shard and split at every _PACK_BUDGET-token boundary (GPT-style packing:
+# a document may straddle two windows rather than leaving pad waste).
+# Output maps each doc to its placement: shard, start offset in the
+# shard's token stream, first window (seq_id), and how many windows it
+# spans.
+#
+# 100 TB shape: ONE shuffle, keyed by shard (shard count scales with the
+# cluster; doc_id-hash sharding keeps them even), then a per-shard
+# sort + running sum — the exact partial-window aggregation pattern
+# Tungsten spills gracefully. Placement is pure arithmetic on the running
+# offset; no Python, no second pass, and the assignment is reproducible
+# because (shard, doc_id) is a total order — Spark's coalesce/repartition
+# nondeterminism can't change it.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 64  # tokens per packed sequence (context window)
+_PACK_SHARDS = 8
+
+
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        F.size(F.expr(words_expr("text"))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    placed = sized.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    first_seq = F.expr(f"start_off DIV {_PACK_BUDGET}")
+    last_seq = F.expr(f"(start_off + n_tokens - 1) DIV {_PACK_BUDGET}")
+    return placed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_off",
+        first_seq.alias("seq_id"),
+        (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
+    )
+
+
+PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len({oracle_words_expr("text")}) AS INT) AS n_tokens
+  FROM documents),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM sized WHERE n_tokens >= 1)
+SELECT doc_id, shard, n_tokens, start_off,
+       start_off // {_PACK_BUDGET} AS seq_id,
+       ((start_off + n_tokens - 1) // {_PACK_BUDGET})
+         - (start_off // {_PACK_BUDGET}) + 1 AS n_seqs
+FROM placed
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverted index (posting lists): term -> document frequency, total term
+# frequency, and a capped sorted posting list — the retrieval-side index a
+# dedup/search/attribution pipeline builds over the curated corpus. The
+# min-df floor drops the hapax tail (the bulk of the vocabulary) and the
+# posting cap bounds the hot-term rows (stopword lists would otherwise be
+# corpus-sized), so output row width is bounded at any corpus scale.
+#
+# 100 TB shape: tokenize scan -> (word, doc) hash agg (map-side partials
+# collapse per-doc repeats) -> word-level agg. collect_list here is
+# per-WORD after the df floor and gets sliced to _POSTINGS_CAP; the full
+# uncapped variant would instead write bucketed-by-term parquet.
+# --------------------------------------------------------------------------
+
+# Floor calibrated to the synthetic corpus so it actually drops terms
+# (its rare-word df is ~25, common words 370+); real corpora use 2-5.
+_IDX_MIN_DF = 100
+_POSTINGS_CAP = 16
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.expr(words_expr("text"))).alias("word"))
+    tf = toks.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= _IDX_MIN_DF)
+    )
+
+
+INVERTED_INDEX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, w.word
+  FROM documents, unnest({oracle_words_expr("text")}) AS w(word)),
+tf AS (
+  SELECT word, doc_id, COUNT(*) AS tf FROM toks GROUP BY word, doc_id)
+SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       (list_sort(list(doc_id)))[1:{_POSTINGS_CAP}] AS postings
+FROM tf GROUP BY word HAVING COUNT(*) >= {_IDX_MIN_DF}
+"""
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition_filter": text_repetition_filter,
@@ -418,6 +537,8 @@ QUERIES = {
     "curation_sample_mixture": curation_sample_mixture,
     "text_chunk_tokens": text_chunk_tokens,
     "text_boilerplate_ngrams": text_boilerplate_ngrams,
+    "curation_pack_sequences": curation_pack_sequences,
+    "text_inverted_index": text_inverted_index,
 }
 
 ORACLES = {
@@ -427,4 +548,6 @@ ORACLES = {
     "curation_sample_mixture": MIXTURE_ORACLE,
     "text_chunk_tokens": CHUNK_ORACLE,
     "text_boilerplate_ngrams": BOILERPLATE_ORACLE,
+    "curation_pack_sequences": PACK_ORACLE,
+    "text_inverted_index": INVERTED_INDEX_ORACLE,
 }

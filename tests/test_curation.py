@@ -163,3 +163,68 @@ def test_decontaminate_two_scans_max(spark):
     reads only its slice."""
     plan = _explain(text_decontaminate(spark, SF_MEDIUM))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
+    """Within each shard, documents tile the token stream with no gaps or
+    overlaps (start_off = running sum of prior docs' n_tokens in doc_id
+    order), and seq placement arithmetic is consistent with the budget."""
+    from lua_mapreduce_spark.operators.curation import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        curation_pack_sequences,
+    )
+
+    rows = curation_pack_sequences(spark, SF_MEDIUM).collect()
+    assert len(rows) > 0
+    shards: dict[int, list] = {}
+    for r in rows:
+        assert r.shard == r.doc_id % _PACK_SHARDS
+        shards.setdefault(r.shard, []).append(r)
+    assert set(shards) == set(range(_PACK_SHARDS))
+    straddles = 0
+    for docs in shards.values():
+        docs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in docs:
+            assert r.start_off == off, "gap/overlap in the packed stream"
+            off += r.n_tokens
+            assert r.seq_id == r.start_off // _PACK_BUDGET
+            last = (r.start_off + r.n_tokens - 1) // _PACK_BUDGET
+            assert r.n_seqs == last - r.seq_id + 1 >= 1
+            straddles += r.n_seqs > 1
+    assert straddles > 0, "budget never straddled — packing is vacuous"
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """One exchange total: the shard repartition that feeds the window.
+    (parallelize_scan's round-robin doesn't add an Exchange node here.)"""
+    from lua_mapreduce_spark.operators.curation import curation_pack_sequences
+
+    plan = _explain(curation_pack_sequences(spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+
+
+def test_inverted_index_postings_sorted_capped_nonvacuous(spark):
+    from lua_mapreduce_spark.operators.curation import (
+        _IDX_MIN_DF,
+        _POSTINGS_CAP,
+        text_inverted_index,
+    )
+
+    rows = text_inverted_index(spark, SF_MEDIUM).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.df >= _IDX_MIN_DF
+        assert list(r.postings) == sorted(r.postings)
+        assert len(r.postings) == min(r.df, _POSTINGS_CAP)
+        assert r.total_tf >= r.df
+    # The floor must actually drop something: full vocab > indexed vocab.
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    from lua_mapreduce_spark.functions.texthash import words_expr
+
+    vocab = (
+        docs.selectExpr(f"explode({words_expr('text')}) AS w").distinct().count()
+    )
+    assert vocab > len(rows), "min-df floor filtered nothing — vacuous"
