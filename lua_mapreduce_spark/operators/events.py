@@ -272,8 +272,7 @@ def events_sessionize_gap_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_start = ev.withColumn(
         "is_start",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(order_w)
+            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(order_w)
             > 1800,
             1,
         )

@@ -21,12 +21,6 @@ from pyspark.sql import functions as F
 from lua_mapreduce_spark.functions.exact import dec
 from lua_mapreduce_spark.session import configure_runtime
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string,"
-    " value double, props string"
-)
-
-
 def read_events_stream(
     spark: SparkSession,
     events_dir: str,
@@ -34,21 +28,34 @@ def read_events_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
-    ts arrives as int64 nanos (nanosAsLong, see catalog.load_table) and is
-    converted to a µs timestamp identically to the batch path. ``glob``
-    narrows the directory to matching files (the file source requires a
-    directory basePath, so single-file streams use a glob filter).
-    ``max_files_per_trigger`` paces the drain into one micro-batch per file
-    (the source processes files oldest-mtime first), exercising real
-    cross-batch state transitions even under trigger=availableNow."""
+
+    The stream schema is taken from the parquet footers (one cheap batch
+    footer read) rather than hard-coded, because the physical ts type has
+    varied across testdata generations — TIMESTAMP(NANOS) read as int64
+    under nanosAsLong vs TIMESTAMP(MICROS) read as timestamp_ntz — and a
+    stale hard-coded schema silently mis-scales every event time. The ts
+    normalization mirrors catalog.load_table exactly so streaming and batch
+    twins agree. ``glob`` narrows the directory to matching files (the file
+    source requires a directory basePath, so single-file streams use a glob
+    filter). ``max_files_per_trigger`` paces the drain into one micro-batch
+    per file (the source processes files oldest-mtime first), exercising
+    real cross-batch state transitions even under trigger=availableNow."""
     configure_runtime(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    batch_schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(batch_schema)
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
