@@ -39,20 +39,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # TIMESTAMP(NANOS) read as int64 via nanosAsLong; truncate to µs.
-            # Second-exact intervals survive truncation (1800e9 ns ≡ 1800e6 µs),
-            # so window/session semantics are unaffected.
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-            )
-        elif ts_type == "timestamp_ntz":
-            # Newer Spark reads the file natively as TIMESTAMP_NTZ. Normalize
-            # to session-TZ TIMESTAMP (UTC, session.py) so downstream casts
-            # like CAST(ts AS LONG) — illegal on NTZ — keep working and the
-            # wall clock matches the DuckDB oracle's naive timestamps.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the physical ``ts`` encoding to session-TZ TIMESTAMP.
+
+    The physical ts type has varied across testdata generations; both the
+    batch reader (load_table) and the streaming reader
+    (streaming.windows.read_events_stream) go through this one helper so a
+    future third encoding can't silently diverge between the two paths.
+
+    - bigint: TIMESTAMP(NANOS) read as int64 via nanosAsLong; truncate to
+      µs. Second-exact intervals survive truncation (1800e9 ns ≡ 1800e6 µs),
+      so window/session semantics are unaffected.
+    - timestamp_ntz: newer Spark reads TIMESTAMP(MICROS) natively as
+      TIMESTAMP_NTZ. Normalize to session-TZ TIMESTAMP (UTC, session.py) so
+      downstream casts like CAST(ts AS LONG) — illegal on NTZ — keep working
+      and the wall clock matches the DuckDB oracle's naive timestamps.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

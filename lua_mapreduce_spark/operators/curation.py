@@ -435,7 +435,11 @@ _PACK_SHARDS = 8
 
 
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    # No parallelize_scan here: the shard hash exchange below immediately
+    # redistributes anyway, so a round-robin repartition would only add a
+    # second shuffle. n_tokens rides the scan stage, which at real scale has
+    # >= cores input splits.
+    docs = load_table(spark, sf_dir, "documents")
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

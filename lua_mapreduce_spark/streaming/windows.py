@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lua_mapreduce_spark.catalog import normalize_events_ts
 from lua_mapreduce_spark.functions.exact import dec
 from lua_mapreduce_spark.session import configure_runtime
 
@@ -34,28 +35,34 @@ def read_events_stream(
     varied across testdata generations — TIMESTAMP(NANOS) read as int64
     under nanosAsLong vs TIMESTAMP(MICROS) read as timestamp_ntz — and a
     stale hard-coded schema silently mis-scales every event time. The ts
-    normalization mirrors catalog.load_table exactly so streaming and batch
-    twins agree. ``glob`` narrows the directory to matching files (the file
+    normalization is the shared catalog.normalize_events_ts helper — the
+    batch reader calls the same function, so streaming and batch twins agree
+    by construction. ``glob`` narrows the directory to matching files (the file
     source requires a directory basePath, so single-file streams use a glob
     filter). ``max_files_per_trigger`` paces the drain into one micro-batch
     per file (the source processes files oldest-mtime first), exercising
     real cross-batch state transitions even under trigger=availableNow."""
     configure_runtime(spark)
-    batch_schema = spark.read.parquet(events_dir).schema
+    # The schema-discovery batch read applies the same glob as the stream so
+    # footers of non-matching files in a mixed-schema directory can't skew
+    # inference; an empty/no-match directory fails here with a clear message
+    # instead of an opaque AnalysisException at stream start.
+    schema_reader = spark.read
+    if glob is not None:
+        schema_reader = schema_reader.option("pathGlobFilter", glob)
+    try:
+        batch_schema = schema_reader.parquet(events_dir).schema
+    except Exception as exc:
+        raise FileNotFoundError(
+            f"no parquet files matching glob={glob!r} under {events_dir!r} "
+            "to infer the stream schema from"
+        ) from exc
     reader = spark.readStream.schema(batch_schema)
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(events_dir)
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "bigint":
-        raw = raw.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_events_ts(reader.parquet(events_dir))
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

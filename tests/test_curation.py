@@ -197,8 +197,7 @@ def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
 
 
 def test_pack_sequences_single_shuffle(spark):
-    """One exchange total: the shard repartition that feeds the window.
-    (parallelize_scan's round-robin doesn't add an Exchange node here.)"""
+    """One exchange total: the shard repartition that feeds the window."""
     from lua_mapreduce_spark.operators.curation import curation_pack_sequences
 
     plan = _explain(curation_pack_sequences(spark, SF_MEDIUM))
