@@ -8,13 +8,11 @@ shapes that chain the text/dedup building blocks into end-to-end jobs
   per-doc quality features + exact-dedup keep-first + threshold filters,
   all in one plan with a single fingerprint shuffle.
 * dedup_cluster_components — connected components over the verified
-  near-dup pair graph (MinHash-LSH output as edges) via iterative
-  min-label propagation. The loop is driver-ORCHESTRATED (a scalar
-  convergence count per iteration) but every step is a distributed
-  join+agg; no row data ever reaches the driver. Near-dup components are
-  shallow (diameter of a handful), so plain propagation converges in a
-  few rounds; at extreme skew the large-star/small-star variant drops in
-  without changing the contract. Oracle: DuckDB recursive CTE computing
+  near-dup pair graph (MinHash-LSH output as edges) via the
+  large-star/small-star algorithm: O(log diameter) rounds, so arbitrarily
+  long near-dup chains converge. The loop is driver-ORCHESTRATED (scalar
+  edge counts per round) but every step is a distributed join+agg; no row
+  data ever reaches the driver. Oracle: DuckDB recursive CTE computing
   min-reachable-id per vertex — full value-level parity for an iterative
   graph algorithm.
 """
@@ -122,83 +120,117 @@ WHERE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) >= {_MIN_ALPHA_RATIO}
 
 
 # --------------------------------------------------------------------------
-# Near-dup clustering: connected components over MinHash-LSH pairs.
+# Near-dup clustering: connected components over MinHash-LSH pairs, via the
+# large-star / small-star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi,
+# Vassilvitskii — "Connected Components in MapReduce and Beyond", SoCC'14).
+# Chosen over plain min-label propagation because its round count is
+# O(log d) in the component diameter d (path-doubling), not O(d): real
+# near-dup corpora contain chains of transitive near-dups far longer than
+# any fixed propagation cap, and a diameter-2^30 component — beyond any
+# physical corpus — still converges inside _MAX_STAR_ROUNDS.
+#
+# 100 TB shape: every step is a groupBy-min (partial-aggregatable, so
+# map-side combine collapses a hot vertex's edges before the shuffle) plus
+# an equi-join on the vertex key. A celebrity root with 10^9 members is
+# exactly the case large-star handles: strictly-larger neighbors re-attach
+# directly to the component min, halving star depth per round, and the
+# min-agg never materializes the full neighborhood on one task. Per-round
+# localCheckpoint truncates the lineage so the iterative plan can't blow up
+# the analyzer; the only driver-side values are scalar edge counts.
 # --------------------------------------------------------------------------
 
-_MAX_LP_ITERS = 20
+_MAX_STAR_ROUNDS = 30
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round. Input/output edges are canonical (u > v).
+
+    For each vertex u with m = min(N(u) ∪ {u}): connect every strictly
+    larger neighbor v > u directly to m. Output pairs keep u > v because
+    the emitted edge (v, m) has v > u >= m.
+    """
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select("u", F.least("u", "nmin").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round. Input/output edges are canonical (u > v).
+
+    For each vertex u over its smaller neighbors (all of N(u) here, since
+    edges arrive canonical): m = min(N(u)); re-attach every smaller
+    neighbor and u itself to m.
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    joined = edges.join(mins, "u")
+    smaller = joined.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    center = joined.select("u", F.col("m").alias("v"))
+    return smaller.union(center).distinct()
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id = min id in the component) for every vertex of
+    the undirected graph given as (doc_a, doc_b) pairs.
+
+    Alternates large-star and small-star until the edge set is a fixpoint,
+    at which point the edges form disjoint stars (child > root = component
+    min); labels are read straight off the stars. Convergence is detected
+    by multiset equality (equal count + empty exceptAll) on the canonical
+    edge set — both scalars, so no row data reaches the driver.
+    """
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    for _ in range(_MAX_STAR_ROUNDS):
+        if n_edges == 0:
+            break  # no edges at all: every vertex was a self-pair
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        n_new = new_edges.count()
+        converged = n_new == n_edges and new_edges.exceptAll(edges).count() == 0
+        edges, n_edges = new_edges, n_new
+        if converged:
+            break
+    else:
+        # Cannot happen for any physical graph (would need diameter ~2^30);
+        # loud failure beats silently-wrong cluster ids.
+        raise RuntimeError(
+            f"connected_components did not converge in {_MAX_STAR_ROUNDS} "
+            "large-star/small-star rounds"
+        )
+    # At the fixpoint each u appears exactly once and roots never appear as
+    # children, so the union below is disjoint — no distinct needed.
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    children = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return children.union(roots)
 
 
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) for every document in a verified near-dup pair;
-    cluster_id = the minimum doc_id in the connected component. The only
-    driver-side values are the per-iteration scalar convergence counts."""
+    cluster_id = the minimum doc_id in the connected component."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("u", "v")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("u").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .persist()
-    )
-    converged = False
-    try:
-        for it in range(_MAX_LP_ITERS):
-            nbr = (
-                edges.join(labels, edges["v"] == labels["doc_id"])
-                .groupBy("u")
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            new_labels = (
-                labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
-                .select(
-                    labels["doc_id"].alias("doc_id"),
-                    F.least(
-                        labels["cluster_id"],
-                        F.coalesce(nbr["nbr_min"], labels["cluster_id"]),
-                    ).alias("cluster_id"),
-                )
-                .persist()
-            )
-            # Convergence is checked only every 2nd propagation step (and on
-            # the final one): each check is a sequential driver-blocking job
-            # launch, and min-label propagation is monotone, so a skipped
-            # check can never mask convergence — it only defers detection by
-            # one cheap extra step while halving job launches.
-            if it % 2 == 1 or it == _MAX_LP_ITERS - 1:
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "doc_id")
-                    .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                    .count()
-                )
-                labels.unpersist()
-                labels = new_labels
-                if changed == 0:
-                    converged = True
-                    break
-            else:
-                labels.unpersist()
-                labels = new_labels
-        if not converged:
-            # A component whose min-vertex eccentricity exceeds the cap
-            # would otherwise get silently-wrong cluster_ids; fail loudly
-            # instead (long near-dup chains are plausible in real corpora).
-            raise RuntimeError(
-                f"dedup_cluster_components did not converge in {_MAX_LP_ITERS} "
-                "label-propagation iterations; raise _MAX_LP_ITERS or switch "
-                "to the O(log n)-round large-star/small-star variant"
-            )
-        # Truncate lineage so the caches can be released immediately: the
-        # checkpointed result is executor-resident and cleaned by Spark's
-        # ContextCleaner once the returned DataFrame is garbage collected.
-        return labels.localCheckpoint(eager=True)
-    finally:
-        edges.unpersist()
-        labels.unpersist()
+    return connected_components(pairs)
 
 
 CLUSTER_ORACLE = f"""
