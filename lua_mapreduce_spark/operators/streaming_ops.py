@@ -153,6 +153,34 @@ def streaming_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE/upsert sink (streaming/merge_sink.py): the event
+    stream maintains a versioned per-user snapshot (additive counts +
+    integer cents + SCD-1 latest value), one committed parquet version per
+    micro-batch. Returns the final snapshot. Fresh work dir per call so
+    the drain is deterministic regardless of prior runs; exactly-once
+    restart behavior is exercised in tests/test_streaming.py."""
+    import tempfile
+
+    from lua_mapreduce_spark.streaming.merge_sink import (
+        SnapshotStore,
+        run_merge_stream,
+        snapshot_result,
+    )
+
+    work = tempfile.mkdtemp(prefix="merge_sink_")
+    store = SnapshotStore(os.path.join(work, "snapshots"))
+    run_merge_stream(
+        _events_stream(spark, sf_dir), store, os.path.join(work, "ckpt")
+    )
+    final = store.read_latest(spark)
+    if final is None:
+        raise RuntimeError("merge stream committed no snapshot versions")
+    # localCheckpoint so the tempdir's parquet is not the lineage source
+    # once this DataFrame escapes (the driver may collect it much later).
+    return snapshot_result(final).localCheckpoint(eager=True)
+
+
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchase <- click within 1h), counted
     per user after drain; watermarks bound the join state."""
@@ -170,6 +198,7 @@ QUERIES = {
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_static_enrich_counts": streaming_static_enrich_counts,
     "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_upsert_merge": streaming_upsert_merge,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -223,10 +252,33 @@ FROM events p JOIN events c
 GROUP BY 1
 """
 
+# Merge-sink snapshot: additive agg + SCD-1 latest per user. The latest
+# value resolves by (ts, event_id) — event_id is unique, so ties on ts are
+# deterministic; the window formulation mirrors the struct-max exactly.
+UPSERT_MERGE_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+latest AS (
+  SELECT user_id, event_id AS last_event_id, value AS last_value
+  FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
+  FROM events GROUP BY user_id)
+SELECT agg.user_id, agg.n_events, agg.sum_value,
+       latest.last_event_id, latest.last_value
+FROM agg JOIN latest USING (user_id)
+"""
+
 ORACLES: dict[str, str] = {
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,
     "streaming_sliding_counts": STREAM_SLIDING_ORACLE,
     "streaming_static_enrich_counts": STATIC_ENRICH_ORACLE,
     "streaming_stream_stream_join": STREAM_STREAM_ORACLE,
+    "streaming_upsert_merge": UPSERT_MERGE_ORACLE,
 }

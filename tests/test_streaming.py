@@ -294,3 +294,97 @@ def test_watermark_drops_late_data(spark, tmp_path):
     emitted = {(r.ws, r.n) for r in spark.read.parquet(out).collect()}
     assert (t(10, 0), 2) in emitted, f"10:00 window wrong or missing: {emitted}"
     assert all(n != 3 for _, n in emitted), f"late event leaked: {emitted}"
+
+
+def test_merge_sink_restart_is_incremental_and_exact(spark, tmp_path):
+    """foreachBatch MERGE sink across a stop/restart: drain half the
+    events, restart the stream with the rest, and the final snapshot must
+    equal the one-shot batch aggregate — the checkpoint makes the second
+    drain process ONLY the new file, and the versioned store MERGEs rather
+    than recomputes."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.streaming.merge_sink import (
+        SnapshotStore,
+        run_merge_stream,
+        snapshot_result,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = SnapshotStore(str(tmp_path / "snapshots"))
+    ckpt = str(tmp_path / "ckpt")
+
+    table = pq.read_table(f"{SF_SMALL}/events.parquet")
+    half = pc.equal(
+        pc.bit_wise_and(table.column("event_id").cast("int64"), 1), 0
+    )
+    first_part = table.filter(half)
+    pq.write_table(first_part, src / "a.parquet", version="2.6")
+
+    run_merge_stream(read_events_stream(spark, str(src)), store, ckpt)
+    v_first = store.latest_version()
+    first = {r.user_id: r.n_events for r in
+             snapshot_result(store.read_latest(spark)).collect()}
+    assert 0 < sum(first.values()) == first_part.num_rows < table.num_rows
+
+    pq.write_table(table.filter(pc.invert(half)), src / "b.parquet",
+                   version="2.6")
+    run_merge_stream(read_events_stream(spark, str(src)), store, ckpt)
+    assert store.latest_version() > v_first
+
+    got = snapshot_result(store.read_latest(spark))
+    expect = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.expr("CAST(round(value * 100.0) AS BIGINT)")) / 100.0)
+            .alias("sum_value"),
+            F.max(F.struct("ts", "event_id", "value")).alias("latest"),
+        )
+        .select("user_id", "n_events", "sum_value",
+                F.col("latest.event_id").alias("last_event_id"),
+                F.col("latest.value").alias("last_value"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+    # A third drain with no new input commits no new version (exactly-once:
+    # the checkpoint prevents any reprocessing of consumed files).
+    v_done = store.latest_version()
+    run_merge_stream(read_events_stream(spark, str(src)), store, ckpt)
+    assert store.latest_version() == v_done
+
+
+def test_merge_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch id (what foreachBatch does after a crash between
+    the snapshot write and the checkpoint commit) must OVERWRITE its own
+    version, not double-count: same version list, same snapshot content."""
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.streaming.merge_sink import (
+        SnapshotStore,
+        make_merge_sink,
+        snapshot_result,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+
+    store = SnapshotStore(str(tmp_path / "snapshots"))
+    sink = make_merge_sink(store)
+    sink(b0, 0)
+    sink(b1, 1)
+    once = sorted(map(tuple, snapshot_result(store.read_latest(spark)).collect()))
+
+    sink(b1, 1)  # crash-replay of the last batch
+    assert store._committed() == [0, 1]
+    again = sorted(map(tuple, snapshot_result(store.read_latest(spark)).collect()))
+    assert again == once
