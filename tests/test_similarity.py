@@ -114,3 +114,42 @@ def test_multitable_candidates_are_subquadratic(spark):
     rows = QUERIES["sim_ann_multitable"](spark, SF_MEDIUM).collect()
     assert rows
     assert all(1 <= r.n_tables <= 6 for r in rows)
+
+
+def test_multitable_bucket_sizes_bounded(spark):
+    """No skewed LSH bucket: the largest (table, sig) bucket holds <= 10%
+    of the corpus (uniform would be 1/32 ≈ 3%) and every 5-bit code is
+    populated in every table. The candidate join's per-bucket fan-out is
+    therefore bounded — a large bench-time outlier on sim_ann_multitable
+    is host noise, not a degenerate near-all-pairs bucket, and the bound
+    is corpus-relative so it transfers to larger SFs."""
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.operators.similarity import (
+        _MT_PLANES,
+        _MT_TABLES,
+        _SPARK_PLANE_DOT,
+        _signature_expr,
+    )
+
+    emb = load_table(spark, SF_MEDIUM, "embeddings")
+    n = emb.count()
+    sigs = emb.alias("a").select(
+        *[
+            F.expr(_signature_expr("a", _SPARK_PLANE_DOT, _MT_PLANES[t]))
+            .cast("int")
+            .alias(f"sig{t}")
+            for t in range(_MT_TABLES)
+        ]
+    )
+    stack = ", ".join(f"{t}, sig{t}" for t in range(_MT_TABLES))
+    buckets = (
+        sigs.selectExpr(f"stack({_MT_TABLES}, {stack}) AS (t, sig)")
+        .groupBy("t", "sig")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in buckets]
+    assert len(sizes) == _MT_TABLES * 32, f"empty buckets: {len(sizes)}"
+    assert max(sizes) <= 0.10 * n, f"skewed bucket: max={max(sizes)} of n={n}"
