@@ -19,7 +19,7 @@ bounds state exactly as in Structured Streaming.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.catalog import load_table
@@ -350,6 +350,83 @@ WHERE rank <= 2
 """
 
 
+# --------------------------------------------------------------------------
+# Trailing-window anomaly detection: flag hours whose event count deviates
+# from the trailing-24h baseline by more than 3 sigma — the standard
+# monitoring pass over an event firehose. The entire test is INTEGER
+# arithmetic: z^2 > 9 is evaluated as
+#     (cnt*n - sum)^2 > 9 * (cnt*sumsq - sum^2)
+# (multiply the usual (n-mean)^2 > 9*var through by cnt^2), so there is no
+# sqrt, no division, no float accumulation — bit-identical across engines
+# and association orders. int64 headroom: hourly counts up to ~10^6 keep
+# every term under 10^15.
+#
+# 100 TB shape: the raw scan collapses to (event_type, hour) rows in ONE
+# map-side-combined agg — the window then runs over thousands of rows per
+# type regardless of input size; a RANGE frame (value-based, 24 hours)
+# stays correct when hours are missing, where a ROWS frame would silently
+# stretch the baseline.
+# --------------------------------------------------------------------------
+
+_ANOM_MIN_BASE_HOURS = 12
+_ANOM_K_SQ = 9  # 3-sigma
+
+
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hr"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-24, -1)
+    )
+    based = hourly.select(
+        "event_type",
+        "hr",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("base_cnt"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("base_sum"),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+        ).alias("base_sumsq"),
+    )
+    lhs = F.col("base_cnt") * F.col("n_events") - F.col("base_sum")
+    rhs = F.col("base_cnt") * F.col("base_sumsq") - F.col("base_sum") * F.col(
+        "base_sum"
+    )
+    return based.withColumn(
+        "is_anomaly",
+        (F.col("base_cnt") >= _ANOM_MIN_BASE_HOURS)
+        & (lhs * lhs > F.lit(_ANOM_K_SQ) * rhs),
+    )
+
+
+ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+based AS (
+  SELECT event_type, hr, n_events,
+         COUNT(*) OVER w AS base_cnt,
+         CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS base_sum,
+         CAST(COALESCE(SUM(n_events * n_events) OVER w, 0) AS BIGINT)
+           AS base_sumsq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hr, n_events, base_cnt, base_sum, base_sumsq,
+       base_cnt >= {_ANOM_MIN_BASE_HOURS}
+       AND (base_cnt * n_events - base_sum) * (base_cnt * n_events - base_sum)
+           > {_ANOM_K_SQ} * (base_cnt * base_sumsq - base_sum * base_sum)
+         AS is_anomaly
+FROM based
+"""
+
+
 QUERIES = {
     "events_sessionize_gap_method": events_sessionize_gap_method,
     "events_trending_hourly": events_trending_hourly,
@@ -360,6 +437,7 @@ QUERIES = {
     "events_session_windows": events_session_windows,
     "events_json_extract": events_json_extract,
     "events_daily_activity": events_daily_activity,
+    "events_anomaly_hours": events_anomaly_hours,
 }
 
 ORACLES = {
@@ -372,4 +450,5 @@ ORACLES = {
     "events_session_windows": SESSION_ORACLE,
     "events_json_extract": JSON_ORACLE,
     "events_daily_activity": DAILY_ORACLE,
+    "events_anomaly_hours": ANOMALY_ORACLE,
 }

@@ -52,8 +52,16 @@ def _batched_events_dir(sf_dir: str) -> str:
     forward. Derived once per sf_dir; a _SUCCESS marker makes the split
     idempotent. The split is pure metadata+copy work (pyarrow filter on the
     driver) — at real scale the input would already arrive as many
-    time-ordered files and this helper disappears."""
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    time-ordered files and this helper disappears.
+
+    The cache tag covers the SOURCE file's identity (mtime + size), not
+    just its path: a regenerated events.parquet (new round, new physical
+    ts encoding — the round-3 breakage) invalidates the split instead of
+    silently serving stale batches."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = hashlib.sha256(ident.encode()).hexdigest()[:16]
     out = _CACHE_ROOT / tag
     marker = out / "_SUCCESS"
     if marker.exists():

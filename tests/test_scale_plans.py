@@ -215,3 +215,44 @@ def test_minhash_single_text_pass(spark):
     # two verification lookups) read the cache; raw parquet scans appear
     # only inside the cached relation's own (printed) population plan.
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Catalyst's InjectRuntimeFilter turns a selective dim predicate into
+    a bloom filter applied on the FACT side before the join shuffle — the
+    row-level analogue of partition pruning, and at 100 TB the difference
+    between shuffling the whole fact table and shuffling the matching few
+    percent. Local data sits under the production thresholds (10 MB
+    creation side / 10 GB application side), so the test lowers only the
+    application-side floor; at scale the defaults engage unmodified."""
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_MEDIUM, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_MEDIUM, "lineitem")
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _explain(j)
+        assert "bloom_filter_agg" in plan, "no bloom filter built on dim side"
+        assert "might_contain" in plan, "bloom filter not applied on fact side"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
