@@ -77,6 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--num-partitions", type=int, default=None, help="shuffle partition count")
     p.add_argument(
+        "-n",
+        "--num-workers",
+        type=int,
+        default=None,
+        help="worker parallelism — the reference client's -n flag "
+        "(lua-mapreduce-client.lua:306-328 spawns N lanes); here it "
+        "rewrites a local master to local[N]. Non-local masters ignore "
+        "it (a real cluster sizes workers itself).",
+    )
+    p.add_argument(
         "-o",
         "--output",
         default=None,
@@ -117,16 +127,24 @@ def run_task_file(mod: Any, args: argparse.Namespace, spark: "Any") -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     mod = load_task_module(args.task_file)
     for slot in ("taskfn", "mapfn"):
         if not callable(getattr(mod, slot, None)):
             raise SystemExit(f"task file must define {slot}() (see module docstring)")
 
+    master = args.master
+    if args.num_workers is not None:
+        if args.num_workers < 1:
+            parser.error("-n/--num-workers must be >= 1")
+        if master.startswith("local"):
+            master = f"local[{args.num_workers}]"
+
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master(args.master)
+        SparkSession.builder.master(master)
         .appName(f"lua-mapreduce: {os.path.basename(args.task_file)}")
         .getOrCreate()
     )

@@ -89,3 +89,46 @@ def test_cli_rejects_task_file_without_mapfn(tmp_path):
     )
     assert proc.returncode != 0
     assert "mapfn" in proc.stderr
+
+
+def test_cli_num_workers_rewrites_local_master(tmp_path):
+    """-n N (the reference client's worker-count flag) pins a local master
+    to local[N]; a subprocess run with -n 2 completes and matches the
+    golden output, proving the rewritten master is valid."""
+    for name, text in FIXTURES.items():
+        (tmp_path / name).write_text(text, encoding="utf-8")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "lua_mapreduce_spark",
+            "-t",
+            str(_REPO / "examples" / "wordcount_task.py"),
+            "-a",
+            str(tmp_path),
+            "-n",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = {}
+    for line in proc.stdout.splitlines():
+        if "\t" in line:
+            word, count = line.split("\t")
+            got[word] = int(count)
+    assert got == GOLDEN
+
+
+def test_cli_num_workers_validation():
+    from lua_mapreduce_spark.__main__ import build_parser
+
+    args = build_parser().parse_args(["-t", "x.py", "-n", "4"])
+    assert args.num_workers == 4

@@ -256,3 +256,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_anomaly_hours_two_shuffles(spark):
+    """events_anomaly_hours collapses the raw scan in a map-side-combined
+    hourly agg (shuffle 1) and re-partitions the tiny hourly table for the
+    per-type RANGE window (shuffle 2) — input-size-independent after the
+    first exchange."""
+    plan = _explain(QUERIES["events_anomaly_hours"](spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Window" in plan
+    assert "partial_count" in plan  # map-side combine before shuffle 1
