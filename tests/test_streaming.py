@@ -388,3 +388,22 @@ def test_merge_sink_batch_replay_is_idempotent(spark, tmp_path):
     assert store._committed() == [0, 1]
     again = sorted(map(tuple, snapshot_result(store.read_latest(spark)).collect()))
     assert again == once
+
+
+def test_merge_sink_commits_one_version_per_microbatch(spark, tmp_path):
+    """Driving the same 3-file split the registered streaming_upsert_merge
+    query uses (maxFilesPerTrigger=1) commits one snapshot version per
+    micro-batch — the MERGE genuinely folds state across >= 3 batches
+    rather than collapsing into one."""
+    from lua_mapreduce_spark.operators.streaming_ops import _batched_events_dir
+    from lua_mapreduce_spark.streaming.merge_sink import (
+        SnapshotStore,
+        run_merge_stream,
+    )
+
+    store = SnapshotStore(str(tmp_path / "snapshots"))
+    stream = read_events_stream(
+        spark, _batched_events_dir(SF_SMALL), max_files_per_trigger=1
+    )
+    run_merge_stream(stream, store, str(tmp_path / "ckpt"))
+    assert len(store._committed()) >= 3
