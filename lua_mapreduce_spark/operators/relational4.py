@@ -11,6 +11,7 @@ same problem at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.catalog import load_table
@@ -151,20 +152,75 @@ def heavy_hitters(
     return exact.orderBy(F.col("freq").desc(), key).limit(k)
 
 
+_FK_CAPACITY = 4096
+_FK_PHI_DENOM = 2000  # phi = 1/2000 of total traffic; 1/2000 > 1/(4096+1)
+
+
+def frequent_keys(
+    df: DataFrame, key: str, phi_denom: int = _FK_PHI_DENOM,
+    capacity: int = _FK_CAPACITY,
+) -> DataFrame:
+    """ALL keys with frequency > n/phi_denom, exactly counted — the
+    contract the Misra-Gries theorem actually guarantees, correct at ANY
+    scale and ANY distribution (unlike top-k, which no bounded sketch can
+    answer on flat data: if the k-th frequency sits below n/(capacity+1),
+    eviction may drop it — found by the sf0.1 stress drive, where 1500
+    near-uniform users make "top-10 by sketch" ill-posed).
+
+    Guarantee chain (mergeable summaries, Agarwal et al., PODS'12): a key
+    absent from every per-task MG summary has total frequency
+    <= sum_p n_p/(cap+1) = n/(cap+1); truncating the merged summary to the
+    top-`capacity` summed estimates keeps every key whose summed estimate
+    is positive after the merge decrement, a superset of the phi-heavy
+    set whenever phi > 1/(capacity+1) (asserted). The exact semi-join
+    recount then removes every false positive, so the output is EXACT."""
+    if phi_denom >= capacity + 1:
+        raise ValueError("need phi > 1/(capacity+1) for the MG guarantee")
+    partials = df.select(F.col(key).cast("long").alias("key")).mapInPandas(
+        _mg(capacity), "key long, est long"
+    )
+    merged = partials.groupBy("key").agg(F.sum("est").alias("est"))
+    w = PWindow.orderBy(F.desc("est"), F.asc("key"))
+    candidates = (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= capacity)
+        .select("key")
+    )
+    # Candidate cardinality is <= capacity GLOBALLY after the merge
+    # truncation — a constant at any data scale — so the broadcast pin is
+    # safe by construction.
+    total = df.select(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        df.join(
+            F.broadcast(candidates.withColumnRenamed("key", key)), key, "left_semi"
+        )
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * phi_denom > F.col("n_total"))
+        .select(key, "freq")
+        .orderBy(F.col("freq").desc(), key)
+    )
+
+
 def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 most active users by event count via the MG sketch. At this
-    SF distinct users (~150) fit under the 256-counter capacity so no
-    decrements fire and the oracle match is exact by construction; the
-    eviction path is exercised by the synthetic-Zipf unit tests."""
+    """Users exceeding 1/2000 of total event traffic via the merged MG
+    sketch + exact recount (see frequent_keys). Exact at every SF (checked
+    at sf0.01 AND sf0.1): threshold = n/2000, so sf0.01 keeps all ~150
+    users (all > 5 events) and sf0.1 keeps 1478 of 1500 (the > 50-event
+    users). The eviction/skew path is exercised by the synthetic-Zipf unit
+    tests (tests/test_sketches.py)."""
     events = load_table(spark, sf_dir, "events")
-    return heavy_hitters(events, "user_id", _HH_K)
+    return frequent_keys(events, "user_id")
 
 
-HEAVY_HITTERS_ORACLE = """
+HEAVY_HITTERS_ORACLE = f"""
 SELECT user_id, count(*) AS freq
 FROM events GROUP BY user_id
+HAVING count(*) * {_FK_PHI_DENOM} > (SELECT count(*) FROM events)
 ORDER BY freq DESC, user_id
-LIMIT 10
 """
 
 

@@ -170,7 +170,8 @@ _BROADCAST_OK = {
     ("similarity.py", "a"),           # fixed-size query vector set
     ("similarity.py", "cent"),        # fixed k centroids
     ("pipeline.py", "max_rev"),       # single-row global aggregate (Q15)
-    ("relational4.py", "candidates"), # MG sketch output: <= capacity x tasks
+    ("relational4.py", "candidates"), # merged-MG truncation: <= capacity rows
+    ("relational4.py", "total"),      # single-row global count
     ("curation.py", "n_docs"),        # single-row global aggregate (TF-IDF N)
 }
 

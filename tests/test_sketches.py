@@ -28,20 +28,45 @@ def test_approx_distinct_within_error(spark):
         assert rel_err < 0.10, f"{r.l_returnflag}: {rel_err:.3f}"
 
 
-def test_heavy_hitters_matches_exact_topk(spark):
-    """The registry query's output must equal the exact top-10 computed
-    independently (groupBy count, same deterministic tie-break)."""
+def test_frequent_keys_matches_exact_threshold(spark):
+    """The registry query's output must equal the exact phi-threshold set
+    computed independently (groupBy count + HAVING, same tie-break)."""
+    from lua_mapreduce_spark.operators.relational4 import _FK_PHI_DENOM
+
     got = [tuple(r) for r in QUERIES["agg_heavy_hitters_sketch"](spark, SF_MEDIUM).collect()]
     events = spark.read.parquet(f"{SF_MEDIUM}/events.parquet")
+    n = events.count()
     want = [
         tuple(r)
         for r in events.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * _FK_PHI_DENOM > n)
         .orderBy(F.col("freq").desc(), "user_id")
-        .limit(10)
         .collect()
     ]
     assert got == want
+    assert got, "phi threshold vacuous at sf0.01 — no rows to compare"
+
+
+def test_frequent_keys_flat_data_returns_empty(spark):
+    """Adversarial flat distribution (the shape that breaks sketch-top-k):
+    every key equally frequent, all below the phi threshold. The correct
+    answer is EMPTY — a sketch-induced false positive would surface here."""
+    from lua_mapreduce_spark.operators.relational4 import frequent_keys
+
+    rows = [(i % 500,) for i in range(10_000)]  # 500 keys x 20 events
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    out = frequent_keys(df, "k", phi_denom=100, capacity=256).collect()
+    assert out == []
+
+
+def test_frequent_keys_rejects_unguaranteed_phi():
+    from lua_mapreduce_spark.operators.relational4 import frequent_keys
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        frequent_keys(None, "k", phi_denom=300, capacity=256)
 
 
 def test_misra_gries_partial_superset_guarantee():
