@@ -16,7 +16,11 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 from lua_mapreduce_spark.session import get_spark  # noqa: E402
 
 SF_SMALL = "/root/testdata/sf0.001"
-SF_MEDIUM = "/root/testdata/sf0.01"
+# Parity/property SF. Override to stress-check every oracle at a larger
+# scale (e.g. SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.1 python -m pytest
+# tests/test_oracle_parity.py) — a 10x run of exactly this suite caught a
+# real scale-dependent sketch divergence in round 5.
+SF_MEDIUM = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
