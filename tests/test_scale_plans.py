@@ -123,6 +123,7 @@ _NESTED_LOOP_OK = {
     "dedup_embedding_cosine", # all-pairs exact baseline (documented)
     "q22_dormant_rich_customers",  # 1-row scalar subquery broadcast
     "text_tfidf",             # 1-row N-scalar broadcast cross join
+    "agg_heavy_hitters_sketch",  # 1-row n_total broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
