@@ -11,7 +11,6 @@ same problem at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.catalog import load_table
@@ -180,11 +179,12 @@ def frequent_keys(
         _mg(capacity), "key long, est long"
     )
     merged = partials.groupBy("key").agg(F.sum("est").alias("est"))
-    w = PWindow.orderBy(F.desc("est"), F.asc("key"))
+    # Global top-capacity by summed estimate. orderBy().limit() compiles to
+    # TakeOrderedAndProject — per-partition top-K heaps merged once — so
+    # the truncation never funnels the full candidate union (capacity x
+    # tasks rows) through a single-task sort.
     candidates = (
-        merged.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= capacity)
-        .select("key")
+        merged.orderBy(F.desc("est"), F.asc("key")).limit(capacity).select("key")
     )
     # Candidate cardinality is <= capacity GLOBALLY after the merge
     # truncation — a constant at any data scale — so the broadcast pin is
