@@ -62,9 +62,10 @@ _MODULES = [
 # multimodal), (b) queries whose implementation changed or appeared this
 # round (dedup_cluster_components → large-star/small-star;
 # streaming_upsert_merge — new foreachBatch MERGE sink;
-# curation_shuffle_shards — new deterministic export shuffle), and (c) 32
-# once-verified queries (aggs, joins, scalars, TPC-H analogues) so the
-# twice-verified pool grows. OUT rotate twice-verified stable rows from
+# curation_shuffle_shards — new deterministic export shuffle;
+# text_decontaminate_fuzzy — new MinHash cross-set decontamination), and
+# (c) 31 once-verified queries (aggs, joins, scalars, TPC-H analogues) so
+# the twice-verified pool grows. OUT rotate twice-verified stable rows from
 # the r04 window. Union coverage across r01..r05 is then 122/122 (120
 # hash-checked; the 2 approximate sketches rows-only by design). Exactly
 # 50 names; the import-time check below keeps it honest.
@@ -117,8 +118,8 @@ _DRIVER_WINDOW = [
     "range_join_monthly",
     "sample_deterministic_hash",
     "scalar_array_map_funcs",
-    "scalar_conditional_funcs",
     "curation_shuffle_shards",
+    "text_decontaminate_fuzzy",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

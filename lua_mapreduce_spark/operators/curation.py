@@ -535,6 +535,135 @@ FROM tf GROUP BY word HAVING COUNT(*) >= {_IDX_MIN_DF}
 
 
 # --------------------------------------------------------------------------
+# FUZZY benchmark decontamination: MinHash-banded near-dup overlap between
+# the corpus and the held-out benchmark slice — the scale path real
+# pipelines run next to exact n-gram overlap (text_decontaminate above):
+# paraphrased/reformatted eval contamination survives exact shingle match
+# but not near-dup detection. Reuses the cached one-scan MinHash
+# signatures (dedup.py); only (doc_id, band) rows shuffle for the
+# cross-set bucket join, and the benchmark side is a small fraction of
+# the corpus at any scale. Banding recall is probabilistic below ~0.9
+# jaccard, so the oracle replays the SAME md5 banding in SQL — exactness
+# over an approximate algorithm, not an approximate check.
+# --------------------------------------------------------------------------
+
+_FUZZY_BENCH_MOD = 31  # benchmark slice = every 31st doc (as text_decontaminate)
+
+
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lua_mapreduce_spark.operators.dedup import (
+        _BAND_ROWS,
+        _JACCARD_THRESHOLD,
+        _N_BANDS,
+        _minhash_signatures,
+    )
+
+    mh = _minhash_signatures(spark, sf_dir)
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)],
+                )
+            ).alias("band_hash"),
+        )
+        for band in range(_N_BANDS)
+    ]
+    banded = mh.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_hash").alias("band_hash"))
+    corpus_b = banded.filter(F.col("doc_id") % _FUZZY_BENCH_MOD != 0).alias("c")
+    bench_b = banded.filter(F.col("doc_id") % _FUZZY_BENCH_MOD == 0).alias("q")
+    candidates = (
+        corpus_b.join(
+            bench_b,
+            (F.col("c.band_idx") == F.col("q.band_idx"))
+            & (F.col("c.band_hash") == F.col("q.band_hash")),
+        )
+        .select(F.col("c.doc_id").alias("doc_id"), F.col("q.doc_id").alias("bench_id"))
+        .distinct()
+    )
+    sc_ = mh.select(F.col("doc_id"), F.col("shingles").alias("sh_c"))
+    sq = mh.select(F.col("doc_id").alias("bench_id"), F.col("shingles").alias("sh_q"))
+    verified = (
+        candidates.join(sc_, "doc_id")
+        .join(sq, "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            (
+                F.size(F.array_intersect("sh_c", "sh_q")).cast("double")
+                / (
+                    F.size("sh_c") + F.size("sh_q")
+                    - F.size(F.array_intersect("sh_c", "sh_q"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def _fuzzy_decon_oracle() -> str:
+    from lua_mapreduce_spark.operators.dedup import (
+        _BAND_ROWS,
+        _JACCARD_THRESHOLD,
+        _N_BANDS,
+        _SHINGLES_ORACLE_CTE,
+        _minhash_exprs,
+    )
+
+    base = oracle_md5_bigint_expr("shingle")
+    mins = ",\n         ".join(
+        f"MIN({e}) AS m{i}" for i, e in enumerate(_minhash_exprs(f"({base})"))
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {band} AS band_idx, "
+        f"md5(concat_ws(',', {', '.join(f'm{band * _BAND_ROWS + r}' for r in range(_BAND_ROWS))}))"
+        f" AS band_hash FROM mh"
+        for band in range(_N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_ORACLE_CTE},
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id),
+banded AS (
+{band_rows}
+),
+candidates AS (
+  SELECT DISTINCT c.doc_id AS doc_id, q.doc_id AS bench_id
+  FROM banded c JOIN banded q
+    ON c.band_idx = q.band_idx AND c.band_hash = q.band_hash
+  WHERE c.doc_id % {_FUZZY_BENCH_MOD} != 0 AND q.doc_id % {_FUZZY_BENCH_MOD} = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_id, cand.bench_id, COUNT(*) AS n_common
+  FROM candidates cand
+  JOIN shingles sc ON sc.doc_id = cand.doc_id
+  JOIN shingles sq ON sq.doc_id = cand.bench_id AND sc.shingle = sq.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT common.doc_id AS doc_id, common.bench_id AS bench_id,
+         CAST(n_common AS DOUBLE) / CAST(sc.n + sq.n - n_common AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes sc ON sc.doc_id = common.doc_id
+  JOIN sizes sq ON sq.doc_id = common.bench_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sc.n + sq.n - n_common AS DOUBLE)
+        >= {_JACCARD_THRESHOLD})
+SELECT doc_id, COUNT(*) AS n_bench_matches, MAX(jaccard) AS max_jaccard
+FROM verified GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic global shuffle -> shard export: the final step between a
 # curated corpus and tokenization. Training runs need the corpus in a
 # uniformly-shuffled order that is REPRODUCIBLE (restart a failed export,
@@ -598,6 +727,7 @@ QUERIES = {
     "curation_pack_sequences": curation_pack_sequences,
     "text_inverted_index": text_inverted_index,
     "curation_shuffle_shards": curation_shuffle_shards,
+    "text_decontaminate_fuzzy": text_decontaminate_fuzzy,
 }
 
 ORACLES = {
@@ -610,4 +740,5 @@ ORACLES = {
     "curation_pack_sequences": PACK_ORACLE,
     "text_inverted_index": INVERTED_INDEX_ORACLE,
     "curation_shuffle_shards": SHUFFLE_SHARDS_ORACLE,
+    "text_decontaminate_fuzzy": _fuzzy_decon_oracle(),
 }

@@ -261,3 +261,20 @@ def test_shuffle_shards_reproducible_uniform_contiguous(spark):
     assert sizes[-1] <= 2 * sizes[0], f"shard skew: {sizes}"
     for positions in by_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_fuzzy_decontaminate_nonvacuous_and_disjoint_from_bench(spark):
+    """Flagged docs exist at sf0.01, are corpus-side only (never benchmark
+    members), and every flag carries a verified jaccard >= threshold."""
+    from lua_mapreduce_spark.operators.curation import (
+        _FUZZY_BENCH_MOD,
+        text_decontaminate_fuzzy,
+    )
+    from lua_mapreduce_spark.operators.dedup import _JACCARD_THRESHOLD
+
+    rows = text_decontaminate_fuzzy(spark, SF_MEDIUM).collect()
+    assert rows, "no fuzzy contamination found — check banding/threshold"
+    for r in rows:
+        assert r.doc_id % _FUZZY_BENCH_MOD != 0
+        assert r.n_bench_matches >= 1
+        assert r.max_jaccard >= _JACCARD_THRESHOLD
