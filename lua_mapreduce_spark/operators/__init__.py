@@ -63,8 +63,9 @@ _MODULES = [
 # round (dedup_cluster_components → large-star/small-star;
 # streaming_upsert_merge — new foreachBatch MERGE sink;
 # curation_shuffle_shards — new deterministic export shuffle;
-# text_decontaminate_fuzzy — new MinHash cross-set decontamination), and
-# (c) 31 once-verified queries (aggs, joins, scalars, TPC-H analogues) so
+# text_decontaminate_fuzzy — new MinHash cross-set decontamination;
+# events_anomaly_hours — new integer-exact anomaly flags), and
+# (c) 30 once-verified queries (aggs, joins, scalars, TPC-H analogues) so
 # the twice-verified pool grows. OUT rotate twice-verified stable rows from
 # the r04 window. Union coverage across r01..r05 is then 122/122 (120
 # hash-checked; the 2 approximate sketches rows-only by design). Exactly
@@ -117,9 +118,9 @@ _DRIVER_WINDOW = [
     "q6_forecast_revenue",
     "range_join_monthly",
     "sample_deterministic_hash",
-    "scalar_array_map_funcs",
     "curation_shuffle_shards",
     "text_decontaminate_fuzzy",
+    "events_anomaly_hours",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`
