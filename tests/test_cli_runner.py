@@ -132,3 +132,37 @@ def test_cli_num_workers_validation():
 
     args = build_parser().parse_args(["-t", "x.py", "-n", "4"])
     assert args.num_workers == 4
+
+
+def test_cli_grep_task_selective_map_and_combiner(tmp_path):
+    """The grep example exercises selective mapfn (files with zero matches
+    emit nothing) and combinefn through the real CLI."""
+    (tmp_path / "a.txt").write_text("error one\nok\nerror two\n", encoding="utf-8")
+    (tmp_path / "b.txt").write_text("all fine here\n", encoding="utf-8")
+    (tmp_path / "c.txt").write_text("error again\n", encoding="utf-8")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "lua_mapreduce_spark",
+            "-t",
+            str(_REPO / "examples" / "grep_task.py"),
+            "-a",
+            f"{tmp_path}:error",
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = dict(
+        line.split("\t") for line in proc.stdout.splitlines() if "\t" in line
+    )
+    assert got == {"a.txt": "2", "c.txt": "1"}
