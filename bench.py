@@ -70,6 +70,9 @@ HEADLINE = [
     "text_inverted_index",
     "curation_pack_sequences",
     "text_boilerplate_ngrams",
+    "curation_shuffle_shards",
+    "text_decontaminate_fuzzy",
+    "events_anomaly_hours",
 ]
 
 N_RUNS = 3

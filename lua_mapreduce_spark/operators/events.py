@@ -372,12 +372,10 @@ _ANOM_MIN_BASE_HOURS = 12
 _ANOM_K_SQ = 9  # 3-sigma
 
 
-def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hr"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+def anomaly_flags(hourly: DataFrame) -> DataFrame:
+    """Trailing-24h integer z-test over an (event_type, hr, n_events)
+    hourly table. Shared by the batch query below and its streaming twin
+    (streaming_ops.streaming_anomaly_hours), so the two can never drift."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("hr")
@@ -402,6 +400,15 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("base_cnt") >= _ANOM_MIN_BASE_HOURS)
         & (lhs * lhs > F.lit(_ANOM_K_SQ) * rhs),
     )
+
+
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hr"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return anomaly_flags(hourly)
 
 
 ANOMALY_ORACLE = f"""

@@ -200,6 +200,33 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_user").agg(F.count(F.lit(1)).alias("n_attributed"))
 
 
+def streaming_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_anomaly_hours: the watermarked hourly
+    aggregation runs IN the stream (true cross-batch state over >= 3
+    micro-batches); the trailing-24h integer z-test then runs as a batch
+    window over the drained hourly table. The split is deliberate — a
+    value-based RANGE window over a streaming aggregate is unbounded-state
+    by construction, so the monitoring pipeline shape is stream-aggregate
+    -> snapshot -> flag, exactly what this composes. Complete-mode drain:
+    every window is emitted in the final micro-batch, so the flag pass
+    sees all hours (append mode would hold back windows newer than the
+    watermark)."""
+    from lua_mapreduce_spark.operators.events import anomaly_flags
+    from lua_mapreduce_spark.streaming.windows import stream_tumbling_counts
+
+    sink = drain_stream(
+        stream_tumbling_counts(_events_stream(spark, sf_dir)),
+        "stream_anomaly_hourly",
+        output_mode="complete",
+    )
+    hourly = sink.select(
+        F.expr("CAST(ws_epoch DIV 3600 AS BIGINT)").alias("hr"),
+        "event_type",
+        "n_events",
+    )
+    return anomaly_flags(hourly)
+
+
 QUERIES = {
     "streaming_user_totals": streaming_user_totals,
     "streaming_dedup_count": streaming_dedup_count,
@@ -207,6 +234,7 @@ QUERIES = {
     "streaming_static_enrich_counts": streaming_static_enrich_counts,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_upsert_merge": streaming_upsert_merge,
+    "streaming_anomaly_hours": streaming_anomaly_hours,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -282,6 +310,8 @@ SELECT agg.user_id, agg.n_events, agg.sum_value,
 FROM agg JOIN latest USING (user_id)
 """
 
+from lua_mapreduce_spark.operators.events import ANOMALY_ORACLE as STREAM_ANOMALY_ORACLE
+
 ORACLES: dict[str, str] = {
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,
@@ -289,4 +319,5 @@ ORACLES: dict[str, str] = {
     "streaming_static_enrich_counts": STATIC_ENRICH_ORACLE,
     "streaming_stream_stream_join": STREAM_STREAM_ORACLE,
     "streaming_upsert_merge": UPSERT_MERGE_ORACLE,
+    "streaming_anomaly_hours": STREAM_ANOMALY_ORACLE,
 }
