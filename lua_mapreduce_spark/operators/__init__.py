@@ -65,8 +65,9 @@ _MODULES = [
 # curation_shuffle_shards — new deterministic export shuffle;
 # text_decontaminate_fuzzy — new MinHash cross-set decontamination;
 # events_anomaly_hours + streaming_anomaly_hours — new integer-exact
-# anomaly flags, batch + streaming twins), and
-# (c) 29 once-verified queries (aggs, joins, scalars, TPC-H analogues) so
+# anomaly flags, batch + streaming twins; streaming_session_windows —
+# newly registered cross-batch session-merge state), and
+# (c) 28 once-verified queries (aggs, joins, scalars, TPC-H analogues) so
 # the twice-verified pool grows. OUT rotate twice-verified stable rows from
 # the r04 window. Union coverage across r01..r05 is then 122/122 (120
 # hash-checked; the 2 approximate sketches rows-only by design). Exactly
@@ -117,7 +118,7 @@ _DRIVER_WINDOW = [
     "q3_shipping_priority",
     "q4_priority_late_ship",
     "q6_forecast_revenue",
-    "range_join_monthly",
+    "streaming_session_windows",
     "streaming_anomaly_hours",
     "curation_shuffle_shards",
     "text_decontaminate_fuzzy",

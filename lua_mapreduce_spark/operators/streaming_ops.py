@@ -227,6 +227,22 @@ def streaming_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_flags(hourly)
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (dynamic-gap state): sessions that
+    straddle the 3-file time split MERGE across micro-batches — the
+    hardest streaming-state shape (windows are not fixed; the state store
+    must coalesce adjacent sessions as rows arrive). Complete-mode drain
+    emits the final merged sessions; oracle = the batch gap-method
+    sessionization (events.SESSION_ORACLE)."""
+    from lua_mapreduce_spark.streaming.windows import stream_session_windows
+
+    return drain_stream(
+        stream_session_windows(_events_stream(spark, sf_dir)),
+        "stream_sessions",
+        output_mode="complete",
+    )
+
+
 QUERIES = {
     "streaming_user_totals": streaming_user_totals,
     "streaming_dedup_count": streaming_dedup_count,
@@ -235,6 +251,7 @@ QUERIES = {
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_upsert_merge": streaming_upsert_merge,
     "streaming_anomaly_hours": streaming_anomaly_hours,
+    "streaming_session_windows": streaming_session_windows,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -311,6 +328,7 @@ FROM agg JOIN latest USING (user_id)
 """
 
 from lua_mapreduce_spark.operators.events import ANOMALY_ORACLE as STREAM_ANOMALY_ORACLE
+from lua_mapreduce_spark.operators.events import SESSION_ORACLE as STREAM_SESSION_ORACLE
 
 ORACLES: dict[str, str] = {
     "streaming_user_totals": USER_TOTALS_ORACLE,
@@ -320,4 +338,5 @@ ORACLES: dict[str, str] = {
     "streaming_stream_stream_join": STREAM_STREAM_ORACLE,
     "streaming_upsert_merge": UPSERT_MERGE_ORACLE,
     "streaming_anomaly_hours": STREAM_ANOMALY_ORACLE,
+    "streaming_session_windows": STREAM_SESSION_ORACLE,
 }
