@@ -509,14 +509,19 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.expr(words_expr("text"))).alias("word"))
     tf = toks.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # Postings serialize to a comma-joined string (numeric sort BEFORE the
+    # string cast) — top-level array columns break external row hashers;
+    # same convention as agg_collect_sorted_sets (relational4.py).
+    postings = F.transform(
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP),
+        lambda d: d.cast("string"),
+    )
     return (
         tf.groupBy("word")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("total_tf"),
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP
-            ).alias("postings"),
+            F.concat_ws(",", postings).alias("postings"),
         )
         .filter(F.col("df") >= _IDX_MIN_DF)
     )
@@ -529,7 +534,7 @@ WITH toks AS (
 tf AS (
   SELECT word, doc_id, COUNT(*) AS tf FROM toks GROUP BY word, doc_id)
 SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-       (list_sort(list(doc_id)))[1:{_POSTINGS_CAP}] AS postings
+       array_to_string((list_sort(list(doc_id)))[1:{_POSTINGS_CAP}], ',') AS postings
 FROM tf GROUP BY word HAVING COUNT(*) >= {_IDX_MIN_DF}
 """
 

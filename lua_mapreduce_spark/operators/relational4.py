@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lua_mapreduce_spark.catalog import load_table
 from lua_mapreduce_spark.functions.exact import REVENUE, dsum_expr, dsum_sql
@@ -55,33 +56,120 @@ FROM lineitem WHERE l_orderkey % 499 = 0
 
 # --------------------------------------------------------------------------
 # Sketch aggregates: HyperLogLog distinct counting. Sketch internals are
-# engine-specific, so this is a rows-only check — but the test suite
-# asserts the estimate lands within the configured relative error of the
-# exact count. At 100 TB approx_count_distinct is THE way to count
-# distincts: fixed-size state, one pass, no exact-distinct shuffle blowup.
+# engine-specific, so the raw estimate can never hash-match a different
+# engine — instead the query emits the EXACT values plus a Spark-computed
+# `within_rsd` boolean (estimate within 5x the configured rsd of exact),
+# and the oracle checks the exact columns and asserts the boolean TRUE.
+# The sketch is hash-based and deterministic for a given dataset, so the
+# boolean is replayable, and a sketch accuracy regression flips it to
+# false -> hash mismatch. At 100 TB approx_count_distinct is THE way to
+# count distincts: fixed-size state, one pass, no exact-distinct shuffle
+# blowup; the exact countDistinct here exists to make the contract
+# checkable at test scale.
 # --------------------------------------------------------------------------
+
+_HLL_RSD = 0.02
+_HLL_TOL = 5 * _HLL_RSD  # 5-sigma: deterministic sketch, generous margin
 
 
 def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (rel_err <= F.lit(_HLL_TOL)).alias("within_rsd"),
+    )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows,
+       TRUE AS within_rsd
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# GK accuracy=1000 guarantees rank error <= n/1000; check with 3x margin.
+_GK_ACCURACY = 1000
+_GK_EPS = 3.0 / _GK_ACCURACY
 
 
 def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna): fixed-size mergeable state vs the
-    exact percentile's full sort — the 100 TB quantile path. Sketch
-    internals are engine-specific -> rows-only; the accuracy test bounds it
-    against the exact interpolated percentile."""
+    exact percentile's full sort — the 100 TB quantile path. The estimate
+    itself is engine-specific, so the driver-facing output is the exact
+    discrete median (the element at rank (n+1) div 2 — an actual data
+    value, bitwise-safe) plus `within_rank_error`: the sketch estimate's
+    rank lands within 3x the configured 1/accuracy bound of n/2. The
+    production path is the one-pass approx_percentile agg alone; the
+    window/join here exist to make the sketch contract oracle-checkable."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("p50_approx"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+    )
+    disc = ranked.filter(
+        F.col("rn") == F.expr("(cnt + 1) DIV 2")
+    ).select("o_orderstatus", F.col("o_totalprice").alias("p50_disc"))
+
+    approx = orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, 0.5, {_GK_ACCURACY})"
+        ).alias("p50_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    # Rank of the estimate: how many rows sort at-or-below it per group.
+    rank_of_approx = (
+        orders.join(F.broadcast(approx), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("p50_approx"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("p50_approx"), 1).otherwise(0)
+            ).alias("n_lt"),
+            F.max("n_rows").alias("n_rows"),
+        )
+    )
+    checked = rank_of_approx.select(
+        "o_orderstatus",
+        "n_rows",
+        (
+            (F.col("n_lt") <= F.col("n_rows") / 2 + F.lit(_GK_EPS) * F.col("n_rows"))
+            & (F.col("n_le") >= F.col("n_rows") / 2 - F.lit(_GK_EPS) * F.col("n_rows"))
+        ).alias("within_rank_error"),
+    )
+    return disc.join(F.broadcast(checked), "o_orderstatus").select(
+        "o_orderstatus", "p50_disc", "n_rows", "within_rank_error"
+    )
+
+
+APPROX_PERCENTILE_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+  FROM orders)
+SELECT o_orderstatus, o_totalprice AS p50_disc, cnt AS n_rows,
+       TRUE AS within_rank_error
+FROM ranked WHERE rn = (cnt + 1) // 2
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1094,6 +1182,8 @@ ORACLES = {
     "agg_collect_sorted_sets": COLLECT_SETS_ORACLE,
     "scalar_math_funcs": SCALAR_MATH_ORACLE,
     "agg_heavy_hitters_sketch": HEAVY_HITTERS_ORACLE,
+    "agg_approx_distinct_sketch": APPROX_DISTINCT_ORACLE,
+    "agg_approx_percentile_sketch": APPROX_PERCENTILE_ORACLE,
     "q19_disjunctive_revenue": Q19_ORACLE,
     "q7_nation_trade_volume": Q7_ORACLE,
     "q8_market_share": Q8_ORACLE,

@@ -216,8 +216,11 @@ def test_inverted_index_postings_sorted_capped_nonvacuous(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.df >= _IDX_MIN_DF
-        assert list(r.postings) == sorted(r.postings)
-        assert len(r.postings) == min(r.df, _POSTINGS_CAP)
+        # Postings are a comma-joined string (driver-hashable); elements
+        # must be numerically sorted and capped.
+        posting_ids = [int(p) for p in r.postings.split(",")]
+        assert posting_ids == sorted(posting_ids)
+        assert len(posting_ids) == min(r.df, _POSTINGS_CAP)
         assert r.total_tf >= r.df
     # The floor must actually drop something: full vocab > indexed vocab.
     docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")

