@@ -9,7 +9,10 @@ Prints ONE JSON line:
 Each query is timed end-to-end (plan + execute + collect) THREE times and
 reported as the per-query MEDIAN — BASELINE.md documents ±30% host noise
 on single runs, and medians make round-over-round deltas reflect plan
-changes, not scheduler jitter. Min/max per query ride along in "spread".
+changes, not scheduler jitter. Per-run detail (spread + raw timings, the
+stall-vs-regression triage data) is written to bench_detail.json beside
+this script; the printed line carries medians only, last in key order,
+because the round harness keeps just the tail of stdout.
 Results are small aggregates so collect cost is negligible. The headline
 set spans the engine's operator families: scan+agg, multi-join, window,
 text, dedup (MinHash-LSH), similarity (cosine top-k), event-time
@@ -314,18 +317,36 @@ def main() -> None:
     skew = _skew_bench(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    # The round harness captures only the TAIL of stdout, so the printed
+    # line stays compact (medians only, and LAST in key order — a
+    # head-truncated capture still retains them); per-run detail goes to
+    # bench_detail.json beside this script for stall-vs-regression triage.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "sf": sf_val,
+                "medians": timings,
+                "spread": spread,
+                "runs_detail": runs_detail,
+                "skew_join_events": skew,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "sf": sf_val,
                 "runs_per_query": N_RUNS,
-                "spread": spread,
-                "runs_detail": runs_detail,
                 "skew_join_events": skew,
+                "queries": timings,
             }
         )
     )

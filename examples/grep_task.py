@@ -20,7 +20,9 @@ import os
 
 
 def taskfn(arg):
-    directory, _, pattern = arg.rpartition(":")
+    directory, sep, pattern = arg.rpartition(":")
+    if not sep or not directory:
+        raise SystemExit("grep_task expects -a '<dir>:<pattern>'")
     for name in sorted(os.listdir(directory)):
         if name.endswith(".txt"):
             path = os.path.join(directory, name)

@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import importlib.util
 import os
+import re
 import sys
 from typing import Any
 
@@ -87,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
         "it (a real cluster sizes workers itself).",
     )
     p.add_argument(
+        "-l",
+        "--loglevel",
+        default=None,
+        choices=["all", "debug", "info", "warn", "error", "fatal", "off"],
+        help="Spark log level — the reference server's -l flag "
+        "(lua-mapreduce-server.lua:355); applied via "
+        "sparkContext.setLogLevel after session start",
+    )
+    p.add_argument(
         "-o",
         "--output",
         default=None,
@@ -126,6 +136,15 @@ def run_task_file(mod: Any, args: argparse.Namespace, spark: "Any") -> None:
             print(f"{key}\t{results[key]}")
 
 
+def resolve_master(master: str, num_workers: int | None) -> str:
+    """Apply -n to PLAIN local masters only (`local`, `local[N]`,
+    `local[*]`). `local-cluster[...]` simulates a distributed deployment
+    and non-local masters size their own workers — both pass through."""
+    if num_workers is None or not re.fullmatch(r"local(\[[^\]]*\])?", master):
+        return master
+    return f"local[{num_workers}]"
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -134,12 +153,9 @@ def main(argv: list[str] | None = None) -> int:
         if not callable(getattr(mod, slot, None)):
             raise SystemExit(f"task file must define {slot}() (see module docstring)")
 
-    master = args.master
-    if args.num_workers is not None:
-        if args.num_workers < 1:
-            parser.error("-n/--num-workers must be >= 1")
-        if master.startswith("local"):
-            master = f"local[{args.num_workers}]"
+    if args.num_workers is not None and args.num_workers < 1:
+        parser.error("-n/--num-workers must be >= 1")
+    master = resolve_master(args.master, args.num_workers)
 
     from pyspark.sql import SparkSession
 
@@ -148,6 +164,8 @@ def main(argv: list[str] | None = None) -> int:
         .appName(f"lua-mapreduce: {os.path.basename(args.task_file)}")
         .getOrCreate()
     )
+    if args.loglevel is not None:
+        spark.sparkContext.setLogLevel(args.loglevel.upper())
     try:
         run_task_file(mod, args, spark)
     finally:

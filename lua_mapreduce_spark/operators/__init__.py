@@ -57,72 +57,67 @@ _MODULES = [
 # (example/word-count-taskfile.lua:73-159), so these two are the
 # non-negotiable reference-fidelity signal each round.
 #
-# Round-5 rotation: IN come (a) the 13 queries that had never received a
-# driver row (the whole curation family, all three sketches, audio/resize
-# multimodal), (b) queries whose implementation changed or appeared this
-# round (dedup_cluster_components → large-star/small-star;
-# streaming_upsert_merge — new foreachBatch MERGE sink;
-# curation_shuffle_shards — new deterministic export shuffle;
-# text_decontaminate_fuzzy — new MinHash cross-set decontamination;
-# events_anomaly_hours + streaming_anomaly_hours — new integer-exact
-# anomaly flags, batch + streaming twins; streaming_session_windows —
-# newly registered cross-batch session-merge state), and
-# (c) 28 once-verified queries (aggs, joins, scalars, TPC-H analogues) so
-# the twice-verified pool grows. OUT rotate twice-verified stable rows from
-# the r04 window. Union coverage across r01..r05 is then 122/122 (120
-# hash-checked; the 2 approximate sketches rows-only by design). Exactly
-# 50 names; the import-time check below keeps it honest.
+# Round-6 rotation: IN stay the two pins plus everything that CHANGED this
+# round (text_inverted_index — postings now concat_ws-serialized after the
+# r5 driver-canonicalizer failure; both approx sketches — now emit exact
+# columns + an accuracy boolean and carry full oracles;
+# streaming_upsert_merge — work-dir cleanup added). The remaining slots
+# take ALL once-driver-verified queries except curation_shuffle_shards
+# (freshly verified r5, unchanged, deterministic — the one name that had
+# to yield a slot; re-window it r7). After a green round every registry
+# query is >= twice-verified except that one, which stays at once.
+# Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    "dedup_cluster_components",
-    "streaming_upsert_merge",
+    "text_inverted_index",
     "agg_approx_distinct_sketch",
     "agg_approx_percentile_sketch",
+    "streaming_upsert_merge",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
+    "events_anomaly_hours",
     "multimodal_audio_features",
     "multimodal_resize_thumbnail",
+    "range_join_monthly",
+    "sample_deterministic_hash",
+    "scalar_array_map_funcs",
+    "scalar_conditional_funcs",
+    "scalar_date_arithmetic",
+    "scalar_functions_showcase",
+    "scalar_higher_order_funcs",
+    "scalar_map_higher_order",
+    "scalar_math_funcs",
+    "scalar_regex_funcs",
+    "scalar_string_advanced",
+    "scalar_timestamp_diff",
+    "setop_union_intersect_except",
+    "sort_topk_orders",
+    "streaming_anomaly_hours",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "subquery_above_nation_avg",
+    "text_bigrams",
     "text_boilerplate_ngrams",
     "text_chunk_tokens",
     "text_decontaminate",
-    "text_inverted_index",
-    "text_repetition_filter",
-    "text_tfidf",
-    "agg_argmax_orders",
-    "agg_collect_sorted_sets",
-    "agg_cube_quantity",
-    "agg_distinct_counts",
-    "agg_exact_variance",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_histogram_bins",
-    "agg_minmax_stats",
-    "agg_percentiles",
-    "agg_rollup_revenue",
-    "asof_join_attribution",
-    "events_daily_activity",
-    "join_cross_region_status",
-    "join_full_outer_nation_presence",
-    "join_inner_basic",
-    "join_left_order_counts",
-    "join_right_outer_orders",
-    "join_semi_customers_with_urgent",
-    "pivot_qty_by_linestatus",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "streaming_session_windows",
-    "streaming_anomaly_hours",
-    "curation_shuffle_shards",
     "text_decontaminate_fuzzy",
-    "events_anomaly_hours",
+    "text_doc_stats",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize_pandas_udf",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_rolling_fingerprint",
+    "text_term_frequency",
+    "text_tfidf",
+    "text_token_count_bpe",
+    "udaf_group_median_pandas",
+    "unpivot_rates",
+    "upsert_snapshot_merge",
+    "window_distribution_funcs",
+    "window_range_frame",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -496,7 +496,9 @@ FROM placed
 # 100 TB shape: tokenize scan -> (word, doc) hash agg (map-side partials
 # collapse per-doc repeats) -> word-level agg. collect_list here is
 # per-WORD after the df floor and gets sliced to _POSTINGS_CAP; the full
-# uncapped variant would instead write bucketed-by-term parquet.
+# uncapped variant is `write_inverted_index` below, which never
+# aggregates a posting list into one row — it writes the posting ROWS as
+# term-clustered parquet instead.
 # --------------------------------------------------------------------------
 
 # Floor calibrated to the synthetic corpus so it actually drops terms
@@ -537,6 +539,43 @@ SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
        array_to_string((list_sort(list(doc_id)))[1:{_POSTINGS_CAP}], ',') AS postings
 FROM tf GROUP BY word HAVING COUNT(*) >= {_IDX_MIN_DF}
 """
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped posting rows (word, doc_id, tf): the full-index
+    representation. One tokenize scan, one (word, doc_id) hash agg with
+    map-side partials — no per-term row aggregation, so a stopword's
+    postings never concentrate in one row."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.expr(words_expr("text"))).alias("word"))
+    return toks.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def write_inverted_index(
+    spark: SparkSession, sf_dir: str, path: str, n_files: int = 64
+) -> None:
+    """The UNCAPPED inverted-index scale path: write the full posting rows
+    as term-clustered parquet (range-partitioned + sorted on `word` via
+    write_clustered_parquet), so every output file carries a narrow
+    disjoint term range in its footer and a term-lookup scan prunes to
+    one file. Term stats (df, total_tf) are then derived from the written
+    postings — a second pass over the compact index, not the raw text —
+    and written term-clustered too. This is how the index stays writable
+    at 100 TB: no row ever holds a full posting list (a stopword's list
+    is corpus-sized), and readers get footer-stat pruning for free.
+    """
+    from lua_mapreduce_spark.sources import read_parquet, write_clustered_parquet
+
+    postings = inverted_index_postings(spark, sf_dir)
+    write_clustered_parquet(postings, f"{path}/postings", ["word"], n_files)
+    stats = (
+        read_parquet(spark, f"{path}/postings")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+    )
+    write_clustered_parquet(
+        stats, f"{path}/term_stats", ["word"], max(1, n_files // 8)
+    )
 
 
 # --------------------------------------------------------------------------

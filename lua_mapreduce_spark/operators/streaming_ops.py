@@ -168,6 +168,7 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch. Returns the final snapshot. Fresh work dir per call so
     the drain is deterministic regardless of prior runs; exactly-once
     restart behavior is exercised in tests/test_streaming.py."""
+    import shutil
     import tempfile
 
     from lua_mapreduce_spark.streaming.merge_sink import (
@@ -177,16 +178,19 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = tempfile.mkdtemp(prefix="merge_sink_")
-    store = SnapshotStore(os.path.join(work, "snapshots"))
-    run_merge_stream(
-        _events_stream(spark, sf_dir), store, os.path.join(work, "ckpt")
-    )
-    final = store.read_latest(spark)
-    if final is None:
-        raise RuntimeError("merge stream committed no snapshot versions")
-    # localCheckpoint so the tempdir's parquet is not the lineage source
-    # once this DataFrame escapes (the driver may collect it much later).
-    return snapshot_result(final).localCheckpoint(eager=True)
+    try:
+        store = SnapshotStore(os.path.join(work, "snapshots"))
+        run_merge_stream(
+            _events_stream(spark, sf_dir), store, os.path.join(work, "ckpt")
+        )
+        final = store.read_latest(spark)
+        if final is None:
+            raise RuntimeError("merge stream committed no snapshot versions")
+        # localCheckpoint (eager) materializes the result off the tempdir's
+        # parquet, so the work dir is safe to delete before returning.
+        return snapshot_result(final).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

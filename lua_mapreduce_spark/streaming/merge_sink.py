@@ -60,11 +60,14 @@ class SnapshotStore:
         os.makedirs(root, exist_ok=True)
 
     def _committed(self) -> list[int]:
-        return sorted(
-            int(name[: -len("._COMMITTED")].split("=", 1)[1])
-            for name in os.listdir(self.root)
-            if name.endswith("._COMMITTED")
-        )
+        versions = []
+        for name in os.listdir(self.root):
+            if not name.endswith("._COMMITTED"):
+                continue
+            m = _V_RE.match(name[: -len("._COMMITTED")])
+            if m:  # strict marker-name validation: ignore stray files
+                versions.append(int(m.group(1)))
+        return sorted(versions)
 
     def latest_version(self, below: int | None = None) -> int | None:
         versions = self._committed()

@@ -111,6 +111,8 @@ def test_cli_num_workers_rewrites_local_master(tmp_path):
             str(tmp_path),
             "-n",
             "2",
+            "-l",
+            "error",
         ],
         capture_output=True,
         text=True,
@@ -132,6 +134,33 @@ def test_cli_num_workers_validation():
 
     args = build_parser().parse_args(["-t", "x.py", "-n", "4"])
     assert args.num_workers == 4
+
+
+def test_cli_loglevel_flag_parses_and_rejects_junk():
+    """-l mirrors the reference server's loglevel flag
+    (lua-mapreduce-server.lua:355): known levels parse, junk is a usage
+    error (argparse choices -> SystemExit)."""
+    import pytest
+
+    from lua_mapreduce_spark.__main__ import build_parser
+
+    args = build_parser().parse_args(["-t", "x.py", "-l", "warn"])
+    assert args.loglevel == "warn"
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["-t", "x.py", "-l", "loud"])
+
+
+def test_resolve_master_rewrites_plain_local_only():
+    """-n must rewrite plain local masters and leave local-cluster (a
+    distributed-simulation master) and real cluster URLs untouched."""
+    from lua_mapreduce_spark.__main__ import resolve_master
+
+    assert resolve_master("local[*]", 4) == "local[4]"
+    assert resolve_master("local", 2) == "local[2]"
+    assert resolve_master("local[3]", 8) == "local[8]"
+    assert resolve_master("local-cluster[2,1,1024]", 4) == "local-cluster[2,1,1024]"
+    assert resolve_master("spark://host:7077", 4) == "spark://host:7077"
+    assert resolve_master("local[*]", None) == "local[*]"
 
 
 def test_cli_grep_task_selective_map_and_combiner(tmp_path):
@@ -166,3 +195,15 @@ def test_cli_grep_task_selective_map_and_combiner(tmp_path):
         line.split("\t") for line in proc.stdout.splitlines() if "\t" in line
     )
     assert got == {"a.txt": "2", "c.txt": "1"}
+
+
+def test_grep_task_rejects_malformed_arg():
+    """grep_task -a without the <dir>:<pattern> separator must die with a
+    usage message, not an opaque os.listdir('') FileNotFoundError."""
+    import pytest
+
+    from lua_mapreduce_spark.__main__ import load_task_module
+
+    mod = load_task_module(str(_REPO / "examples" / "grep_task.py"))
+    with pytest.raises(SystemExit, match="<dir>:<pattern>"):
+        list(mod.taskfn("no-separator-here"))

@@ -27,7 +27,7 @@ from lua_mapreduce_spark.operators.curation import (
     text_repetition_filter,
     text_tfidf,
 )
-from tests.conftest import SF_MEDIUM
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
 def _explain(df) -> str:
@@ -281,3 +281,48 @@ def test_fuzzy_decontaminate_nonvacuous_and_disjoint_from_bench(spark):
         assert r.doc_id % _FUZZY_BENCH_MOD != 0
         assert r.n_bench_matches >= 1
         assert r.max_jaccard >= _JACCARD_THRESHOLD
+
+
+def test_write_inverted_index_uncapped_clustered(spark, tmp_path):
+    """write_inverted_index writes term-clustered postings whose per-file
+    word ranges tile (footer-stat pruning works), plus term stats that
+    must agree with the capped registry query's df/total_tf on every
+    term that query keeps."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from lua_mapreduce_spark.operators.curation import (
+        text_inverted_index,
+        write_inverted_index,
+    )
+
+    out = str(tmp_path / "index")
+    n_files = 8
+    write_inverted_index(spark, SF_SMALL, out, n_files=n_files)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/postings/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("word")
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        if stats:
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2, f"postings file term ranges overlap: {ranges}"
+
+    # Stats derived from the uncapped postings must match the capped
+    # query's aggregates for every term above the df floor.
+    stats_df = spark.read.parquet(f"{out}/term_stats")
+    capped = {
+        r.word: (r.df, r.total_tf)
+        for r in text_inverted_index(spark, SF_SMALL).collect()
+    }
+    got = {r.word: (r.df, r.total_tf) for r in stats_df.collect()}
+    assert capped, "df floor left nothing to compare at sf0.001"
+    for w, expect in capped.items():
+        assert got[w] == expect, f"{w}: {got[w]} != {expect}"
+    # And the uncapped index keeps the sub-floor tail the capped one drops.
+    assert len(got) > len(capped)

@@ -269,3 +269,25 @@ def test_anomaly_hours_two_shuffles(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert "Window" in plan
     assert "partial_count" in plan  # map-side combine before shuffle 1
+
+
+def test_uncapped_inverted_index_term_clustered_layout(spark):
+    """The uncapped index's postings pipeline must be exactly two
+    exchanges — the (word, doc_id) tf agg with map-side partials, then the
+    single rangepartitioning(word) that lays files out by term — with a
+    word sort feeding the write and only (doc_id, text) read from the
+    scan. Any extra Exchange means the layout write stopped reusing the
+    agg output directly."""
+    from lua_mapreduce_spark.operators.curation import inverted_index_postings
+
+    postings = inverted_index_postings(spark, SF_MEDIUM)
+    laid_out = postings.repartitionByRange(8, "word").sortWithinPartitions("word")
+    plan = _explain(laid_out)
+    # Exactly three exchanges: parallelize_scan's small-input repartition
+    # (no-op at real scale), the tf agg's hashpartitioning, and the one
+    # rangepartitioning(word) for the clustered layout.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert len(re.findall(r"rangepartitioning\(word", plan)) == 1
+    assert "hashpartitioning(word" in plan
+    assert "partial_count" in plan, "tf agg lost map-side combine"
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, "scan reads extra columns"
