@@ -174,6 +174,8 @@ _BROADCAST_OK = {
     ("relational4.py", "candidates"), # merged-MG truncation: <= capacity rows
     ("relational4.py", "total"),      # single-row global count
     ("curation.py", "n_docs"),        # single-row global aggregate (TF-IDF N)
+    ("relational4.py", "approx"),     # grouped by o_orderstatus: <= 3 rows
+    ("relational4.py", "checked"),    # grouped by o_orderstatus: <= 3 rows
 }
 
 
