@@ -76,6 +76,11 @@ HEADLINE = [
     "curation_shuffle_shards",
     "text_decontaminate_fuzzy",
     "events_anomaly_hours",
+    # Round 6 additions — the scale-technique surface (bloom semi-join
+    # reduction, exact-quota stratified sampling, z-order keys).
+    "join_bloom_prefilter",
+    "curation_stratified_sample",
+    "layout_zorder_keys",
 ]
 
 N_RUNS = 3

@@ -24,6 +24,7 @@ from lua_mapreduce_spark.operators import (
     relational2,
     relational3,
     relational4,
+    scale_ops,
     similarity,
     streaming_ops,
     text,
@@ -47,6 +48,7 @@ _MODULES = [
     streaming_ops,
     pipeline,
     curation,
+    scale_ops,
 ]
 
 # The grading driver hard-verifies the FIRST 50 registry entries in
@@ -61,11 +63,14 @@ _MODULES = [
 # round (text_inverted_index — postings now concat_ws-serialized after the
 # r5 driver-canonicalizer failure; both approx sketches — now emit exact
 # columns + an accuracy boolean and carry full oracles;
-# streaming_upsert_merge — work-dir cleanup added). The remaining slots
-# take ALL once-driver-verified queries except curation_shuffle_shards
-# (freshly verified r5, unchanged, deterministic — the one name that had
-# to yield a slot; re-window it r7). After a green round every registry
-# query is >= twice-verified except that one, which stays at once.
+# streaming_upsert_merge — work-dir cleanup added), plus the three NEW
+# scale_ops queries (join_bloom_prefilter, curation_stratified_sample,
+# layout_zorder_keys) per the new-query rule. The remaining slots take
+# once-driver-verified queries; four once-verified names had to yield
+# slots and re-window in r7: curation_shuffle_shards (yielded r6),
+# sample_deterministic_hash, scalar_conditional_funcs,
+# scalar_array_map_funcs (yielded to the new queries). After a green
+# round every registry query is >= twice-verified except those four.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -74,6 +79,9 @@ _DRIVER_WINDOW = [
     "agg_approx_distinct_sketch",
     "agg_approx_percentile_sketch",
     "streaming_upsert_merge",
+    "join_bloom_prefilter",
+    "curation_stratified_sample",
+    "layout_zorder_keys",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -81,9 +89,6 @@ _DRIVER_WINDOW = [
     "multimodal_audio_features",
     "multimodal_resize_thumbnail",
     "range_join_monthly",
-    "sample_deterministic_hash",
-    "scalar_array_map_funcs",
-    "scalar_conditional_funcs",
     "scalar_date_arithmetic",
     "scalar_functions_showcase",
     "scalar_higher_order_funcs",

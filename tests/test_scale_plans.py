@@ -176,6 +176,8 @@ _BROADCAST_OK = {
     ("curation.py", "n_docs"),        # single-row global aggregate (TF-IDF N)
     ("relational4.py", "approx"),     # grouped by o_orderstatus: <= 3 rows
     ("relational4.py", "checked"),    # grouped by o_orderstatus: <= 3 rows
+    ("scale_ops.py", "bits"),         # 1-row array of <= _BLOOM_M ints (~512 KB cap)
+    ("scale_ops.py", "bounds"),       # single-row global min/max aggregate
 }
 
 
