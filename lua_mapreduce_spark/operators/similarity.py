@@ -612,8 +612,129 @@ WHERE rank <= {_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Int8-quantized cosine top-k: the memory-bandwidth scale path.
+#
+# At 100 TB the exact float path is bandwidth-bound: float32 vectors cost
+# 4 bytes/dim through every scan, shuffle, and broadcast. Symmetric
+# per-vector int8 quantization (q_i = round(v_i / max|v| * 127)) cuts
+# that 4x, turns the inner loop into integer multiply-adds (SIMD-friendly
+# on any executor), and loses almost nothing on ranking — the recall@k
+# floor vs the exact float path is asserted in tests/test_similarity.
+#
+# Everything is deterministic: the quantizer uses floor(x + 0.5) (both
+# engines' floor is exact IEEE; round() would differ — Spark HALF_UP vs
+# DuckDB's away-from-zero at representational edge cases), dot products
+# and squared norms are exact BIGINT sums, and the final score divides
+# the integer dot by the product of sqrt'd integer norms — the same IEEE
+# double expression text on both sides. Full value oracle.
+# --------------------------------------------------------------------------
+
+_Q_LEVELS = 127.0
+_Q_EPS = "CAST(1e-30 AS DOUBLE)"  # all-zero-vector guard
+
+
+def _q_scale(emb: str, engine: str) -> str:
+    if engine == "spark":
+        m = (
+            f"aggregate({emb}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+        )
+    else:
+        m = f"list_max(list_transform({emb}, v -> abs(CAST(v AS DOUBLE))))"
+    return f"greatest({m}, {_Q_EPS})"
+
+
+def _q_vec(emb: str, qs: str, engine: str) -> str:
+    lam = f"CAST(floor(CAST(v AS DOUBLE) * {_Q_LEVELS} / {qs} + 0.5) AS BIGINT)"
+    fn = "transform" if engine == "spark" else "list_transform"
+    return f"{fn}({emb}, v -> {lam})"
+
+
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(
+        "vec_id", f"{_q_scale('embedding', 'spark')} AS qs", "embedding"
+    ).selectExpr("vec_id", f"{_q_vec('embedding', 'qs', 'spark')} AS qv")
+    q = q.selectExpr(
+        "vec_id",
+        "qv",
+        "aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v) AS qn",
+    )
+    queries = q.filter(F.col("vec_id") < _N_QUERIES)
+    corpus = parallelize_scan(spark, q)
+    a, b = queries.alias("a"), corpus.alias("b")
+    dotq = (
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = b.join(F.broadcast(a), F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.expr(dotq).alias("dotq"),
+        F.col("a.qn").alias("qna"),
+        F.col("b.qn").alias("qnb"),
+    )
+    scored = scored.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "dotq",
+        "CAST(dotq AS DOUBLE) / (sqrt(CAST(qna AS DOUBLE))"
+        " * sqrt(CAST(qnb AS DOUBLE))) AS qcos",
+    )
+    # Same two-phase exact top-k as sim_cosine_topk: partition-local prune
+    # bounds the per-query window input to nPartitions*k rows.
+    w1 = Window.partitionBy("query_id", "pid").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    pruned = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _TOP_K)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "dotq", "qcos", "rank")
+    )
+
+
+def _quantized_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_q_scale("embedding", "duck")} AS qs
+  FROM embeddings),
+q AS (
+  SELECT vec_id, {_q_vec("embedding", "qs", "duck")} AS qv FROM s),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS qn
+  FROM q),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                      p -> p[1] * p[2])) AS BIGINT) AS dotq,
+         a.qn AS qna, b.qn AS qnb
+  FROM n a JOIN n b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {_N_QUERIES})
+SELECT query_id, neighbor_id, dotq, qcos, rank FROM (
+  SELECT query_id, neighbor_id, dotq,
+         CAST(dotq AS DOUBLE) / (sqrt(CAST(qna AS DOUBLE))
+           * sqrt(CAST(qnb AS DOUBLE))) AS qcos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dotq AS DOUBLE) / (sqrt(CAST(qna AS DOUBLE))
+                      * sqrt(CAST(qnb AS DOUBLE))) DESC,
+                    neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_quantized_topk": sim_quantized_topk,
     "sim_ann_lsh_buckets": sim_ann_lsh_buckets,
     "sim_ann_multitable": sim_ann_multitable,
     "sim_ivf_topk": sim_ivf_topk,
@@ -622,6 +743,7 @@ QUERIES = {
 
 ORACLES = {
     "sim_cosine_topk": SIM_TOPK_ORACLE,
+    "sim_quantized_topk": _quantized_oracle(),
     "sim_ann_lsh_buckets": _ann_oracle(),
     "sim_ann_multitable": _multitable_oracle(),
     "sim_ivf_topk": _ivf_oracle(),

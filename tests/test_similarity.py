@@ -153,3 +153,15 @@ def test_multitable_bucket_sizes_bounded(spark):
     sizes = [r["count"] for r in buckets]
     assert len(sizes) == _MT_TABLES * 32, f"empty buckets: {len(sizes)}"
     assert max(sizes) <= 0.10 * n, f"skewed bucket: max={max(sizes)} of n={n}"
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """Int8 quantization barely perturbs ranking: recall@5 vs the exact
+    float path should be near 1 (measured at sf0.01; asserted with
+    margin). This is the quality contract that justifies the 4x
+    bandwidth saving at scale."""
+    exact = _pairs(spark, "sim_cosine_topk")
+    quant = _pairs(spark, "sim_quantized_topk")
+    assert exact, "exact baseline returned no pairs"
+    recall = len(quant & exact) / len(exact)
+    assert recall >= 0.8, f"int8 quantization recall collapsed: {recall:.2f}"
