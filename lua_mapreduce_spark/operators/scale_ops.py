@@ -43,26 +43,64 @@ from lua_mapreduce_spark.functions.texthash import (
 # Query shape: orders of BUILDING-segment customers, aggregated by order
 # priority. The naive plan shuffles ALL orders into the join; the bloom
 # path builds a 2-hash filter over the ~1/5 of customers that survive the
-# segment predicate, broadcasts the set-bit positions (bounded by _BLOOM_M
-# = 64Ki ints, a constant ~512 KB ceiling at ANY build-side cardinality),
-# and drops ~80% of probe rows map-side before the shuffle. The final
-# equi-join makes the result EXACT regardless of false positives, so the
-# oracle is the plain semi-join — the bloom is pure plan optimization,
-# which is precisely why it is safe at 100 TB.
+# segment predicate, packs it into a DENSE bitset of _BLOOM_M bits (1024
+# longs = 8 KB broadcast, constant at ANY build-side cardinality), and
+# drops ~80% of probe rows map-side before the shuffle with an O(1)
+# element_at + bit-test per row (a position ARRAY would make every probe
+# an O(set-bits) array_contains scan — measured 4.2 s vs 1 s at sf0.1).
+# The final equi-join makes the result EXACT regardless of false
+# positives, so the oracle is the plain semi-join — the bloom is pure
+# plan optimization, which is precisely why it is safe at 100 TB.
 #
 # Hashing goes through md5 (portable, see functions/texthash.py) so the
 # filter itself is deterministic and engine-independent.
 # --------------------------------------------------------------------------
 
 _BLOOM_M = 1 << 16  # bit-space size; fp ~0.8% at 3k members, k=2
+_BLOOM_WORDS = _BLOOM_M // 64
 _BLOOM_SALTS = ("bf1:", "bf2:")
 _BLOOM_SEGMENT = "BUILDING"
 
 
-def _bloom_pos(col_sql: str, salt: str):
-    """Position of one salted hash of a key column in [0, _BLOOM_M)."""
+def _bloom_pos(col_sql: str, salt: str) -> str:
+    """SQL: position of one salted hash of a key column in [0, _BLOOM_M)."""
     h = md5_bigint_expr(f"concat('{salt}', CAST({col_sql} AS STRING))")
-    return F.pmod(F.expr(h), F.lit(_BLOOM_M))
+    return f"pmod({h}, {_BLOOM_M})"
+
+
+def _bloom_bitset(cust: DataFrame) -> DataFrame:
+    """1-row DataFrame with `bloom` = dense array of _BLOOM_WORDS longs.
+
+    Build: explode the k salted positions, OR each word's bits with a
+    map-side-combinable bit_or agg (_BLOOM_WORDS rows max reach the
+    final agg), then densify the sparse (word -> bits) map onto
+    sequence(0, _BLOOM_WORDS-1) so probes index it in O(1)."""
+    pos_arr = ", ".join(_bloom_pos("c_custkey", s) for s in _BLOOM_SALTS)
+    words = (
+        cust.select(F.explode(F.expr(f"array({pos_arr})")).alias("pos"))
+        .groupBy(F.expr("pos DIV 64").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bm")
+    ).selectExpr(
+        f"transform(sequence(0, {_BLOOM_WORDS - 1}),"
+        " w -> coalesce(bm[w], CAST(0 AS BIGINT))) AS bloom"
+    )
+
+
+def _bloom_hit(col_sql: str, salt: str):
+    """O(1) membership probe: pick the word, test the bit."""
+    p = _bloom_pos(col_sql, salt)
+    return F.expr(
+        f"pmod(shiftrightunsigned("
+        f"element_at(bloom, CAST(({p}) DIV 64 AS INT) + 1),"
+        f" CAST(pmod({p}, 64) AS INT)), 2) = 1"
+    )
 
 
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,30 +110,16 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = customer.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select(
         "c_custkey"
     )
-    # Build side -> one row holding the sorted distinct set-bit positions.
-    bits = (
-        cust.select(
-            F.explode(
-                F.array(
-                    *[_bloom_pos("c_custkey", s) for s in _BLOOM_SALTS]
-                )
-            ).alias("pos")
-        )
-        .agg(F.sort_array(F.collect_set("pos")).alias("bloom_bits"))
-    )
+    bits = _bloom_bitset(cust)
     # Probe side: scalar broadcast + map-side membership test on both
     # hashes, BEFORE the join shuffle.
     pruned = (
         orders.join(F.broadcast(bits))  # 1-row scalar cross join
         .filter(
-            F.array_contains(
-                F.col("bloom_bits"), _bloom_pos("o_custkey", _BLOOM_SALTS[0])
-            )
-            & F.array_contains(
-                F.col("bloom_bits"), _bloom_pos("o_custkey", _BLOOM_SALTS[1])
-            )
+            _bloom_hit("o_custkey", _BLOOM_SALTS[0])
+            & _bloom_hit("o_custkey", _BLOOM_SALTS[1])
         )
-        .drop("bloom_bits")
+        .drop("bloom")
     )
     # Exact verification join: false positives die here.
     return (
@@ -117,19 +141,11 @@ def bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = customer.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select(
         "c_custkey"
     )
-    bits = cust.select(
-        F.explode(
-            F.array(*[_bloom_pos("c_custkey", s) for s in _BLOOM_SALTS])
-        ).alias("pos")
-    ).agg(F.sort_array(F.collect_set("pos")).alias("bloom_bits"))
+    bits = _bloom_bitset(cust)
     probed = orders.join(F.broadcast(bits)).select(
         (
-            F.array_contains(
-                F.col("bloom_bits"), _bloom_pos("o_custkey", _BLOOM_SALTS[0])
-            )
-            & F.array_contains(
-                F.col("bloom_bits"), _bloom_pos("o_custkey", _BLOOM_SALTS[1])
-            )
+            _bloom_hit("o_custkey", _BLOOM_SALTS[0])
+            & _bloom_hit("o_custkey", _BLOOM_SALTS[1])
         ).alias("bloom_pass"),
         "o_custkey",
     )

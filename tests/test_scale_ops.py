@@ -39,8 +39,9 @@ def test_bloom_prefilter_prunes_probe_side(spark):
 def test_bloom_filter_survives_in_plan(spark):
     plan = join_bloom_prefilter(spark, SF_MEDIUM)._jdf.queryExecution().executedPlan().toString()
     # The probe-side membership test must still be there (not optimized
-    # away): two array_contains conjuncts in a Filter above the orders scan.
-    assert "array_contains" in plan
+    # away): the O(1) word-index bit tests in a Filter above the orders
+    # scan (element_at into the dense bitset + unsigned shift).
+    assert "shiftrightunsigned" in plan and "element_at" in plan
 
 
 def test_stratified_sample_exact_quotas(spark):
