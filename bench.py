@@ -77,10 +77,13 @@ HEADLINE = [
     "text_decontaminate_fuzzy",
     "events_anomaly_hours",
     # Round 6 additions — the scale-technique surface (bloom semi-join
-    # reduction, exact-quota stratified sampling, z-order keys).
+    # reduction, exact-quota stratified sampling, z-order keys, int8
+    # quantized similarity, bitmap exact-distinct).
     "join_bloom_prefilter",
     "curation_stratified_sample",
     "layout_zorder_keys",
+    "sim_quantized_topk",
+    "agg_bitmap_distinct",
 ]
 
 N_RUNS = 3

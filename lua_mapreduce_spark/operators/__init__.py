@@ -63,15 +63,16 @@ _MODULES = [
 # round (text_inverted_index — postings now concat_ws-serialized after the
 # r5 driver-canonicalizer failure; both approx sketches — now emit exact
 # columns + an accuracy boolean and carry full oracles;
-# streaming_upsert_merge — work-dir cleanup added), plus the four NEW
+# streaming_upsert_merge — work-dir cleanup added), plus the five NEW
 # queries (join_bloom_prefilter, curation_stratified_sample,
-# layout_zorder_keys, sim_quantized_topk) per the new-query rule. The
-# remaining slots take once-driver-verified queries; five once-verified
-# names had to yield slots and re-window in r7: curation_shuffle_shards
-# (yielded r6), sample_deterministic_hash, scalar_conditional_funcs,
-# scalar_array_map_funcs, scalar_higher_order_funcs (yielded to the new
+# layout_zorder_keys, sim_quantized_topk, agg_bitmap_distinct) per the
+# new-query rule. The remaining slots take once-driver-verified queries;
+# six once-verified names had to yield slots and re-window in r7:
+# curation_shuffle_shards (yielded r6), sample_deterministic_hash,
+# scalar_conditional_funcs, scalar_array_map_funcs,
+# scalar_higher_order_funcs, scalar_map_higher_order (yielded to the new
 # queries). After a green round every registry query is >= twice-verified
-# except those five.
+# except those six.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -84,6 +85,7 @@ _DRIVER_WINDOW = [
     "curation_stratified_sample",
     "layout_zorder_keys",
     "sim_quantized_topk",
+    "agg_bitmap_distinct",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -93,7 +95,6 @@ _DRIVER_WINDOW = [
     "range_join_monthly",
     "scalar_date_arithmetic",
     "scalar_functions_showcase",
-    "scalar_map_higher_order",
     "scalar_math_funcs",
     "scalar_regex_funcs",
     "scalar_string_advanced",

@@ -330,14 +330,50 @@ def write_zorder_parquet(
     ).parquet(path)
 
 
+# --------------------------------------------------------------------------
+# Exact distinct counting via bitmap aggregation.
+#
+# COUNT(DISTINCT) over a dense integer key compiles to a two-phase Expand
+# plan that shuffles every (group, key) pair. The bitmap formulation
+# groups by (group, key DIV 64) with a map-side-combinable bit_or — the
+# shuffle carries at most 1/64th the rows (one long per populated word),
+# then a tiny second agg sums bit_count per group. Exact at any scale,
+# the technique behind bitmap-distinct columns in ClickHouse/Doris; HLL
+# (agg_approx_distinct_sketch) is the approximate sibling when even the
+# bitmap is too wide. Pure integer ops -> full value oracle.
+# --------------------------------------------------------------------------
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    words = orders.groupBy(
+        "o_orderpriority", F.expr("o_custkey DIV 64").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 64 AS INT)))"
+        ).alias("bits")
+    )
+    return words.groupBy("o_orderpriority").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_custs")
+    )
+
+
+BITMAP_DISTINCT_ORACLE = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_bloom_prefilter": join_bloom_prefilter,
     "curation_stratified_sample": curation_stratified_sample,
     "layout_zorder_keys": layout_zorder_keys,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
 }
 
 ORACLES = {
     "join_bloom_prefilter": BLOOM_PREFILTER_ORACLE,
     "curation_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "layout_zorder_keys": ZORDER_ORACLE,
+    "agg_bitmap_distinct": BITMAP_DISTINCT_ORACLE,
 }

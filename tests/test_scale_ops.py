@@ -16,7 +16,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.catalog import load_table
-from lua_mapreduce_spark.operators.scale_ops import (
+from lua_mapreduce_spark.operators.scale_ops import (  # noqa: F401
     _STRATA_QUOTA,
     bloom_prune_stats,
     curation_stratified_sample,
@@ -109,3 +109,35 @@ def test_zorder_files_narrow_in_both_dimensions(spark, tmp_path):
     # ~= the global range (ratio ~1.0). Z-order must be narrow on BOTH.
     assert spans["uid"] < 0.7, spans
     assert spans["hour_idx"] < 0.7, spans
+
+
+def test_zorder_morton_deinterleave_roundtrip(spark):
+    """De-interleaving z in plain Python must recover (zx, zy) exactly —
+    the property that makes z-range file pruning sound for both columns."""
+    from lua_mapreduce_spark.operators.scale_ops import _Z_BITS, layout_zorder_keys
+
+    rows = layout_zorder_keys(spark, SF_MEDIUM).limit(2000).collect()
+    assert rows
+    for r in rows:
+        x = y = 0
+        for i in range(_Z_BITS):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.zx, r.zy), (r.z, x, y, r.zx, r.zy)
+
+
+def test_bitmap_distinct_shuffles_words_not_keys(spark):
+    """The first aggregate must carry bit_or-packed words (map-side
+    combinable, <= 1/64th the distinct keys) — not raw expanded keys."""
+    from lua_mapreduce_spark.operators.scale_ops import agg_bitmap_distinct
+
+    plan = (
+        agg_bitmap_distinct(spark, SF_MEDIUM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bit_or" in plan and "bit_count" in plan
+    # COUNT(DISTINCT) would compile through an Expand node; the bitmap
+    # path must not.
+    assert "Expand" not in plan

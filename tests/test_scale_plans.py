@@ -124,6 +124,9 @@ _NESTED_LOOP_OK = {
     "q22_dormant_rich_customers",  # 1-row scalar subquery broadcast
     "text_tfidf",             # 1-row N-scalar broadcast cross join
     "agg_heavy_hitters_sketch",  # 1-row n_total broadcast cross join
+    "join_bloom_prefilter",   # 1-row bitset broadcast cross join
+    "layout_zorder_keys",     # 1-row min/max bounds broadcast cross join
+    "sim_quantized_topk",     # != condition against broadcast query set
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
