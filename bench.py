@@ -84,6 +84,11 @@ HEADLINE = [
     "layout_zorder_keys",
     "sim_quantized_topk",
     "agg_bitmap_distinct",
+    # Round 6 additions, part 2 — the corpus-hygiene surface (substring
+    # dedup, SemDeDup, PII scrub).
+    "dedup_substring_windows",
+    "dedup_semantic_semdedup",
+    "curation_pii_scrub",
 ]
 
 N_RUNS = 3

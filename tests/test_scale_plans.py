@@ -181,6 +181,7 @@ _BROADCAST_OK = {
     ("relational4.py", "checked"),    # grouped by o_orderstatus: <= 3 rows
     ("scale_ops.py", "bits"),         # 1-row array of <= _BLOOM_M ints (~512 KB cap)
     ("scale_ops.py", "bounds"),       # single-row global min/max aggregate
+    ("hygiene.py", "cent"),           # fixed k centroids (SemDeDup assignment)
 }
 
 
