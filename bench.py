@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_substring_windows",
     "dedup_semantic_semdedup",
     "curation_pii_scrub",
+    "text_unigram_rarity",
 ]
 
 N_RUNS = 3

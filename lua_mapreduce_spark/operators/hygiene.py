@@ -47,7 +47,7 @@ from lua_mapreduce_spark.functions.texthash import (
     words_expr,
 )
 from lua_mapreduce_spark.operators.similarity import (
-    _COS,
+    _DOT,
     _ORACLE_COS,
     _km_centroids,
     _km_oracle_ctes,
@@ -76,10 +76,19 @@ def _substring_window_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, gh): the DISTINCT hashed _SUB_N-token windows per document.
 
     Built in one projection (tokenize once, window + hash inside array
-    lambdas, no explode until the hash array exists), then exploded to
-    long form. Only the 8-byte hash ever reaches a shuffle — the window
-    TEXT stays inside the scan projection, which is what keeps the
-    shuffle volume independent of window width at 100 TB.
+    lambdas), exploded to long form IN THE SAME select. Only the 8-byte
+    hash ever reaches a shuffle — the window TEXT stays inside the scan
+    projection, which is what keeps the shuffle volume independent of
+    window width at 100 TB.
+
+    Plan-shape trap (cost a 15x slowdown before the plan test below
+    caught it): explode() must consume the window expression DIRECTLY.
+    With an intermediate `select(ghs)` + later `select(explode(ghs))`,
+    CollapseProject inlines `ghs` into the Generate and then collapses
+    the token-array projection into every `l[...]` subscript — the
+    regexp tokenizer re-runs per window element (~20 copies in the
+    optimized plan; tests/test_hygiene.py::test_substring_plan_tokenizes_once
+    pins the 2-copy shape: one in the pushed size() filter, one here).
     """
     gram = _sub_gram_concat_spark("l", "i")
     # CASE-guarded: sequence(0, n) DESCENDS when n < 0, so without the
@@ -94,8 +103,7 @@ def _substring_window_hashes(docs: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id", F.expr(words_expr("text")).alias("l"))
         .filter(F.size("l") >= _SUB_N)
-        .select("doc_id", F.expr(ghs).alias("ghs"))
-        .select("doc_id", F.explode("ghs").alias("gh"))
+        .select("doc_id", F.explode(F.expr(ghs)).alias("gh"))
     )
 
 
@@ -187,8 +195,14 @@ _CENT_COS_ORACLE = (
 
 
 def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, embedding, cent_id): nearest-centroid assignment, the
-    shared front half of SemDeDup (identical to sim_ivf_topk's cells)."""
+    """(vec_id, embedding, cent_id, nrm): nearest-centroid assignment, the
+    shared front half of SemDeDup (identical to sim_ivf_topk's cells).
+
+    ``nrm`` is the vector's L2 norm, computed ONCE per vector here so the
+    O(sum c_i^2) pair stage below pays one 64-dim fold per pair (the dot)
+    instead of three — the norm is the same IEEE double either way
+    (identical expression on identical input), so the oracle, which
+    recomputes norms inline, still matches bit-for-bit."""
     from pyspark.sql import Window
 
     emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
@@ -199,7 +213,15 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cent_id", F.expr(_CENT_COS_SPARK).alias("ccos"))
         .withColumn("crank", F.row_number().over(rank_w))
         .filter(F.col("crank") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.expr(
+                "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+            ).alias("nrm"),
+        )
     )
 
 
@@ -221,7 +243,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cent_id") == F.col("b.cent_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(F.expr(_COS) >= _SEM_COS_THRESHOLD)
+        .filter(
+            F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")) >= _SEM_COS_THRESHOLD
+        )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("rm", F.lit(True))
@@ -248,6 +272,75 @@ removed AS (
   WHERE {_ORACLE_COS} >= {_SEM_COS_THRESHOLD})
 SELECT c.vec_id, c.cent_id, r.vec_id IS NULL AS kept
 FROM cells c LEFT JOIN removed r ON c.vec_id = r.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram rarity scoring
+# --------------------------------------------------------------------------
+
+# A token is "rare" when its corpus frequency is below 1 permille.
+_RARE_PERMILLE = 1
+
+
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical rarity from corpus unigram statistics — the
+    transcendental-free cousin of unigram-LM surprisal (score contribution
+    ``N DIV cnt(word)`` is order-isomorphic to ``-log p(word)``), a
+    standard quality/outlier signal for corpus filtering.
+
+    Scale shape: tokens are PRE-AGGREGATED to (doc_id, word, tf) before
+    any join — the map-side-combinable reduction means the word-keyed
+    join shuffles one row per (doc, distinct word), not one per token
+    occurrence (the hot-stopword skew killer). The vocabulary table is
+    derived FROM that same tf relation (no second text scan), and the
+    corpus total N is a 1-row broadcast like TF-IDF's n_docs. All
+    arithmetic is integer -> exact value oracle.
+    """
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    return unigram_rarity_stats(docs)
+
+
+def unigram_rarity_stats(docs: DataFrame) -> DataFrame:
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(words_expr("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    n = vocab.agg(F.sum("cnt").alias("n_total"))
+    return (
+        tf.join(vocab, "word")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(tf)").alias("n_tokens"),
+            F.expr("sum(tf * (n_total DIV cnt))").alias("rarity_sum"),
+            F.expr("max(n_total DIV cnt)").alias("rarity_max"),
+            F.expr(
+                f"sum(CASE WHEN cnt * 1000 <= n_total * {_RARE_PERMILLE}"
+                f" THEN tf ELSE 0 END)"
+            ).alias("n_rare"),
+        )
+    )
+
+
+UNIGRAM_RARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t.word AS word
+  FROM (SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents),
+       unnest(l) AS t(word)),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
+vocab AS (SELECT word, SUM(tf) AS cnt FROM tf GROUP BY word),
+n AS (SELECT SUM(cnt) AS n_total FROM vocab)
+SELECT t.doc_id,
+       CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(t.tf * (n.n_total // v.cnt)) AS BIGINT) AS rarity_sum,
+       CAST(MAX(n.n_total // v.cnt) AS BIGINT) AS rarity_max,
+       CAST(SUM(CASE WHEN v.cnt * 1000 <= n.n_total * {_RARE_PERMILLE}
+                     THEN t.tf ELSE 0 END) AS BIGINT) AS n_rare
+FROM tf t JOIN vocab v USING (word) CROSS JOIN n
+GROUP BY t.doc_id
 """
 
 
@@ -315,10 +408,12 @@ QUERIES = {
     "dedup_substring_windows": dedup_substring_windows,
     "dedup_semantic_semdedup": dedup_semantic_semdedup,
     "curation_pii_scrub": curation_pii_scrub,
+    "text_unigram_rarity": text_unigram_rarity,
 }
 
 ORACLES = {
     "dedup_substring_windows": SUBSTRING_DEDUP_ORACLE,
     "dedup_semantic_semdedup": SEMDEDUP_ORACLE,
     "curation_pii_scrub": _pii_oracle(),
+    "text_unigram_rarity": UNIGRAM_RARITY_ORACLE,
 }

@@ -91,6 +91,26 @@ def test_pii_scrub_masks_and_counts(spark):
     )
 
 
+def test_substring_plan_tokenizes_once(spark):
+    """The regexp tokenizer must appear at most 4 times in the optimized
+    plan: (pushed size() filter + window projection) x the two uses of
+    the grams relation (frequency agg + join-back). An intermediate
+    projection between the window expression and explode() lets
+    CollapseProject inline the token array into every l[...] subscript —
+    ~20 tokenizer copies, measured 15x slower at sf0.1."""
+    from lua_mapreduce_spark.operators.hygiene import dedup_substring_windows
+
+    plan = (
+        dedup_substring_windows(spark, SF_MEDIUM)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_extract_all") <= 4, (
+        f"tokenizer inlined {plan.count('regexp_extract_all')} times"
+    )
+
+
 def test_pii_scrub_is_map_side_only(spark):
     """The scrub touches each row once: no Exchange anywhere in the plan."""
     from lua_mapreduce_spark.catalog import load_table
@@ -104,6 +124,23 @@ def test_pii_scrub_is_map_side_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_unigram_rarity_hand_computed(spark):
+    """Tiny corpus with hand-computable stats: aa x3, bb x1, cc x1, N=5.
+    Rarity contribution is N DIV cnt: aa -> 1, bb/cc -> 5."""
+    from lua_mapreduce_spark.operators.hygiene import unigram_rarity_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in unigram_rarity_stats(docs).collect()}
+    assert rows[1].n_tokens == 3
+    assert rows[1].rarity_sum == 2 * 1 + 5
+    assert rows[1].rarity_max == 5
+    assert rows[1].n_rare == 0  # no word is below 1 permille here
+    assert rows[2].n_tokens == 2
+    assert rows[2].rarity_sum == 1 + 5
 
 
 def test_semdedup_verdict_covers_corpus_and_finds_dups(spark):

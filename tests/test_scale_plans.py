@@ -127,6 +127,7 @@ _NESTED_LOOP_OK = {
     "join_bloom_prefilter",   # 1-row bitset broadcast cross join
     "layout_zorder_keys",     # 1-row min/max bounds broadcast cross join
     "sim_quantized_topk",     # != condition against broadcast query set
+    "text_unigram_rarity",    # 1-row N-scalar broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -182,6 +183,7 @@ _BROADCAST_OK = {
     ("scale_ops.py", "bits"),         # 1-row array of <= _BLOOM_M ints (~512 KB cap)
     ("scale_ops.py", "bounds"),       # single-row global min/max aggregate
     ("hygiene.py", "cent"),           # fixed k centroids (SemDeDup assignment)
+    ("hygiene.py", "n"),              # single-row global token count (rarity N)
 }
 
 
