@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     "curation_pii_scrub",
     "text_unigram_rarity",
+    "multimodal_phash_dedup",
 ]
 
 N_RUNS = 3

@@ -65,19 +65,19 @@ _MODULES = [
 # round (text_inverted_index — postings now concat_ws-serialized after the
 # r5 driver-canonicalizer failure; both approx sketches — now emit exact
 # columns + an accuracy boolean and carry full oracles;
-# streaming_upsert_merge — work-dir cleanup added), plus the nine NEW
+# streaming_upsert_merge — work-dir cleanup added), plus the ten NEW
 # queries (join_bloom_prefilter, curation_stratified_sample,
 # layout_zorder_keys, sim_quantized_topk, agg_bitmap_distinct,
 # dedup_substring_windows, dedup_semantic_semdedup, curation_pii_scrub,
-# text_unigram_rarity) per the new-query rule. The remaining slots take
-# once-driver-verified queries; ten once-verified names had to yield
+# text_unigram_rarity, multimodal_phash_dedup) per the new-query rule. The remaining slots take
+# once-driver-verified queries; eleven once-verified names had to yield
 # slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # sample_deterministic_hash, scalar_conditional_funcs,
 # scalar_array_map_funcs, scalar_higher_order_funcs,
 # scalar_map_higher_order, scalar_date_arithmetic,
-# scalar_functions_showcase, scalar_math_funcs, scalar_regex_funcs
-# (yielded to the new queries). After a green round every registry query
-# is >= twice-verified except those ten.
+# scalar_functions_showcase, scalar_math_funcs, scalar_regex_funcs,
+# scalar_string_advanced (yielded to the new queries). After a green round every registry query
+# is >= twice-verified except those eleven.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -95,6 +95,7 @@ _DRIVER_WINDOW = [
     "dedup_semantic_semdedup",
     "curation_pii_scrub",
     "text_unigram_rarity",
+    "multimodal_phash_dedup",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -102,7 +103,6 @@ _DRIVER_WINDOW = [
     "multimodal_audio_features",
     "multimodal_resize_thumbnail",
     "range_join_monthly",
-    "scalar_string_advanced",
     "scalar_timestamp_diff",
     "setop_union_intersect_except",
     "sort_topk_orders",

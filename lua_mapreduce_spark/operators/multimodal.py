@@ -379,12 +379,101 @@ FROM dims
 """
 
 
+def _phash_bits(blob: bytes) -> str:
+    """64-bit average hash (aHash) of the 8x8 NN thumbnail as a '0'/'1'
+    string: bit i set when thumbnail pixel i's channel-sum exceeds the
+    thumbnail mean. The comparison is s_i * 64 > total (pure integers) so
+    the bit decisions replay exactly in SQL; the hash is emitted as a
+    bitstring, not a BIGINT, because bit 63 would need unsigned shifts
+    that DuckDB and Spark overflow differently."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    row_stride = width * 3 + ((-width * 3) % 4)
+    sums = []
+    for i in range(_THUMB_W * _THUMB_H):
+        sy = (i // _THUMB_W) * height // _THUMB_H
+        sx = (i % _THUMB_W) * width // _THUMB_W
+        base = off + sy * row_stride + sx * 3
+        sums.append(blob[base] + blob[base + 1] + blob[base + 2])
+    total = sum(sums)
+    return "".join("1" if s * len(sums) > total else "0" for s in sums)
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: decode each BMP payload, aHash its 8x8
+    thumbnail inside the same Arrow-batched pass, then mark duplicate
+    images JVM-side by counting per 64-bit hash — the image twin of
+    dedup_exact (identical pixels hash equal; near-identical renders
+    collide too, which is the point of a perceptual hash). Output is the
+    per-image verdict (hash, bucket size, dup flag) so the result carries
+    signal even on a dup-free corpus slice. Scale shape: one mapInPandas
+    decode pass, then a window count on a 64-char key; no pixel data ever
+    reaches a shuffle."""
+    from pyspark.sql import Window
+
+    blobs = _with_blob(spark, sf_dir).select("doc_id", "blob")
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [_phash_bits(_encode_bmp(b)) for b in pdf["blob"]],
+                }
+            )
+
+    hashes = blobs.mapInPandas(phash_batches, schema="doc_id long, phash string")
+    n_same = F.count(F.lit(1)).over(Window.partitionBy("phash"))
+    return hashes.select(
+        "doc_id",
+        "phash",
+        n_same.alias("n_same_hash"),
+        (n_same > 1).alias("is_dup"),
+    )
+
+
+# Replay: raw pixel byte (sy, sx, c) = text byte (sy*width*3 + sx*3 + c)
+# mod n (same index map as the resize oracle); per-thumb-pixel triplet
+# sums s_i, bit i = s_i * 64 > sum(s).
+_PHASH_PIXSUM = f"""list_transform(range(0, {_THUMB_W * _THUMB_H}), i ->
+  ascii(substring(text, CAST(((((i // {_THUMB_W}) * height) // {_THUMB_H}) * width * 3
+        + (((i % {_THUMB_W}) * width) // {_THUMB_W}) * 3) % n AS INT) + 1, 1))
++ ascii(substring(text, CAST(((((i // {_THUMB_W}) * height) // {_THUMB_H}) * width * 3
+        + (((i % {_THUMB_W}) * width) // {_THUMB_W}) * 3 + 1) % n AS INT) + 1, 1))
++ ascii(substring(text, CAST(((((i // {_THUMB_W}) * height) // {_THUMB_H}) * width * 3
+        + (((i % {_THUMB_W}) * width) // {_THUMB_W}) * 3 + 2) % n AS INT) + 1, 1)))"""
+
+MULTIMODAL_PHASH_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         CAST(4 + octet_length(encode(text)) % 13 AS INT) AS width,
+         CAST(3 + ascii(substring(text, 1, 1)) % 7 AS INT) AS height
+  FROM documents),
+sums AS (
+  SELECT doc_id, {_PHASH_PIXSUM} AS s FROM dims),
+hashed AS (
+  SELECT doc_id,
+         array_to_string(list_transform(s, v ->
+           CASE WHEN v * {_THUMB_W * _THUMB_H} > list_sum(s)
+                THEN '1' ELSE '0' END), '') AS phash
+  FROM sums)
+SELECT doc_id, phash,
+       COUNT(*) OVER (PARTITION BY phash) AS n_same_hash,
+       COUNT(*) OVER (PARTITION BY phash) > 1 AS is_dup
+FROM hashed
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize_thumbnail": multimodal_resize_thumbnail,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
 }
 
 ORACLES = {
@@ -393,4 +482,5 @@ ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_ORACLE,
     "multimodal_resize_thumbnail": MULTIMODAL_RESIZE_ORACLE,
     "multimodal_audio_features": MULTIMODAL_AUDIO_ORACLE,
+    "multimodal_phash_dedup": MULTIMODAL_PHASH_ORACLE,
 }

@@ -97,3 +97,52 @@ def test_resize_thumbnail_is_nearest_neighbor_exact():
         ow, oh, mean = _resize_nn(_encode_bmp(text))
         assert (ow, oh) == (_THUMB_W, _THUMB_H)
         assert mean == total / (_THUMB_W * _THUMB_H * 3)
+
+
+def test_phash_bits_reference_implementation():
+    """_phash_bits must equal a from-scratch aHash over the decoded pixel
+    grid: NN-sample the 8x8 thumbnail, channel-sum each pixel, set bit i
+    when sum_i * 64 > total. Also: identical payloads hash equal."""
+    from lua_mapreduce_spark.operators.multimodal import _encode_bmp, _phash_bits
+
+    for text in (b"hello world", b"x" * 50, bytes(range(33, 97))):
+        blob = _encode_bmp(text)
+        n = len(text)
+        w = 4 + n % 13
+        h = 3 + text[0] % 7
+        sums = []
+        for i in range(64):
+            sy = (i // 8) * h // 8
+            sx = (i % 8) * w // 8
+            base = sy * w * 3 + sx * 3
+            sums.append(sum(text[(base + c) % n] for c in range(3)))
+        total = sum(sums)
+        expect = "".join("1" if s * 64 > total else "0" for s in sums)
+        assert _phash_bits(blob) == expect
+        assert _phash_bits(_encode_bmp(text)) == _phash_bits(blob)
+
+
+def test_phash_dedup_covers_exact_text_dups(spark):
+    """Identical texts render identical BMPs, so every exact text-dup
+    group must land inside some phash group: phash dup coverage >= exact
+    dup coverage (perceptual collisions can only merge groups)."""
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.operators.multimodal import multimodal_phash_dedup
+    from tests.conftest import SF_MEDIUM
+
+    docs = load_table(spark, SF_MEDIUM, "documents")
+    n_docs = docs.count()
+    exact_dup_docs = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        or 0
+    )
+    phash_rows = multimodal_phash_dedup(spark, SF_MEDIUM).collect()
+    assert len(phash_rows) == n_docs  # verdict covers every image
+    phash_dup_docs = sum(1 for r in phash_rows if r.is_dup)
+    assert phash_dup_docs >= exact_dup_docs
