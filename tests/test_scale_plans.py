@@ -121,6 +121,7 @@ _NESTED_LOOP_OK = {
     "range_join_monthly",
     "sim_cosine_topk",        # != condition against broadcast query set
     "sim_ivf_topk",           # centroid cross join (8 rows, broadcast)
+    "dedup_semantic_semdedup", # same 8-row centroid cross join (shared cells)
     "dedup_embedding_cosine", # all-pairs exact baseline (documented)
     "q22_dormant_rich_customers",  # 1-row scalar subquery broadcast
     "text_tfidf",             # 1-row N-scalar broadcast cross join
