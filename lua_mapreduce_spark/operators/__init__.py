@@ -69,9 +69,11 @@ _MODULES = [
 # queries (join_bloom_prefilter, curation_stratified_sample,
 # layout_zorder_keys, sim_quantized_topk, agg_bitmap_distinct,
 # dedup_substring_windows, dedup_semantic_semdedup, curation_pii_scrub,
-# text_unigram_rarity, multimodal_phash_dedup) per the new-query rule. The remaining slots take
-# once-driver-verified queries; eleven once-verified names had to yield
+# text_unigram_rarity, multimodal_phash_dedup,
+# curation_cluster_balanced_sample — added late-r6) per the new-query rule. The remaining slots take
+# once-driver-verified queries; twelve once-verified names had to yield
 # slots and re-window in r7: curation_shuffle_shards (yielded r6),
+# window_range_frame (yielded its slot to curation_cluster_balanced_sample),
 # sample_deterministic_hash, scalar_conditional_funcs,
 # scalar_array_map_funcs, scalar_higher_order_funcs,
 # scalar_map_higher_order, scalar_date_arithmetic,
@@ -129,7 +131,7 @@ _DRIVER_WINDOW = [
     "unpivot_rates",
     "upsert_snapshot_merge",
     "window_distribution_funcs",
-    "window_range_frame",
+    "curation_cluster_balanced_sample",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

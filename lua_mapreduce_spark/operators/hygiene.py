@@ -276,6 +276,71 @@ FROM cells c LEFT JOIN removed r ON c.vec_id = r.vec_id
 
 
 # --------------------------------------------------------------------------
+# Cluster-balanced (diversity) sampling
+# --------------------------------------------------------------------------
+
+# Per-cell sample cap: at most this many vectors survive per k-means cell.
+_CB_KEEP_PER_CELL = 32
+
+
+def curation_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: cap every k-means cell at
+    ``_CB_KEEP_PER_CELL`` vectors, chosen by a deterministic per-vector
+    md5 rank — the curation step that runs right after SemDeDup to
+    flatten cluster mass, so dense embedding regions don't dominate the
+    sampled training mix (the document-level analogue of domain
+    balancing). The md5 rank is a seeded pseudo-random draw both engines
+    compute identically, so the "random" sample is fully oracle-checked.
+
+    Scale shape: centroid assignment is the shared bounded broadcast
+    cross join (one scan of ``embeddings``); ranking is ONE shuffle
+    partitioned by ``cent_id`` with a ``row_number`` window. Cell width
+    is what production bounds by raising ``_N_CENTROIDS`` with corpus
+    size (fixed here at the training constants so the k-means oracle
+    replay stays exact) — the per-cell sort is then always a bounded
+    partition, never a global sort. Output is the full corpus verdict
+    (vec_id, cent_id, cell_rank, sampled), same contract as SemDeDup.
+
+    No reference analogue (north star; its one workload is word count,
+    example/word-count-taskfile.lua:73-159).
+    """
+    from pyspark.sql import Window
+
+    cells = _semdedup_cells(spark, sf_dir).select("vec_id", "cent_id")
+    draw = md5_bigint_expr("CAST(vec_id AS STRING)")
+    cell_w = Window.partitionBy("cent_id").orderBy(
+        F.expr(draw).asc(), F.col("vec_id").asc()
+    )
+    return cells.select(
+        "vec_id",
+        "cent_id",
+        F.row_number().over(cell_w).alias("cell_rank"),
+    ).withColumn("sampled", F.col("cell_rank") <= _CB_KEEP_PER_CELL)
+
+
+CLUSTER_BALANCED_SAMPLE_ORACLE = f"""
+WITH {_km_oracle_ctes()},
+assign AS (
+  SELECT e.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_CENT_COS_ORACLE} DESC,
+                                     c.cent_id ASC) AS crank
+  FROM embeddings e CROSS JOIN cent c),
+cells AS (SELECT vec_id, cent_id FROM assign WHERE crank = 1),
+ranked AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cent_id
+           ORDER BY {oracle_md5_bigint_expr("CAST(vec_id AS VARCHAR)")} ASC,
+                    vec_id ASC) AS cell_rank
+  FROM cells)
+SELECT vec_id, cent_id, CAST(cell_rank AS INT) AS cell_rank,
+       cell_rank <= {_CB_KEEP_PER_CELL} AS sampled
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
 # Unigram rarity scoring
 # --------------------------------------------------------------------------
 
@@ -409,6 +474,7 @@ QUERIES = {
     "dedup_semantic_semdedup": dedup_semantic_semdedup,
     "curation_pii_scrub": curation_pii_scrub,
     "text_unigram_rarity": text_unigram_rarity,
+    "curation_cluster_balanced_sample": curation_cluster_balanced_sample,
 }
 
 ORACLES = {
@@ -416,4 +482,5 @@ ORACLES = {
     "dedup_semantic_semdedup": SEMDEDUP_ORACLE,
     "curation_pii_scrub": _pii_oracle(),
     "text_unigram_rarity": UNIGRAM_RARITY_ORACLE,
+    "curation_cluster_balanced_sample": CLUSTER_BALANCED_SAMPLE_ORACLE,
 }

@@ -21,6 +21,12 @@ SF_SMALL = "/root/testdata/sf0.001"
 # tests/test_oracle_parity.py) — a 10x run of exactly this suite caught a
 # real scale-dependent sketch divergence in round 5.
 SF_MEDIUM = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+# Accept a bare scale factor ("0.1") too — a wrong-shape override otherwise
+# fails every test with PATH_NOT_FOUND after a full suite spin-up.
+if not os.path.isdir(SF_MEDIUM):
+    _cand = f"/root/testdata/sf{SF_MEDIUM}"
+    if os.path.isdir(_cand):
+        SF_MEDIUM = _cand
 
 
 @pytest.fixture(scope="session")

@@ -13,7 +13,10 @@ Usage: python tests/driver_sim.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd

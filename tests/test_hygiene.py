@@ -184,3 +184,33 @@ def test_semdedup_removals_are_true_near_dups(spark):
         len(removed),
         len(global_dups),
     )
+
+
+def test_cluster_balanced_sample_caps_every_cell(spark):
+    """Full-corpus verdict; per cell exactly min(cell size, cap) sampled;
+    ranks are a dense 1..cell_size permutation; deterministic re-run."""
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.operators.hygiene import (
+        _CB_KEEP_PER_CELL,
+        curation_cluster_balanced_sample,
+    )
+
+    rows = curation_cluster_balanced_sample(spark, SF_MEDIUM).collect()
+    n_corpus = load_table(spark, SF_MEDIUM, "embeddings").count()
+    assert len(rows) == n_corpus
+    assert len({r.vec_id for r in rows}) == n_corpus
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cent_id, []).append(r)
+    assert len(by_cell) > 1, "degenerate clustering: everything in one cell"
+    for cell, members in by_cell.items():
+        ranks = sorted(m.cell_rank for m in members)
+        assert ranks == list(range(1, len(members) + 1)), cell
+        sampled = [m for m in members if m.sampled]
+        assert len(sampled) == min(len(members), _CB_KEEP_PER_CELL), cell
+        assert all(m.cell_rank <= _CB_KEEP_PER_CELL for m in sampled)
+    again = {
+        (r.vec_id, r.cell_rank, r.sampled)
+        for r in curation_cluster_balanced_sample(spark, SF_MEDIUM).collect()
+    }
+    assert again == {(r.vec_id, r.cell_rank, r.sampled) for r in rows}

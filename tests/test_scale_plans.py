@@ -122,6 +122,7 @@ _NESTED_LOOP_OK = {
     "sim_cosine_topk",        # != condition against broadcast query set
     "sim_ivf_topk",           # centroid cross join (8 rows, broadcast)
     "dedup_semantic_semdedup", # same 8-row centroid cross join (shared cells)
+    "curation_cluster_balanced_sample",  # same 8-row centroid cross join
     "dedup_embedding_cosine", # all-pairs exact baseline (documented)
     "q22_dormant_rich_customers",  # 1-row scalar subquery broadcast
     "text_tfidf",             # 1-row N-scalar broadcast cross join
