@@ -1,0 +1,307 @@
+"""Advanced analytics operators: iterative graph centrality, hypertable
+rollups, null-aware anti joins, rolling distinct windows.
+
+The reference's fixed map->shuffle->reduce skeleton
+(lua-mapreduce-server.lua:269-317) can express each of these only as a
+chain of separate jobs with driver-side state between them (its shuffle is
+literally a server-memory multimap, lua-mapreduce-server.lua:173-183).
+Here each is a single declarative Spark plan:
+
+* **PageRank (fixed-point integer)** — the canonical iterative-MapReduce
+  workload (the reference's own lineage: Google MapReduce). Runs over the
+  nation-level trade graph derived from lineitem x orders x customer x
+  supplier. All arithmetic is scaled-integer (x 1e6) with truncating
+  integer division, so three unrolled power iterations are bit-exact in
+  both engines — the same trick fixed-point DSP uses for cross-platform
+  determinism. No driver loop: the 3 iterations are unrolled into one
+  lazy plan over the <= 625-row edge relation.
+* **Hypertable rollup** — TimescaleDB-style two-level continuous
+  aggregate: raw events -> hourly partials -> daily rollup that REUSES the
+  hourly partials (sum-of-sums / sum-of-counts / max-of-counts). The
+  daily level also reports per-hour statistics (peak hour, active hours)
+  that a single-level daily aggregate cannot produce.
+* **Null-aware NOT IN** — `NOT IN (subquery)` over a nullable-typed
+  column is NOT an anti join: one NULL in the subquery empties the
+  result. Spark plans the single-column case as a null-aware anti join
+  (BroadcastHashJoin NullAwareAntiJoin) when the build side fits; here
+  the build side is a DISTINCT over o_orderpriority (<= 5 rows at any
+  scale), so the broadcast is provably bounded.
+* **Rolling distinct count** — count of DISTINCT event types in a
+  trailing row window per user. Spark has no native windowed
+  count-distinct; `size(collect_set() OVER ...)` is the standard
+  composition (state bounded by the frame width x type cardinality).
+
+Scale notes: PageRank's cost is the edge extraction (two big hash joins
+that AQE plans; the groupBy collapses ~rows(lineitem) to <= 625 edges with
+map-side partial aggregation) — the unrolled iterations then run on
+broadcast-sized relations. The hypertable rollup is scan -> hourly shuffle
+(map-side combine) -> tiny daily shuffle over <= 24x(days) rows. The
+rolling window is one shuffle+sort on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table, load_tables
+from lua_mapreduce_spark.functions.exact import dec, dsum_sql
+
+# --------------------------------------------------------------------------
+# PageRank over the nation trade graph (fixed-point integer arithmetic)
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # fixed-point denominator: 6 decimal digits
+_PR_ITERS = 3
+
+# Engine-shared update rule (``{div}`` = truncating integer division:
+# ``DIV`` in Spark, ``//`` in DuckDB — identical on the non-negative
+# operands used here). m = sum(t * r) over in-edges, n = node count.
+#   r' = (15 * SCALE) div (100 * n)  +  (85 * (m div SCALE)) div 100
+_PR_STEP = (
+    f"(15 * {_PR_SCALE}) {{div}} (100 * n)"
+    f" + (85 * (COALESCE(m, CAST(0 AS BIGINT)) {{div}} {_PR_SCALE})) {{div}} 100"
+)
+
+
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (d=0.85) over nation->nation trade edges.
+
+    Edge weight = lineitem count from customer-nation to supplier-nation.
+    Dangling mass is dropped (no nation lacks out-edges in TPC-H data;
+    the contract documents the simplification). Scores are scaled BIGINTs
+    (true score x 1e6), exact in both engines.
+    """
+    li, orders, cust, supp, nation = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        # Materialize ONCE: the unrolled iterations reference the edge
+        # relation 4x — without truncation the whole lineitem join subtree
+        # would replicate per iteration and the 100 TB scan would run 4x.
+        # After this point every relation in the plan is <= 625 rows.
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = edges.join(outw, "src").select(
+        "src", "dst", F.expr(f"(w * {_PR_SCALE}) DIV ow").alias("t")
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))  # single row: node count
+
+    # r carries (node, r, n); the node-count column rides along so each
+    # unrolled step needs no further cross join.
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({_PR_SCALE} DIV n AS BIGINT)").alias("r"), "n"
+    )
+    step = _PR_STEP.format(div="DIV")
+    for _ in range(_PR_ITERS):
+        inm = (
+            trans.join(r.select(F.col("node").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("t * r")).alias("m"))
+        )
+        r = (
+            r.select("node", "n")
+            .join(inm, F.col("node") == F.col("dst"), "left")
+            .select("node", F.expr(f"CAST({step} AS BIGINT)").alias("r"), "n")
+        )
+    return (
+        r.select("node", "r")
+        .join(nodes, "node")
+        .select("node", "n_name", F.col("r").alias("pr_scaled"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        """
+edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+trans AS (SELECT e.src, e.dst, (e.w * {S}) // ow AS t
+          FROM edges e JOIN outw USING (src)),
+nn AS (SELECT COUNT(*) AS n FROM nation),
+r0 AS (SELECT n_nationkey AS node, CAST({S} // n AS BIGINT) AS r
+       FROM nation CROSS JOIN nn)""".format(S=_PR_SCALE)
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""
+m{k} AS (SELECT t.dst, SUM(t.t * r.r) AS m
+        FROM trans t JOIN r{k - 1} r ON t.src = r.node GROUP BY t.dst),
+r{k} AS (SELECT nt.n_nationkey AS node, CAST({_PR_STEP.format(div='//')} AS BIGINT) AS r
+        FROM nation nt CROSS JOIN nn
+        LEFT JOIN m{k} ON nt.n_nationkey = m{k}.dst)"""
+        )
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT r.node AS node, n.n_name AS n_name, r.r AS pr_scaled
+FROM r{_PR_ITERS} r JOIN nation n ON r.node = n.n_nationkey
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypertable rollup: events -> hourly continuous aggregate -> daily
+# --------------------------------------------------------------------------
+
+_VAL = dec("value")  # events.value sits on the 2-decimal grid
+
+
+def agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level continuous aggregate (TimescaleDB hypertable rollup).
+
+    Level 1 buckets raw events into hours (the materialized continuous
+    aggregate); level 2 rolls hours into days by COMBINING PARTIALS —
+    sum-of-sums, sum-of-counts — never re-reading raw rows, and derives
+    per-hour shape statistics (peak hour load, active hours) that only a
+    two-level plan can produce. The decimal value sum stays in the exact
+    decimal domain across BOTH levels; one cast to double at the end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM({_VAL})").alias("sv"),  # decimal partial: stays exact
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.expr("CAST(SUM(sv) AS DOUBLE)").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.max("n").alias("peak_hour_events"),
+        )
+    )
+
+
+HYPERTABLE_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n, SUM({_VAL}) AS sv
+  FROM events GROUP BY 1)
+SELECT strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(sv) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_active_hours,
+       MAX(n) AS peak_hour_events
+FROM hourly GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Null-aware NOT IN (single-column null-aware anti join)
+# --------------------------------------------------------------------------
+
+
+def subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts for priority classes that never appear among flagged
+    high-value returns — expressed as `NOT IN (subquery)` over a
+    NULLABLE-typed column (NULLIF keeps the type nullable while the data
+    stays null-free, so the non-empty result still exercises the
+    null-aware plan). The subquery is DISTINCT over o_orderpriority:
+    <= 5 rows at any scale factor, so the null-aware anti join's
+    build-side broadcast is provably bounded. The price threshold sits
+    just under the o_totalprice domain cap so only SOME priority classes
+    clear it at the driver's sf0.01 — a non-empty result that actually
+    exercises the filter (at other SFs the survivor set legitimately
+    shifts; both engines shift identically).
+    """
+    orders, li = load_tables(spark, sf_dir, "orders", "lineitem")
+    orders.createOrReplaceTempView("v_orders")
+    li.createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql(dec("o_totalprice"), "total_price")}
+FROM v_orders
+WHERE o_orderpriority NOT IN (
+  SELECT DISTINCT NULLIF(o.o_orderpriority, '')
+  FROM v_orders o JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R' AND o.o_totalprice > 499900)
+GROUP BY o_orderpriority
+"""
+    )
+
+
+NOT_IN_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql(dec("o_totalprice"), "total_price")}
+FROM orders
+WHERE o_orderpriority NOT IN (
+  SELECT DISTINCT NULLIF(o.o_orderpriority, '')
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R' AND o.o_totalprice > 499900)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct count (windowed count-distinct composition)
+# --------------------------------------------------------------------------
+
+_RD_FRAME = 4  # trailing frame: current row + 4 preceding
+
+
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types seen in each user's trailing 5-row window.
+
+    Spark window aggregates reject DISTINCT; ``size(collect_set())`` is
+    the standard equivalent (set state bounded by frame x type
+    cardinality). The (ts, event_id) ordering is total, so the ROWS frame
+    is deterministic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_RD_FRAME, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+    )
+
+
+ROLLING_DISTINCT_ORACLE = f"""
+SELECT event_id, user_id, event_type,
+       CAST(COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {_RD_FRAME} PRECEDING AND CURRENT ROW) AS INTEGER)
+       AS n_distinct_types
+FROM events
+"""
+
+
+QUERIES = {
+    "graph_pagerank_nations": graph_pagerank_nations,
+    "agg_hypertable_rollup": agg_hypertable_rollup,
+    "subquery_not_in_null_aware": subquery_not_in_null_aware,
+    "window_rolling_distinct": window_rolling_distinct,
+}
+
+ORACLES = {
+    "graph_pagerank_nations": _pagerank_oracle(),
+    "agg_hypertable_rollup": HYPERTABLE_ORACLE,
+    "subquery_not_in_null_aware": NOT_IN_ORACLE,
+    "window_rolling_distinct": ROLLING_DISTINCT_ORACLE,
+}

@@ -1,0 +1,142 @@
+"""Behavioral invariants for the analytics operators (oracle parity is in
+test_oracle_parity.py; these check the semantics the hash can't see)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.operators import QUERIES
+from lua_mapreduce_spark.operators.analytics import _PR_ITERS, _PR_SCALE, _RD_FRAME
+from tests.conftest import SF_MEDIUM, SF_SMALL
+
+
+def _plan(df, mode="formatted"):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+# ---------------------------------------------------------------- PageRank
+
+
+def test_pagerank_mass_and_floor(spark):
+    rows = QUERIES["graph_pagerank_nations"](spark, SF_MEDIUM).collect()
+    n = len(rows)
+    assert n == 25  # one score per nation, including edge-less ones
+    floor = (15 * _PR_SCALE) // (100 * n)
+    assert all(r.pr_scaled >= floor for r in rows), "teleport floor violated"
+    # Mass conservation up to truncating-division loss: each of the 3
+    # iterations can only LOSE mass (every DIV truncates), never create it.
+    total = sum(r.pr_scaled for r in rows)
+    assert total <= _PR_SCALE
+    assert total >= _PR_SCALE * 0.95, f"implausible mass loss: {total}"
+
+
+def test_pagerank_single_big_scan(spark):
+    """The 4 growing tables are each scanned exactly once: the unrolled
+    iterations run on the localCheckpoint'd <= 625-row edge relation, not
+    on re-executions of the lineitem join subtree (the 100 TB killer)."""
+    plan = _plan(QUERIES["graph_pagerank_nations"](spark, SF_MEDIUM))
+    # nation (constant 25 rows) may appear several times; the four growing
+    # tables contribute one scan each -> bounded total.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 10
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    a = {r.node: r.pr_scaled for r in QUERIES["graph_pagerank_nations"](spark, SF_SMALL).collect()}
+    b = {r.node: r.pr_scaled for r in QUERIES["graph_pagerank_nations"](spark, SF_SMALL).collect()}
+    assert a == b
+    assert _PR_ITERS == 3  # oracle CTE unrolling and Spark loop must agree
+
+
+# ------------------------------------------------------- Hypertable rollup
+
+
+def test_hypertable_rollup_matches_single_level(spark):
+    """Sum-of-partials must equal a direct single-level daily aggregate
+    (the continuous-aggregate correctness contract), and the per-hour
+    shape columns must be internally consistent."""
+    two_level = {
+        r.day: r for r in QUERIES["agg_hypertable_rollup"](spark, SF_MEDIUM).collect()
+    }
+    ev = spark.read.parquet(f"{SF_MEDIUM}/events.parquet")
+    direct = {
+        r.day: r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(two_level) == set(direct)
+    for day, r in two_level.items():
+        assert r.n_events == direct[day]
+        assert 1 <= r.n_active_hours <= 24
+        assert r.peak_hour_events <= r.n_events
+        assert r.peak_hour_events * r.n_active_hours >= r.n_events  # max >= mean
+
+
+def test_hypertable_two_shuffles_only(spark):
+    plan = _plan(QUERIES["agg_hypertable_rollup"](spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+# ------------------------------------------------------ Null-aware NOT IN
+
+
+def test_not_in_is_null_aware_and_nonempty(spark):
+    df = QUERIES["subquery_not_in_null_aware"](spark, SF_MEDIUM)
+    # The trailing `true` on the LeftAnti BroadcastHashJoin is Spark's
+    # isNullAwareAntiJoin flag: the plan went through the null-aware path,
+    # not a plain anti join (which would be WRONG for NOT IN semantics).
+    simple = _plan(df, "simple")
+    m = re.search(r"LeftAnti, BuildRight, true", simple)
+    assert m, f"null-aware anti join missing from plan:\n{simple}"
+    rows = df.collect()
+    assert rows, "threshold excludes nothing at sf0.01 — trivial result"
+    # Survivors must be disjoint from the subquery's priority set.
+    surviving = {r.o_orderpriority for r in rows}
+    orders = spark.read.parquet(f"{SF_MEDIUM}/orders.parquet")
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet")
+    excluded = {
+        r.o_orderpriority
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where((F.col("l_returnflag") == "R") & (F.col("o_totalprice") > 499900))
+        .select("o_orderpriority")
+        .distinct()
+        .collect()
+    }
+    assert surviving and excluded and not (surviving & excluded)
+
+
+# -------------------------------------------------- Rolling distinct count
+
+
+def test_rolling_distinct_bounds_and_replay(spark):
+    df = QUERIES["window_rolling_distinct"](spark, SF_SMALL)
+    rows = df.collect()
+    assert all(1 <= r.n_distinct_types <= _RD_FRAME + 1 for r in rows)
+    # Replay one user in plain Python over the same (ts, event_id) order.
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    uid = ev.groupBy("user_id").count().orderBy(F.desc("count")).first().user_id
+    seq = (
+        ev.where(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .select("event_id", "event_type")
+        .collect()
+    )
+    expect = {}
+    for i, r in enumerate(seq):
+        window = [s.event_type for s in seq[max(0, i - _RD_FRAME) : i + 1]]
+        expect[r.event_id] = len(set(window))
+    got = {r.event_id: r.n_distinct_types for r in rows if r.user_id == uid}
+    assert got == expect
+
+
+def test_rolling_distinct_single_shuffle(spark):
+    plan = _plan(QUERIES["window_rolling_distinct"](spark, SF_MEDIUM))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

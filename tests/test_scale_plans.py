@@ -131,6 +131,7 @@ _NESTED_LOOP_OK = {
     "layout_zorder_keys",     # 1-row min/max bounds broadcast cross join
     "sim_quantized_topk",     # != condition against broadcast query set
     "text_unigram_rarity",    # 1-row N-scalar broadcast cross join
+    "graph_pagerank_nations", # 1-row node-count broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -187,6 +188,7 @@ _BROADCAST_OK = {
     ("scale_ops.py", "bounds"),       # single-row global min/max aggregate
     ("hygiene.py", "cent"),           # fixed k centroids (SemDeDup assignment)
     ("hygiene.py", "n"),              # single-row global token count (rarity N)
+    ("analytics.py", "nn"),           # single-row node count (PageRank teleport)
 }
 
 
