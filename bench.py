@@ -91,6 +91,12 @@ HEADLINE = [
     "curation_pii_scrub",
     "text_unigram_rarity",
     "multimodal_phash_dedup",
+    # Round 6 additions, part 3 — the analytics surface (iterative graph
+    # centrality over the 4-table trade join; two-level continuous
+    # aggregate). Both are scan-bound shapes at real scale, so their
+    # timings track the engine's join/agg throughput directly.
+    "graph_pagerank_nations",
+    "agg_hypertable_rollup",
 ]
 
 N_RUNS = 3

@@ -75,7 +75,8 @@ _MODULES = [
 # curation_cluster_balanced_sample — added late-r6) per the new-query rule,
 # and the four analytics.py queries added later in r6
 # (graph_pagerank_nations, agg_hypertable_rollup,
-# subquery_not_in_null_aware, window_rolling_distinct). The remaining
+# subquery_not_in_null_aware, window_rolling_distinct, and later still
+# dedup_jaccard_prefix_join + udtf_ngram_shingles). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -85,9 +86,10 @@ _MODULES = [
 # scalar_functions_showcase, scalar_math_funcs, scalar_regex_funcs,
 # scalar_string_advanced (yielded to the new queries), plus
 # scalar_timestamp_diff, setop_union_intersect_except, sort_topk_orders,
-# subquery_above_nation_avg (yielded to the analytics.py four). After a
-# green round every registry query is >= twice-verified except those
-# sixteen.
+# subquery_above_nation_avg (yielded to the analytics.py four), plus
+# unpivot_rates and window_distribution_funcs (yielded to the prefix
+# join + UDTF pair). After a green round every registry query is >=
+# twice-verified except those eighteen.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -110,6 +112,8 @@ _DRIVER_WINDOW = [
     "agg_hypertable_rollup",
     "subquery_not_in_null_aware",
     "window_rolling_distinct",
+    "dedup_jaccard_prefix_join",
+    "udtf_ngram_shingles",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -136,9 +140,7 @@ _DRIVER_WINDOW = [
     "text_tfidf",
     "text_token_count_bpe",
     "udaf_group_median_pandas",
-    "unpivot_rates",
     "upsert_snapshot_merge",
-    "window_distribution_funcs",
     "curation_cluster_balanced_sample",
 ]
 

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.catalog import load_table, load_tables
 from lua_mapreduce_spark.functions.exact import dec, dsum_sql
+from lua_mapreduce_spark.functions.texthash import oracle_words_expr
 
 # --------------------------------------------------------------------------
 # PageRank over the nation trade graph (fixed-point integer arithmetic)
@@ -292,11 +293,82 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# Python UDTF (table function): positional n-gram shingles via LATERAL
+# --------------------------------------------------------------------------
+
+_UDTF_N = 3  # shingle width (word tokens)
+_UDTF_MAX_POS = 30  # cap rows per document: bounded fan-out by contract
+
+
+def _make_shingle_udtf():
+    """Row -> rows Python UDTF. Defined in a factory so the class body can
+    reference module constants without capturing the module in the pickle.
+
+    The tokenizer mirrors functions/texthash.words_expr exactly
+    ([A-Za-z]+ runs, lowercased — the reference's word semantics,
+    word-count-taskfile.lua:118-120), so the SQL oracle reproduces the
+    output verbatim."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    n, cap = _UDTF_N, _UDTF_MAX_POS
+    word_re = _re.compile(r"[A-Za-z]+")
+
+    @udtf(returnType="pos int, shingle string")
+    class _ShingleUDTF:
+        def eval(self, text: str):
+            toks = [t.lower() for t in word_re.findall(text or "")]
+            for i in range(min(len(toks) - n + 1, cap)):
+                yield i, " ".join(toks[i : i + n])
+
+    return _ShingleUDTF
+
+
+def udtf_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface: one input row -> many output rows via
+    `LATERAL udtf(...)` — the table-function slot the reference fills with
+    coroutine.yield streams in mapfn (word-count-taskfile.lua:140; a Lua
+    map function IS a row-to-rows generator). Emits positional word
+    trigrams, capped at _UDTF_MAX_POS rows/doc so the fan-out is bounded
+    by contract.
+
+    Scale shape: the UDTF is a pure map-side pass (no shuffle) — rows
+    stream through Python workers partition-local. The same semantics are
+    expressible JVM-side (posexplode over a transform — see
+    text_chunk_tokens), which is why the registry keeps this entry as the
+    UDTF *surface* proof, not the hot path for shingling."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("ngram_shingles_udtf", _make_shingle_udtf())
+    docs.createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+SELECT d.doc_id, s.pos, s.shingle
+FROM v_docs_udtf d, LATERAL ngram_shingles_udtf(d.text) s
+"""
+    )
+
+
+UDTF_SHINGLES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {{words}} AS l FROM documents),
+idx AS (
+  SELECT doc_id, l,
+         unnest(range(1, least(len(l) - {_UDTF_N - 2}, {_UDTF_MAX_POS + 1}))) AS p
+  FROM toks WHERE len(l) >= {_UDTF_N})
+SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos,
+       l[p] || ' ' || l[p + 1] || ' ' || l[p + 2] AS shingle
+FROM idx
+"""
+
+
 QUERIES = {
     "graph_pagerank_nations": graph_pagerank_nations,
     "agg_hypertable_rollup": agg_hypertable_rollup,
     "subquery_not_in_null_aware": subquery_not_in_null_aware,
     "window_rolling_distinct": window_rolling_distinct,
+    "udtf_ngram_shingles": udtf_ngram_shingles,
 }
 
 ORACLES = {
@@ -304,4 +376,7 @@ ORACLES = {
     "agg_hypertable_rollup": HYPERTABLE_ORACLE,
     "subquery_not_in_null_aware": NOT_IN_ORACLE,
     "window_rolling_distinct": ROLLING_DISTINCT_ORACLE,
+    "udtf_ngram_shingles": UDTF_SHINGLES_ORACLE.format(
+        words=oracle_words_expr("text")
+    ),
 }

@@ -217,6 +217,116 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JAC
 
 
 # --------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity join (PPJoin-style, Chaudhuri et al.
+# 2006 / Xiao et al. 2008)
+# --------------------------------------------------------------------------
+
+# Jaccard threshold in permille -> all arithmetic stays integer-exact.
+_PJ_T = 500
+
+
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 self-join via prefix filtering — the lossless
+    counterpart of the approximate LSH paths.
+
+    Order every document's shingle set by global rarity (document
+    frequency ASC, shingle ASC — a total order), and keep only each set's
+    PREFIX of length ``|S| - ceil(t*|S|) + 1``. The prefix-filtering
+    theorem guarantees any pair with Jaccard >= t shares at least one
+    prefix shingle, so the candidate join runs over prefixes only — and
+    rarity ordering means hot shingles (the d^2 fan-out risk) sort to the
+    END of each set, all but never entering a prefix: the skew-killer is
+    structural, not a cap, so unlike ``dedup_ngram_jaccard``'s _DF_CAP
+    universe this loses NOTHING. The oracle is the plain exact
+    inverted-index join with no prefix — result equality IS the
+    losslessness proof. Verification computes exact integer intersection
+    sizes over the full sets (array_intersect); threshold and the reported
+    jaccard_permille are integer arithmetic, exact in both engines.
+
+    Scale shape: df counts are a map-side-combinable groupBy; rank+size
+    is one window over the doc-partitioned index; the candidate join keys
+    on (rare) prefix shingles; verification joins on doc_id against the
+    per-doc set arrays. At 100 TB the set arrays would come from the same
+    cached single text pass the MinHash path uses."""
+    from pyspark.sql import Window
+
+    sets = _shingle_arrays_df(spark, sf_dir).select(
+        "doc_id", "shingles", F.size("shingles").alias("s")
+    )
+    sh = sets.select("doc_id", "s", F.explode("shingles").alias("shingle"))
+    dftbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dftbl, "shingle").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("s") - F.expr(f"({_PJ_T} * s + 999) DIV 1000") + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("s").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("s").alias("size_b"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_size", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(
+            F.col("inter_size") * 1000
+            >= _PJ_T * (F.col("size_a") + F.col("size_b") - F.col("inter_size"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            "inter_size",
+            F.expr(
+                "(inter_size * 1000) DIV (size_a + size_b - inter_size)"
+            ).alias("jaccard_permille"),
+        )
+    )
+
+
+# No prefix, no cap: the straightforward exact inverted-index join. The
+# Spark side must reproduce this EXACTLY for the prefix filter to be
+# correct — a lost pair fails the hash compare.
+PREFIX_JOIN_ORACLE = f"""
+WITH {_SHINGLES_ORACLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, sa.n AS size_a, sb.n AS size_b,
+       CAST(n_common AS INTEGER) AS inter_size,
+       (n_common * 1000) // (sa.n + sb.n - n_common) AS jaccard_permille
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1000 >= {_PJ_T} * (sa.n + sb.n - n_common)
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup: the scale path
 # --------------------------------------------------------------------------
 
@@ -503,6 +613,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_prefix_join": dedup_jaccard_prefix_join,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -513,6 +624,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_exact_keep_first": DEDUP_KEEP_FIRST_ORACLE,
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
+    "dedup_jaccard_prefix_join": PREFIX_JOIN_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": EMB_COSINE_ORACLE,

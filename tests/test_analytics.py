@@ -140,3 +140,85 @@ def test_rolling_distinct_bounds_and_replay(spark):
 def test_rolling_distinct_single_shuffle(spark):
     plan = _plan(QUERIES["window_rolling_distinct"](spark, SF_MEDIUM))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+# ------------------------------------- Prefix-filtered exact Jaccard join
+
+
+def test_prefix_join_lossless_vs_direct_spark(spark):
+    """Independent of the DuckDB oracle: the prefix-filtered join returns
+    exactly the pairs a direct all-candidates exact join finds."""
+    from lua_mapreduce_spark.operators.dedup import (
+        _PJ_T,
+        _shingles_df,
+        dedup_jaccard_prefix_join,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_permille
+        for r in dedup_jaccard_prefix_join(spark, SF_MEDIUM).collect()
+    }
+    sh = _shingles_df(spark, SF_MEDIUM)
+    sizes = sh.groupBy("doc_id").count()
+    direct = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("da"), F.col("count").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("count").alias("nb")), "db")
+        .filter(F.col("inter") * 1000 >= _PJ_T * (F.col("na") + F.col("nb") - F.col("inter")))
+        .collect()
+    )
+    expect = {
+        (r.da, r.db): (r.inter * 1000) // (r.na + r.nb - r.inter) for r in direct
+    }
+    assert got == expect and got, f"prefix join diverged: {len(got)} vs {len(expect)}"
+
+
+def test_prefix_join_actually_prunes(spark):
+    """The candidate index is materially smaller than the full inverted
+    index — the point of prefix filtering (t=0.5 -> about half each set
+    plus one, always below 0.7 of the full index here)."""
+    from pyspark.sql import Window
+
+    from lua_mapreduce_spark.operators.dedup import _PJ_T, _shingle_arrays_df
+
+    sets = _shingle_arrays_df(spark, SF_MEDIUM).select(
+        "doc_id", "shingles", F.size("shingles").alias("s")
+    )
+    sh = sets.select("doc_id", "s", F.explode("shingles").alias("shingle"))
+    dftbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dftbl, "shingle").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    )
+    total = sh.count()
+    kept = ranked.filter(
+        F.col("rk") <= F.col("s") - F.expr(f"({_PJ_T} * s + 999) DIV 1000") + 1
+    ).count()
+    assert 0 < kept < 0.7 * total, f"prefix kept {kept}/{total}"
+
+
+# ------------------------------------------------------------- Python UDTF
+
+
+def test_udtf_shingles_cap_and_positions(spark):
+    from lua_mapreduce_spark.operators.analytics import _UDTF_MAX_POS
+
+    rows = QUERIES["udtf_ngram_shingles"](spark, SF_SMALL).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.pos)
+    assert per_doc
+    for doc_id, positions in per_doc.items():
+        positions.sort()
+        assert positions == list(range(len(positions))), f"gap in doc {doc_id}"
+        assert len(positions) <= _UDTF_MAX_POS
+    # every shingle is exactly 3 space-joined lowercase alpha tokens
+    sample = [r.shingle for r in rows[:100]]
+    assert all(len(s.split(" ")) == 3 and s == s.lower() for s in sample)

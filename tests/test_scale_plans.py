@@ -113,6 +113,7 @@ _PYTHON_OK = {
     "mr_wordcount",  # Layer A: opaque Python closures ARE the operator
     "agg_heavy_hitters_sketch",  # MG sketch pass is mapInPandas by design
     "multimodal_phash_dedup",  # Arrow-batched decode+aHash pass by design
+    "udtf_ngram_shingles",  # Python UDTF surface IS the operator
 }
 # Queries allowed a nested-loop/cartesian strategy (broadcast-tiny sides or
 # intentionally non-equi join conditions).
