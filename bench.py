@@ -97,6 +97,8 @@ HEADLINE = [
     # timings track the engine's join/agg throughput directly.
     "graph_pagerank_nations",
     "agg_hypertable_rollup",
+    "sim_pq_adc_topk",
+    "dedup_jaccard_prefix_join",
 ]
 
 N_RUNS = 3

@@ -22,6 +22,7 @@ from lua_mapreduce_spark.operators import (
     mapreduce_layer,
     multimodal,
     pipeline,
+    pq,
     relational,
     relational2,
     relational3,
@@ -53,6 +54,7 @@ _MODULES = [
     scale_ops,
     hygiene,
     analytics,
+    pq,
 ]
 
 # The grading driver hard-verifies the FIRST 50 registry entries in
@@ -76,7 +78,7 @@ _MODULES = [
 # and the four analytics.py queries added later in r6
 # (graph_pagerank_nations, agg_hypertable_rollup,
 # subquery_not_in_null_aware, window_rolling_distinct, and later still
-# dedup_jaccard_prefix_join + udtf_ngram_shingles). The remaining
+# dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -88,8 +90,9 @@ _MODULES = [
 # scalar_timestamp_diff, setop_union_intersect_except, sort_topk_orders,
 # subquery_above_nation_avg (yielded to the analytics.py four), plus
 # unpivot_rates and window_distribution_funcs (yielded to the prefix
-# join + UDTF pair). After a green round every registry query is >=
-# twice-verified except those eighteen.
+# join + UDTF pair), plus upsert_snapshot_merge (yielded to
+# sim_pq_adc_topk). After a green round every registry query is >=
+# twice-verified except those nineteen.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -114,6 +117,7 @@ _DRIVER_WINDOW = [
     "window_rolling_distinct",
     "dedup_jaccard_prefix_join",
     "udtf_ngram_shingles",
+    "sim_pq_adc_topk",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -140,7 +144,6 @@ _DRIVER_WINDOW = [
     "text_tfidf",
     "text_token_count_bpe",
     "udaf_group_median_pandas",
-    "upsert_snapshot_merge",
     "curation_cluster_balanced_sample",
 ]
 

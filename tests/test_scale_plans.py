@@ -114,6 +114,7 @@ _PYTHON_OK = {
     "agg_heavy_hitters_sketch",  # MG sketch pass is mapInPandas by design
     "multimodal_phash_dedup",  # Arrow-batched decode+aHash pass by design
     "udtf_ngram_shingles",  # Python UDTF surface IS the operator
+    "sim_pq_adc_topk",  # one-task PQ codebook trainer (applyInPandas)
 }
 # Queries allowed a nested-loop/cartesian strategy (broadcast-tiny sides or
 # intentionally non-equi join conditions).
@@ -133,6 +134,7 @@ _NESTED_LOOP_OK = {
     "sim_quantized_topk",     # != condition against broadcast query set
     "text_unigram_rarity",    # 1-row N-scalar broadcast cross join
     "graph_pagerank_nations", # 1-row node-count broadcast cross join
+    "sim_pq_adc_topk",        # != condition against broadcast query tables
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -190,6 +192,8 @@ _BROADCAST_OK = {
     ("hygiene.py", "cent"),           # fixed k centroids (SemDeDup assignment)
     ("hygiene.py", "n"),              # single-row global token count (rarity N)
     ("analytics.py", "nn"),           # single-row node count (PageRank teleport)
+    ("pq.py", "cb"),                  # fixed M*K codebook rows (16x16 = 256)
+    ("pq.py", "wide"),                # fixed query-set ADC tables (10 rows)
 }
 
 

@@ -165,3 +165,71 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert exact, "exact baseline returned no pairs"
     recall = len(quant & exact) / len(exact)
     assert recall >= 0.8, f"int8 quantization recall collapsed: {recall:.2f}"
+
+
+def test_pq_adc_recall_and_shortlist(spark):
+    """PQ/ADC quality contract on near-random embeddings: direct recall@5
+    vs exact squared-L2 stays in the multitable-LSH band (measured 0.36;
+    asserted >= 0.2), and the top-50 ADC SHORTLIST captures nearly all
+    exact top-5 (measured 0.88; asserted >= 0.7) — the re-rank deployment
+    PQ exists for."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import lua_mapreduce_spark.operators.pq as pqm
+    from lua_mapreduce_spark.operators.similarity import _KM_QV
+
+    emb = spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet").select(
+        "vec_id", F.expr(_KM_QV).alias("qv")
+    )
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qqv")
+    )
+    l2 = (
+        "aggregate(zip_with(qv, qqv, (a, b) -> CAST((a - b) * (a - b) AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in emb.crossJoin(q)
+        .filter("vec_id != q_id")
+        .select("q_id", "vec_id", F.expr(l2).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    }
+    pq5 = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_pq_adc_topk"](spark, SF_MEDIUM).collect()
+    }
+    assert len(pq5 & exact) / len(exact) >= 0.2, "direct PQ recall collapsed"
+    orig = pqm._PQ_TOP_K
+    pqm._PQ_TOP_K = 50
+    try:
+        top50 = {
+            (r.query_id, r.neighbor_id)
+            for r in pqm.sim_pq_adc_topk(spark, SF_MEDIUM).collect()
+        }
+    finally:
+        pqm._PQ_TOP_K = orig
+    assert len(top50 & exact) / len(exact) >= 0.7, "shortlist recall collapsed"
+
+
+def test_pq_codebook_trains_once_and_is_bounded(spark):
+    """The codebook relation is M x K rows exactly, and the query plan
+    references the checkpointed result (no training re-run per consumer)."""
+    import re as _re
+
+    import lua_mapreduce_spark.operators.pq as pqm
+
+    pqm.clear_pq_cache()
+    cb = pqm._pq_codebooks(spark, SF_MEDIUM)
+    assert cb.count() == pqm._PQ_M * pqm._PQ_K
+    assert all(len(r.cvec) == pqm._PQ_SUB for r in cb.collect())
+    plan = QUERIES["sim_pq_adc_topk"](spark, SF_MEDIUM)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # training (FlatMapGroupsInPandas) must NOT appear in the consumer plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert len(_re.findall(r"\(\d+\) Scan ExistingRDD", plan)) >= 1
