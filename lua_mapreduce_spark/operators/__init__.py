@@ -78,7 +78,8 @@ _MODULES = [
 # and the four analytics.py queries added later in r6
 # (graph_pagerank_nations, agg_hypertable_rollup,
 # subquery_not_in_null_aware, window_rolling_distinct, and later still
-# dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk). The remaining
+# dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk +
+# streaming_time_travel_snapshot). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -91,8 +92,9 @@ _MODULES = [
 # subquery_above_nation_avg (yielded to the analytics.py four), plus
 # unpivot_rates and window_distribution_funcs (yielded to the prefix
 # join + UDTF pair), plus upsert_snapshot_merge (yielded to
-# sim_pq_adc_topk). After a green round every registry query is >=
-# twice-verified except those nineteen.
+# sim_pq_adc_topk) and text_term_frequency (yielded to
+# streaming_time_travel_snapshot). After a green round every registry
+# query is >= twice-verified except those twenty.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -118,6 +120,7 @@ _DRIVER_WINDOW = [
     "dedup_jaccard_prefix_join",
     "udtf_ngram_shingles",
     "sim_pq_adc_topk",
+    "streaming_time_travel_snapshot",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -140,7 +143,6 @@ _DRIVER_WINDOW = [
     "text_quality_score",
     "text_repetition_filter",
     "text_rolling_fingerprint",
-    "text_term_frequency",
     "text_tfidf",
     "text_token_count_bpe",
     "udaf_group_median_pandas",

@@ -193,6 +193,42 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def streaming_time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the MERGE sink's committed versions: drain the
+    3-batch stream, then read the SECOND-latest version — the state as of
+    two of three micro-batches, i.e. ``VERSION AS OF`` on a lakehouse
+    table, implemented by the same commit-marker protocol.
+
+    Fully oracle-checked: the 3-file split is a deterministic function of
+    the events table (time-range thirds over the int64-nanosecond span,
+    streaming_ops._batched_events_dir), so "the first two batches" equals
+    ``ts_ns < tmin_ns + max(span_ns, 3) * 2 DIV 3`` — the oracle replays
+    that cutoff in integer microsecond arithmetic (the data is
+    microsecond-grained, so the ns comparison reduces exactly)."""
+    import shutil
+    import tempfile
+
+    from lua_mapreduce_spark.streaming.merge_sink import (
+        SnapshotStore,
+        run_merge_stream,
+        snapshot_result,
+    )
+
+    work = tempfile.mkdtemp(prefix="merge_tt_")
+    try:
+        store = SnapshotStore(os.path.join(work, "snapshots"))
+        run_merge_stream(
+            _events_stream(spark, sf_dir), store, os.path.join(work, "ckpt")
+        )
+        versions = store._committed()
+        if len(versions) < 2:
+            raise RuntimeError(f"need >= 2 committed versions, got {versions}")
+        past = store.read_version(spark, versions[-2])
+        return snapshot_result(past).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchase <- click within 1h), counted
     per user after drain; watermarks bound the join state."""
@@ -254,6 +290,7 @@ QUERIES = {
     "streaming_static_enrich_counts": streaming_static_enrich_counts,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_upsert_merge": streaming_upsert_merge,
+    "streaming_time_travel_snapshot": streaming_time_travel_snapshot,
     "streaming_anomaly_hours": streaming_anomaly_hours,
     "streaming_session_windows": streaming_session_windows,
 }
@@ -331,6 +368,36 @@ SELECT agg.user_id, agg.n_events, agg.sum_value,
 FROM agg JOIN latest USING (user_id)
 """
 
+
+# Time travel = the upsert-merge contract restricted to the first two
+# time-split file ranges. Cutoff arithmetic replays _batched_events_dir's
+# nanosecond thirds in exact integer microseconds: ts_ns < c_ns with
+# microsecond-grained data  <=>  epoch_us(ts) * 1000 < c_ns.
+TIME_TRAVEL_ORACLE = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) * 1000 AS tmin_ns,
+         GREATEST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 1000, 3) AS span_ns
+  FROM events),
+cut AS (SELECT tmin_ns + span_ns * 2 // 3 AS c_ns FROM b),
+past AS (SELECT e.* FROM events e, cut WHERE epoch_us(ts) * 1000 < c_ns),
+ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM past),
+latest AS (
+  SELECT user_id, event_id AS last_event_id, value AS last_value
+  FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
+  FROM past GROUP BY user_id)
+SELECT agg.user_id, agg.n_events, agg.sum_value,
+       latest.last_event_id, latest.last_value
+FROM agg JOIN latest USING (user_id)
+"""
+
 from lua_mapreduce_spark.operators.events import ANOMALY_ORACLE as STREAM_ANOMALY_ORACLE
 from lua_mapreduce_spark.operators.events import SESSION_ORACLE as STREAM_SESSION_ORACLE
 
@@ -341,6 +408,7 @@ ORACLES: dict[str, str] = {
     "streaming_static_enrich_counts": STATIC_ENRICH_ORACLE,
     "streaming_stream_stream_join": STREAM_STREAM_ORACLE,
     "streaming_upsert_merge": UPSERT_MERGE_ORACLE,
+    "streaming_time_travel_snapshot": TIME_TRAVEL_ORACLE,
     "streaming_anomaly_hours": STREAM_ANOMALY_ORACLE,
     "streaming_session_windows": STREAM_SESSION_ORACLE,
 }

@@ -407,3 +407,38 @@ def test_merge_sink_commits_one_version_per_microbatch(spark, tmp_path):
     )
     run_merge_stream(stream, store, str(tmp_path / "ckpt"))
     assert len(store._committed()) >= 3
+
+
+def test_time_travel_snapshot_is_true_prefix_state(spark, tmp_path):
+    """VERSION AS OF semantics: the second-latest committed version equals
+    the batch merge over exactly the first two time-split file ranges, and
+    differs from the final version (events genuinely arrived in batch 3)."""
+    import pyarrow.parquet as papq
+
+    from lua_mapreduce_spark.operators.streaming_ops import (
+        _batched_events_dir,
+        streaming_time_travel_snapshot,
+        streaming_upsert_merge,
+    )
+
+    past = {
+        r.user_id: (r.n_events, r.last_event_id)
+        for r in streaming_time_travel_snapshot(spark, SF_SMALL).collect()
+    }
+    final = {
+        r.user_id: (r.n_events, r.last_event_id)
+        for r in streaming_upsert_merge(spark, SF_SMALL).collect()
+    }
+    assert past != final, "time travel returned the latest state"
+    # Replay: per-user counts over the first two physical files only.
+    split = _batched_events_dir(SF_SMALL)
+    import pandas as pd
+
+    frames = [
+        papq.read_table(f"{split}/part-{i}.parquet").to_pandas() for i in (0, 1)
+    ]
+    first_two = pd.concat(frames)
+    expect_counts = first_two.groupby("user_id").size().to_dict()
+    assert {u: n for u, (n, _) in past.items()} == expect_counts
+    # Monotone: every user's past count <= final count.
+    assert all(past[u][0] <= final[u][0] for u in past)
