@@ -79,7 +79,7 @@ _MODULES = [
 # (graph_pagerank_nations, agg_hypertable_rollup,
 # subquery_not_in_null_aware, window_rolling_distinct, and later still
 # dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk +
-# streaming_time_travel_snapshot). The remaining
+# streaming_time_travel_snapshot + dedup_incremental_ingest). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -92,9 +92,10 @@ _MODULES = [
 # subquery_above_nation_avg (yielded to the analytics.py four), plus
 # unpivot_rates and window_distribution_funcs (yielded to the prefix
 # join + UDTF pair), plus upsert_snapshot_merge (yielded to
-# sim_pq_adc_topk) and text_term_frequency (yielded to
-# streaming_time_travel_snapshot). After a green round every registry
-# query is >= twice-verified except those twenty.
+# sim_pq_adc_topk), text_term_frequency (yielded to
+# streaming_time_travel_snapshot), and text_fingerprint (yielded to
+# dedup_incremental_ingest). After a green round every registry query is
+# >= twice-verified except those twenty-one.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -121,6 +122,7 @@ _DRIVER_WINDOW = [
     "udtf_ngram_shingles",
     "sim_pq_adc_topk",
     "streaming_time_travel_snapshot",
+    "dedup_incremental_ingest",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -137,7 +139,6 @@ _DRIVER_WINDOW = [
     "text_decontaminate",
     "text_decontaminate_fuzzy",
     "text_doc_stats",
-    "text_fingerprint",
     "text_langid",
     "text_normalize_pandas_udf",
     "text_quality_score",

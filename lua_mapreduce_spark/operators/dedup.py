@@ -476,6 +476,159 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JAC
 
 
 # --------------------------------------------------------------------------
+# Incremental ingestion near-dup gate (bloom-gated banded MinHash)
+# --------------------------------------------------------------------------
+
+# "Today's ingest" = every _ING_MOD-th document; the rest is the standing
+# corpus. A modulo split (not a range) keeps the batch a fixed fraction at
+# every scale factor.
+_ING_MOD = 5
+
+
+def _banded_keys(mh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash, bk): the LSH band keys of every doc,
+    plus the single-string key the bloom filter hashes."""
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)],
+                )
+            ).alias("band_hash"),
+        )
+        for band in range(_N_BANDS)
+    ]
+    return (
+        mh.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+        .withColumn("bk", F.concat_ws(":", "band_idx", "band_hash"))
+    )
+
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion near-dup gate: is each NEW document a near-dup
+    of the standing corpus?
+
+    The production shape this models: the corpus's band keys live in a
+    compact bloom filter; a new document whose bands ALL miss the filter
+    is provably novel (bloom has no false negatives) and takes the
+    zero-shuffle fast path — only the bloom-hit bands (true collisions +
+    the small fp rate) enter the band join and exact-jaccard verification.
+    At 100 TB with a low duplicate rate that turns the dedup join from
+    corpus-sized to duplicate-sized. The oracle replays the band join
+    WITHOUT the bloom — result equality proves the gate lossless.
+
+    Output: one row per new document in the shingle universe —
+    (doc_id, n_corpus_partners, is_dup)."""
+    from lua_mapreduce_spark.operators.scale_ops import (
+        _BLOOM_SALTS,
+        _bloom_bitset,
+        _bloom_hit,
+    )
+
+    mh = _minhash_signatures(spark, sf_dir)
+    banded = _banded_keys(mh)
+    is_batch = F.col("doc_id") % _ING_MOD == _ING_MOD - 1
+    corpus_b = banded.filter(~is_batch)
+    batch_b = banded.filter(is_batch)
+
+    bits = _bloom_bitset(corpus_b.select("bk"), "bk")
+    hits = (
+        batch_b.join(F.broadcast(bits))  # 1-row bitset cross join
+        .filter(_bloom_hit("bk", _BLOOM_SALTS[0]) & _bloom_hit("bk", _BLOOM_SALTS[1]))
+        .drop("bloom", "bk")
+    )
+    pairs = (
+        hits.alias("n")
+        .join(
+            corpus_b.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("nd"), F.col("c.doc_id").alias("cd"))
+        .distinct()
+    )
+    sa = mh.select(F.col("doc_id").alias("nd"), F.col("shingles").alias("sh_n"))
+    sb = mh.select(F.col("doc_id").alias("cd"), F.col("shingles").alias("sh_c"))
+    partners = (
+        pairs.join(sa, "nd")
+        .join(sb, "cd")
+        .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
+        .filter(
+            F.col("inter").cast("double")
+            / (F.size("sh_n") + F.size("sh_c") - F.col("inter")).cast("double")
+            >= _JACCARD_THRESHOLD
+        )
+        .groupBy("nd")
+        .agg(F.count(F.lit(1)).alias("n_corpus_partners"))
+    )
+    new_docs = mh.filter(is_batch).select("doc_id")
+    return (
+        new_docs.join(partners, new_docs.doc_id == partners.nd, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_partners", F.lit(0)).alias("n_corpus_partners"),
+            F.col("nd").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def _incremental_ingest_oracle() -> str:
+    base = oracle_md5_bigint_expr("shingle")
+    mins = ",\n         ".join(
+        f"MIN({e}) AS m{i}" for i, e in enumerate(_minhash_exprs(f"({base})"))
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {band} AS band_idx, "
+        f"md5(concat_ws(',', {', '.join(f'm{band * _BAND_ROWS + r}' for r in range(_BAND_ROWS))})) AS band_hash FROM mh"
+        for band in range(_N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_ORACLE_CTE},
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id),
+banded AS (
+{band_rows}
+),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS nd, c.doc_id AS cd
+  FROM banded n JOIN banded c
+    ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+  WHERE n.doc_id % {_ING_MOD} = {_ING_MOD - 1}
+    AND c.doc_id % {_ING_MOD} != {_ING_MOD - 1}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT nd, cd, COUNT(*) AS n_common
+  FROM pairs
+  JOIN shingles sa ON sa.doc_id = nd
+  JOIN shingles sb ON sb.doc_id = cd AND sa.shingle = sb.shingle
+  GROUP BY 1, 2),
+partners AS (
+  SELECT nd, COUNT(*) AS n_corpus_partners
+  FROM common
+  JOIN sizes sa ON sa.doc_id = nd
+  JOIN sizes sb ON sb.doc_id = cd
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+        >= {_JACCARD_THRESHOLD}
+  GROUP BY nd)
+SELECT d.doc_id,
+       COALESCE(p.n_corpus_partners, 0) AS n_corpus_partners,
+       p.nd IS NOT NULL AS is_dup
+FROM (SELECT DISTINCT doc_id FROM shingles
+      WHERE doc_id % {_ING_MOD} = {_ING_MOD - 1}) d
+LEFT JOIN partners p ON p.nd = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints
 # --------------------------------------------------------------------------
 
@@ -615,6 +768,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix_join": dedup_jaccard_prefix_join,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental_ingest": dedup_incremental_ingest,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -626,6 +780,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
     "dedup_jaccard_prefix_join": PREFIX_JOIN_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_incremental_ingest": _incremental_ingest_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": EMB_COSINE_ORACLE,
 }

@@ -68,16 +68,16 @@ def _bloom_pos(col_sql: str, salt: str) -> str:
     return f"pmod({h}, {_BLOOM_M})"
 
 
-def _bloom_bitset(cust: DataFrame) -> DataFrame:
+def _bloom_bitset(members: DataFrame, key_col: str = "c_custkey") -> DataFrame:
     """1-row DataFrame with `bloom` = dense array of _BLOOM_WORDS longs.
 
     Build: explode the k salted positions, OR each word's bits with a
     map-side-combinable bit_or agg (_BLOOM_WORDS rows max reach the
     final agg), then densify the sparse (word -> bits) map onto
     sequence(0, _BLOOM_WORDS-1) so probes index it in O(1)."""
-    pos_arr = ", ".join(_bloom_pos("c_custkey", s) for s in _BLOOM_SALTS)
+    pos_arr = ", ".join(_bloom_pos(key_col, s) for s in _BLOOM_SALTS)
     words = (
-        cust.select(F.explode(F.expr(f"array({pos_arr})")).alias("pos"))
+        members.select(F.explode(F.expr(f"array({pos_arr})")).alias("pos"))
         .groupBy(F.expr("pos DIV 64").alias("w"))
         .agg(
             F.expr(

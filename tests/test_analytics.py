@@ -222,3 +222,53 @@ def test_udtf_shingles_cap_and_positions(spark):
     # every shingle is exactly 3 space-joined lowercase alpha tokens
     sample = [r.shingle for r in rows[:100]]
     assert all(len(s.split(" ")) == 3 and s == s.lower() for s in sample)
+
+
+# ---------------------------------------- Incremental ingestion dedup gate
+
+
+def test_incremental_ingest_bloom_gate_prunes_and_flags(spark):
+    """The bloom gate sends only a minority of new-doc band keys into the
+    candidate join (the fast path actually fires), and every flagged
+    new doc really has a corpus near-dup partner at the threshold (spot
+    verification against the LSH pair list)."""
+    from lua_mapreduce_spark.operators.dedup import (
+        _ING_MOD,
+        _banded_keys,
+        _minhash_signatures,
+    )
+    from lua_mapreduce_spark.operators.scale_ops import (
+        _BLOOM_SALTS,
+        _bloom_bitset,
+        _bloom_hit,
+    )
+
+    mh = _minhash_signatures(spark, SF_MEDIUM)
+    banded = _banded_keys(mh)
+    is_batch = F.col("doc_id") % _ING_MOD == _ING_MOD - 1
+    corpus_b = banded.filter(~is_batch)
+    batch_b = banded.filter(is_batch)
+    bits = _bloom_bitset(corpus_b.select("bk"), "bk")
+    probed = batch_b.join(F.broadcast(bits)).select(
+        (
+            _bloom_hit("bk", _BLOOM_SALTS[0]) & _bloom_hit("bk", _BLOOM_SALTS[1])
+        ).alias("hit")
+    )
+    n = probed.count()
+    n_hit = probed.filter("hit").count()
+    assert 0 < n_hit < 0.5 * n, f"bloom gate pruned nothing: {n_hit}/{n}"
+
+    result = {
+        r.doc_id: r.is_dup
+        for r in QUERIES["dedup_incremental_ingest"](spark, SF_MEDIUM).collect()
+    }
+    assert result and any(result.values()) and not all(result.values())
+    # Every flagged doc must appear in the full LSH near-dup pair list
+    # with a partner on the corpus side of the split.
+    lsh_pairs = QUERIES["dedup_minhash_lsh"](spark, SF_MEDIUM).collect()
+    flagged_by_lsh = set()
+    for r in lsh_pairs:
+        for new, old in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if new % _ING_MOD == _ING_MOD - 1 and old % _ING_MOD != _ING_MOD - 1:
+                flagged_by_lsh.add(new)
+    assert {d for d, dup in result.items() if dup} == flagged_by_lsh

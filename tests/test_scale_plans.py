@@ -135,6 +135,7 @@ _NESTED_LOOP_OK = {
     "text_unigram_rarity",    # 1-row N-scalar broadcast cross join
     "graph_pagerank_nations", # 1-row node-count broadcast cross join
     "sim_pq_adc_topk",        # != condition against broadcast query tables
+    "dedup_incremental_ingest",  # 1-row bloom bitset broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -194,6 +195,7 @@ _BROADCAST_OK = {
     ("analytics.py", "nn"),           # single-row node count (PageRank teleport)
     ("pq.py", "cb"),                  # fixed M*K codebook rows (16x16 = 256)
     ("pq.py", "wide"),                # fixed query-set ADC tables (10 rows)
+    ("dedup.py", "bits"),             # 1-row bloom bitset (<= _BLOOM_M bits)
 }
 
 
