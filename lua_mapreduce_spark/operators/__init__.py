@@ -79,7 +79,8 @@ _MODULES = [
 # (graph_pagerank_nations, agg_hypertable_rollup,
 # subquery_not_in_null_aware, window_rolling_distinct, and later still
 # dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk +
-# streaming_time_travel_snapshot + dedup_incremental_ingest). The remaining
+# streaming_time_travel_snapshot + dedup_incremental_ingest +
+# curation_proportional_sample + scalar_explode_outer). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -93,9 +94,11 @@ _MODULES = [
 # unpivot_rates and window_distribution_funcs (yielded to the prefix
 # join + UDTF pair), plus upsert_snapshot_merge (yielded to
 # sim_pq_adc_topk), text_term_frequency (yielded to
-# streaming_time_travel_snapshot), and text_fingerprint (yielded to
-# dedup_incremental_ingest). After a green round every registry query is
-# >= twice-verified except those twenty-one.
+# streaming_time_travel_snapshot), text_fingerprint (yielded to
+# dedup_incremental_ingest), and text_rolling_fingerprint +
+# text_doc_stats (yielded to curation_proportional_sample +
+# scalar_explode_outer). After a green round every registry query is
+# >= twice-verified except those twenty-three.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -123,6 +126,8 @@ _DRIVER_WINDOW = [
     "sim_pq_adc_topk",
     "streaming_time_travel_snapshot",
     "dedup_incremental_ingest",
+    "curation_proportional_sample",
+    "scalar_explode_outer",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -138,12 +143,10 @@ _DRIVER_WINDOW = [
     "text_chunk_tokens",
     "text_decontaminate",
     "text_decontaminate_fuzzy",
-    "text_doc_stats",
     "text_langid",
     "text_normalize_pandas_udf",
     "text_quality_score",
     "text_repetition_filter",
-    "text_rolling_fingerprint",
     "text_tfidf",
     "text_token_count_bpe",
     "udaf_group_median_pandas",

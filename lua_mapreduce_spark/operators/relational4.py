@@ -1136,7 +1136,53 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# Lateral OUTER explode (null-preserving row generation)
+# --------------------------------------------------------------------------
+
+
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: the null-preserving lateral — a row whose array is
+    EMPTY survives as (doc_id, NULL, NULL) instead of vanishing, the
+    LEFT JOIN LATERAL semantics a plain explode silently breaks (losing
+    parent rows is the classic fan-out bug in enrichment pipelines). The
+    'q'-prefix filter leaves ~23% of documents with an empty match list at
+    sf0.01, so the outer path is genuinely exercised. Map-side only."""
+    from lua_mapreduce_spark.functions.texthash import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id",
+        F.expr(f"filter({words_expr('text')}, w -> startswith(w, 'q'))").alias("sw"),
+    )
+    return arr.select("doc_id", F.posexplode_outer("sw").alias("pos", "token"))
+
+
+# DuckDB's unnest drops empty lists; [NULL] substitution + a len guard on
+# the position reproduces posexplode_outer exactly.
+def _explode_outer_oracle() -> str:
+    from lua_mapreduce_spark.functions.texthash import oracle_words_expr
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({oracle_words_expr("text")}, w -> starts_with(w, 'q')) AS sw
+  FROM documents),
+x AS (SELECT doc_id, CASE WHEN len(sw) = 0 THEN [NULL] ELSE sw END AS sw2,
+             len(sw) AS n
+      FROM t),
+u AS (SELECT doc_id, n, unnest(sw2) AS token,
+             generate_subscripts(sw2, 1) AS p
+      FROM x)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN NULL ELSE CAST(p - 1 AS INT) END AS pos,
+       token
+FROM u
+"""
+
+
 QUERIES = {
+    "scalar_explode_outer": scalar_explode_outer,
     "agg_null_semantics": agg_null_semantics,
     "scalar_string_predicates": scalar_string_predicates,
     "scalar_bitwise_funcs": scalar_bitwise_funcs,
@@ -1165,6 +1211,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scalar_explode_outer": _explode_outer_oracle(),
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
     "scalar_string_predicates": STRING_PREDICATES_ORACLE,
     "scalar_bitwise_funcs": BITWISE_ORACLE,

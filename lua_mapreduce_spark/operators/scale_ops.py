@@ -364,11 +364,102 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Proportional-allocation sampling (Hamilton largest-remainder quotas)
+# --------------------------------------------------------------------------
+
+# Total sample budget. Quotas are allocated across sources proportionally
+# to their row counts with the largest-remainder (Hamilton) method: exact
+# integer arithmetic, quotas sum to the budget EXACTLY, and every source
+# with rows can win at most one remainder seat — the textbook fair
+# apportionment, here as the "sample 100 docs proportionally" primitive a
+# mixture pipeline needs when per-source keep RATES (curation_sample_mixture)
+# must become exact COUNTS.
+_PROP_BUDGET = 100
+_PROP_SALT = "prop:"
+
+
+def curation_proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional quotas per source, largest-remainder method,
+    then the deterministic md5-ordered head of each source.
+
+    Scale shape: the stats relation is a grouped aggregate on source
+    (bounded: source is a low-cardinality code), the apportionment windows
+    run over those few rows, and the per-source head is the same
+    WindowGroupLimit map-side truncation the stratified sampler compiles
+    to. All arithmetic integer -> exact value oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = stats.agg(F.sum("n").alias("tot"))
+    base = (
+        stats.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.expr(f"CAST(({_PROP_BUDGET} * n) DIV tot AS BIGINT)").alias("base"),
+            # remainder scaled by tot: integer-exact tie-breakable
+            F.expr(f"{_PROP_BUDGET} * n % tot").alias("rem"),
+        )
+    )
+    leftover_w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    sum_w = Window.partitionBy()
+    quota = base.select(
+        "source",
+        "n",
+        (
+            F.col("base")
+            + (
+                F.row_number().over(leftover_w)
+                <= F.lit(_PROP_BUDGET) - F.sum("base").over(sum_w)
+            ).cast("bigint")
+        ).alias("quota"),
+    )
+    key = F.expr(
+        md5_bigint_expr(f"concat('{_PROP_SALT}', CAST(doc_id AS STRING))")
+    )
+    pick_w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(pick_w))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", F.col("rn").cast("int").alias("rn"), "quota")
+    )
+
+
+PROPORTIONAL_SAMPLE_ORACLE = f"""
+WITH stats AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS tot FROM stats),
+base AS (
+  SELECT source, n,
+         CAST(({_PROP_BUDGET} * n) // tot AS BIGINT) AS base,
+         {_PROP_BUDGET} * n % tot AS rem
+  FROM stats CROSS JOIN tot),
+quota AS (
+  SELECT source, n,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                          <= {_PROP_BUDGET} - SUM(base) OVER ()
+                     THEN 1 ELSE 0 END AS quota
+  FROM base),
+keyed AS (
+  SELECT doc_id, source,
+         {oracle_md5_bigint_expr(f"concat('{_PROP_SALT}', CAST(doc_id AS VARCHAR))")} AS k
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+  FROM keyed)
+SELECT r.doc_id, r.source, CAST(r.rn AS INT) AS rn, q.quota
+FROM ranked r JOIN quota q USING (source)
+WHERE r.rn <= q.quota
+"""
+
+
 QUERIES = {
     "join_bloom_prefilter": join_bloom_prefilter,
     "curation_stratified_sample": curation_stratified_sample,
     "layout_zorder_keys": layout_zorder_keys,
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "curation_proportional_sample": curation_proportional_sample,
 }
 
 ORACLES = {
@@ -376,4 +467,5 @@ ORACLES = {
     "curation_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "layout_zorder_keys": ZORDER_ORACLE,
     "agg_bitmap_distinct": BITMAP_DISTINCT_ORACLE,
+    "curation_proportional_sample": PROPORTIONAL_SAMPLE_ORACLE,
 }

@@ -141,3 +141,43 @@ def test_bitmap_distinct_shuffles_words_not_keys(spark):
     # COUNT(DISTINCT) would compile through an Expand node; the bitmap
     # path must not.
     assert "Expand" not in plan
+
+
+def test_proportional_quotas_sum_exactly_to_budget(spark):
+    """Hamilton apportionment: the per-source quotas sum to the budget
+    EXACTLY (no rounding drift), every source with rows gets at least its
+    floor share, and the picked sample hits the budget row count."""
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.operators.scale_ops import (
+        _PROP_BUDGET,
+        curation_proportional_sample,
+    )
+
+    rows = curation_proportional_sample(spark, SF_MEDIUM).collect()
+    assert len(rows) == _PROP_BUDGET
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    counts = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    for source, picked in by_source.items():
+        floor_share = (_PROP_BUDGET * counts[source]) // total
+        assert floor_share <= len(picked) <= floor_share + 1
+        assert len(picked) == picked[0].quota == max(p.rn for p in picked)
+
+
+def test_explode_outer_preserves_empty_array_parents(spark):
+    """Every document appears in the output: empty match lists surface as
+    (doc_id, NULL, NULL) rows instead of disappearing."""
+    from lua_mapreduce_spark.operators import QUERIES
+
+    rows = QUERIES["scalar_explode_outer"](spark, SF_MEDIUM).collect()
+    docs_out = {r.doc_id for r in rows}
+    n_docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").count()
+    assert len(docs_out) == n_docs
+    null_rows = [r for r in rows if r.token is None]
+    assert null_rows and all(r.pos is None for r in null_rows)
+    non_null = [r for r in rows if r.token is not None]
+    assert all(r.token.startswith("q") for r in non_null)

@@ -196,6 +196,8 @@ _BROADCAST_OK = {
     ("pq.py", "cb"),                  # fixed M*K codebook rows (16x16 = 256)
     ("pq.py", "wide"),                # fixed query-set ADC tables (10 rows)
     ("dedup.py", "bits"),             # 1-row bloom bitset (<= _BLOOM_M bits)
+    ("scale_ops.py", "tot"),          # single-row global count (apportionment N)
+    ("scale_ops.py", "quota"),        # grouped by source: bounded source codes
 }
 
 
