@@ -80,7 +80,8 @@ _MODULES = [
 # subquery_not_in_null_aware, window_rolling_distinct, and later still
 # dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk +
 # streaming_time_travel_snapshot + dedup_incremental_ingest +
-# curation_proportional_sample + scalar_explode_outer). The remaining
+# curation_proportional_sample + scalar_explode_outer +
+# text_collocations). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -95,10 +96,11 @@ _MODULES = [
 # join + UDTF pair), plus upsert_snapshot_merge (yielded to
 # sim_pq_adc_topk), text_term_frequency (yielded to
 # streaming_time_travel_snapshot), text_fingerprint (yielded to
-# dedup_incremental_ingest), and text_rolling_fingerprint +
+# dedup_incremental_ingest), text_rolling_fingerprint +
 # text_doc_stats (yielded to curation_proportional_sample +
-# scalar_explode_outer). After a green round every registry query is
-# >= twice-verified except those twenty-three.
+# scalar_explode_outer), and text_token_count_bpe (yielded to
+# text_collocations). After a green round every registry query is
+# >= twice-verified except those twenty-four.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -128,6 +130,7 @@ _DRIVER_WINDOW = [
     "dedup_incremental_ingest",
     "curation_proportional_sample",
     "scalar_explode_outer",
+    "text_collocations",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -148,7 +151,6 @@ _DRIVER_WINDOW = [
     "text_quality_score",
     "text_repetition_filter",
     "text_tfidf",
-    "text_token_count_bpe",
     "udaf_group_median_pandas",
     "curation_cluster_balanced_sample",
 ]

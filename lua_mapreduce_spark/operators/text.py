@@ -331,7 +331,100 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# Collocation extraction (PMI-ordered association scoring)
+# --------------------------------------------------------------------------
+
+_COLL_MIN = 20  # bigram count floor: rank only attested pairs
+_COLL_K = 50
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise-mutual-information ORDER: lift =
+    c(xy)*N / (c(x)*c(y)) ranks identically to PMI (log is monotone) with
+    three IEEE double ops in a fixed syntactic order — bit-identical in
+    both engines, the same transcendental-free trick as text_tfidf.
+
+    Scale shape: one tokenize scan feeds both the unigram and the bigram
+    aggregation (map-side combinable; type counts bounded by vocab, not
+    corpus); the scoring joins key on single words; the global top-K sorts
+    only the df-floored bigram TYPE table. N is a 1-row broadcast."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    tt = docs.select(F.expr(words_expr("text")).alias("l")).filter(F.size("l") >= 2)
+    uni = (
+        tt.select(F.explode("l").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cx"))
+    )
+    n = uni.agg(F.sum("cx").alias("n_tokens"))
+    big = (
+        tt.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l) - 2),"
+                    " i -> struct(l[i] AS w1, l[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_bigram"))
+        .filter(F.col("c_bigram") >= _COLL_MIN)
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("cx").alias("c_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("cx").alias("c_w2"))
+    from pyspark.sql import Window
+
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_bigram",
+            "c_w1",
+            "c_w2",
+            F.expr(
+                "(CAST(c_bigram AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+                " / (CAST(c_w1 AS DOUBLE) * CAST(c_w2 AS DOUBLE))"
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _COLL_K)
+    )
+
+
+COLLOCATIONS_ORACLE = f"""
+WITH tt AS (
+  SELECT l FROM (SELECT {oracle_words_expr("text")} AS l FROM documents)
+  WHERE len(l) >= 2),
+uni AS (
+  SELECT w.word, COUNT(*) AS cx FROM tt, unnest(l) AS w(word) GROUP BY 1),
+n AS (SELECT SUM(cx) AS n_tokens FROM uni),
+big AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS c_bigram
+  FROM tt, unnest(range(1, len(l))) AS r(i)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_COLL_MIN}),
+scored AS (
+  SELECT w1 || ' ' || w2 AS bigram, c_bigram, u1.cx AS c_w1, u2.cx AS c_w2,
+         (CAST(c_bigram AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+           / (CAST(u1.cx AS DOUBLE) * CAST(u2.cx AS DOUBLE)) AS lift
+  FROM big
+  JOIN uni u1 ON big.w1 = u1.word
+  JOIN uni u2 ON big.w2 = u2.word
+  CROSS JOIN n)
+SELECT bigram, c_bigram, c_w1, c_w2, lift, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, bigram ASC) AS rank
+  FROM scored)
+WHERE rank <= {_COLL_K}
+"""
+
+
 QUERIES = {
+    "text_collocations": text_collocations,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_normalize_pandas_udf": text_normalize_pandas_udf,
     "text_wordcount": text_wordcount,
@@ -345,6 +438,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_collocations": COLLOCATIONS_ORACLE,
     "text_rolling_fingerprint": ROLLING_FP_ORACLE,
     "text_normalize_pandas_udf": NORMALIZE_UDF_ORACLE,
     "text_wordcount": WORDCOUNT_ORACLE,

@@ -326,3 +326,19 @@ def test_write_inverted_index_uncapped_clustered(spark, tmp_path):
         assert got[w] == expect, f"{w}: {got[w]} != {expect}"
     # And the uncapped index keeps the sub-floor tail the capped one drops.
     assert len(got) > len(capped)
+
+
+def test_collocations_rank_by_association_not_frequency(spark):
+    """Lift ordering is PMI ordering: the returned list is sorted by lift
+    with the deterministic tie-break, every pair clears the count floor,
+    and the top collocation is genuinely associated (lift > 1 = the pair
+    co-occurs more than independence predicts)."""
+    from lua_mapreduce_spark.operators import QUERIES
+    from lua_mapreduce_spark.operators.text import _COLL_K, _COLL_MIN
+
+    rows = QUERIES["text_collocations"](spark, SF_MEDIUM).collect()
+    assert 0 < len(rows) <= _COLL_K
+    assert all(r.c_bigram >= _COLL_MIN for r in rows)
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    assert rows[0].lift > 1.0

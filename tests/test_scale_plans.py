@@ -136,6 +136,8 @@ _NESTED_LOOP_OK = {
     "graph_pagerank_nations", # 1-row node-count broadcast cross join
     "sim_pq_adc_topk",        # != condition against broadcast query tables
     "dedup_incremental_ingest",  # 1-row bloom bitset broadcast cross join
+    "text_collocations",      # 1-row N-scalar broadcast cross join
+    "curation_proportional_sample",  # 1-row total-count broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -198,6 +200,7 @@ _BROADCAST_OK = {
     ("dedup.py", "bits"),             # 1-row bloom bitset (<= _BLOOM_M bits)
     ("scale_ops.py", "tot"),          # single-row global count (apportionment N)
     ("scale_ops.py", "quota"),        # grouped by source: bounded source codes
+    ("text.py", "n"),                 # single-row global token count (PMI N)
 }
 
 
