@@ -81,7 +81,7 @@ _MODULES = [
 # dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk +
 # streaming_time_travel_snapshot + dedup_incremental_ingest +
 # curation_proportional_sample + scalar_explode_outer +
-# text_collocations). The remaining
+# text_collocations + graph_triangle_count). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -98,9 +98,10 @@ _MODULES = [
 # streaming_time_travel_snapshot), text_fingerprint (yielded to
 # dedup_incremental_ingest), text_rolling_fingerprint +
 # text_doc_stats (yielded to curation_proportional_sample +
-# scalar_explode_outer), and text_token_count_bpe (yielded to
-# text_collocations). After a green round every registry query is
-# >= twice-verified except those twenty-four.
+# scalar_explode_outer), text_token_count_bpe (yielded to
+# text_collocations), and text_langid (yielded to
+# graph_triangle_count). After a green round every registry query is
+# >= twice-verified except those twenty-five.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -131,6 +132,7 @@ _DRIVER_WINDOW = [
     "curation_proportional_sample",
     "scalar_explode_outer",
     "text_collocations",
+    "graph_triangle_count",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -146,7 +148,6 @@ _DRIVER_WINDOW = [
     "text_chunk_tokens",
     "text_decontaminate",
     "text_decontaminate_fuzzy",
-    "text_langid",
     "text_normalize_pandas_udf",
     "text_quality_score",
     "text_repetition_filter",

@@ -160,6 +160,97 @@ FROM r{_PR_ITERS} r JOIN nation n ON r.node = n.n_nationkey
 
 
 # --------------------------------------------------------------------------
+# Triangle counting (degree-oriented, the MapReduce classic)
+# --------------------------------------------------------------------------
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts sharing an order).
+
+    Spark side uses DEGREE ORIENTATION (Schank-Wagner / Cohen's MapReduce
+    formulation): each undirected edge points from its lower-(degree, id)
+    endpoint to the higher one, so every triangle is counted exactly once
+    at its lowest-ordered corner and — the scale point — the wedge join's
+    per-node fan-out is bounded by O(sqrt(m)) instead of the raw degree: a
+    celebrity part with degree 10^6 contributes ZERO wedges from its own
+    adjacency because almost all its edges point toward it. The oracle is
+    the orientation-free canonical 3-way self-join; count equality proves
+    the orientation loses and double-counts nothing.
+
+    Output: one row (n_nodes, n_edges, n_triangles)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        # referenced by degree calc + orientation + the final edge-exists
+        # join: materialize the (small) edge list once, like PageRank's
+        # edge relation.
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        pairs.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.expr("IF((du, u) < (dv, v), u, v)").alias("src"),
+            F.expr("IF((du, u) < (dv, v), v, u)").alias("dst"),
+            F.expr(
+                "IF((du, u) < (dv, v),"
+                " struct(dv AS d, v AS n), struct(du AS d, u AS n))"
+            ).alias("kdst"),
+        )
+    )
+    w1, w2 = e.alias("w1"), e.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.kdst") < F.col("w2.kdst")),
+    ).select(F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y"))
+    # The closing edge may carry either orientation between x and y;
+    # normalizing the wedge endpoints back to the canonical (min, max)
+    # form keeps the existence check an EQUI-join against the undirected
+    # edge list (an OR of the two orientations would nested-loop).
+    tri = wedges.select(
+        F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+    ).join(pairs, ["u", "v"])
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
+
+
+TRIANGLE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+  GROUP BY n),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+# --------------------------------------------------------------------------
 # Hypertable rollup: events -> hourly continuous aggregate -> daily
 # --------------------------------------------------------------------------
 
@@ -365,6 +456,7 @@ FROM idx
 
 QUERIES = {
     "graph_pagerank_nations": graph_pagerank_nations,
+    "graph_triangle_count": graph_triangle_count,
     "agg_hypertable_rollup": agg_hypertable_rollup,
     "subquery_not_in_null_aware": subquery_not_in_null_aware,
     "window_rolling_distinct": window_rolling_distinct,
@@ -373,6 +465,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank_nations": _pagerank_oracle(),
+    "graph_triangle_count": TRIANGLE_ORACLE,
     "agg_hypertable_rollup": HYPERTABLE_ORACLE,
     "subquery_not_in_null_aware": NOT_IN_ORACLE,
     "window_rolling_distinct": ROLLING_DISTINCT_ORACLE,

@@ -138,6 +138,7 @@ _NESTED_LOOP_OK = {
     "dedup_incremental_ingest",  # 1-row bloom bitset broadcast cross join
     "text_collocations",      # 1-row N-scalar broadcast cross join
     "curation_proportional_sample",  # 1-row total-count broadcast cross join
+    "graph_triangle_count",   # three 1-row scalar aggregates cross-joined
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -201,6 +202,8 @@ _BROADCAST_OK = {
     ("scale_ops.py", "tot"),          # single-row global count (apportionment N)
     ("scale_ops.py", "quota"),        # grouped by source: bounded source codes
     ("text.py", "n"),                 # single-row global token count (PMI N)
+    ("analytics.py", "n_edges"),      # single-row global edge count
+    ("analytics.py", "n_tri"),        # single-row global triangle count
 }
 
 
