@@ -246,11 +246,17 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: df counts are a map-side-combinable groupBy; rank+size
     is one window over the doc-partitioned index; the candidate join keys
     on (rare) prefix shingles; verification joins on doc_id against the
-    per-doc set arrays. At 100 TB the set arrays would come from the same
-    cached single text pass the MinHash path uses."""
+    per-doc set arrays. The set arrays come from the PERSISTED MinHash
+    signature relation (the shared single-text-pass artifact): this query
+    references the sets three times (index + both verification sides),
+    and deriving them from the raw scan instead re-runs the regexp
+    tokenizer per reference — worse, CollapseProject then inlines the
+    tokenizer into every array subscript (the 15x plan trap
+    tests/test_hygiene.py pins for substring dedup; measured 19 s vs 3 s
+    at sf0.1 here)."""
     from pyspark.sql import Window
 
-    sets = _shingle_arrays_df(spark, sf_dir).select(
+    sets = _minhash_signatures(spark, sf_dir).select(
         "doc_id", "shingles", F.size("shingles").alias("s")
     )
     sh = sets.select("doc_id", "s", F.explode("shingles").alias("shingle"))
