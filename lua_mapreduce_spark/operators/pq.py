@@ -144,21 +144,24 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
     cb = _pq_codebooks(spark, sf_dir)
     dist = _SUB_L2_SPARK.format(x="sub", c="cvec")
-    rank_w = Window.partitionBy("vec_id", "m").orderBy("d", "code")
 
     # Encode: every (vector, subspace) meets the broadcast M*K-row
-    # codebook; argmin via one window; pivot the M codes into one row per
-    # vector.
+    # codebook; argmin via min(struct(d, code)) — a map-side-combinable
+    # aggregation with the same (dist ASC, code ASC) tie rule as the
+    # oracle's ROW_NUMBER, and no per-(vector, subspace) sort shuffle the
+    # window formulation would pay; pivot the M codes into one row per
+    # vector in the same aggregation.
     assigned = (
         _subspaces(emb)
         .join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "code", F.expr(dist).alias("d"))
-        .withColumn("rk", F.row_number().over(rank_w))
-        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id", "m",
+            F.struct(F.expr(dist).alias("d"), F.col("code").alias("code")).alias("dc"),
+        )
     )
     codes = assigned.groupBy("vec_id").agg(
         *[
-            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
+            F.min(F.when(F.col("m") == m, F.col("dc"))).getField("code").alias(f"c{m}")
             for m in range(_PQ_M)
         ]
     )
