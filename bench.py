@@ -282,6 +282,10 @@ def main() -> None:
         _minhash_signatures,
         clear_signature_cache,
     )
+    from lua_mapreduce_spark.operators.hygiene import (
+        _semdedup_cells,
+        clear_cells_cache,
+    )
     from lua_mapreduce_spark.operators.similarity import (
         _km_centroids,
         clear_centroid_cache,
@@ -310,6 +314,17 @@ def main() -> None:
                 t0 = time.perf_counter()
                 _minhash_signatures(spark, sf_dir).count()
                 raw.setdefault("dedup_minhash_signature_build", []).append(
+                    time.perf_counter() - t0
+                )
+            if name == "dedup_semantic_semdedup":
+                # Same split as the signature build: the centroid
+                # assignment is a build-once cached relation shared by
+                # SemDeDup and the cluster-balanced sampler; time it as
+                # its own line so the query line is steady-state.
+                clear_cells_cache()
+                t0 = time.perf_counter()
+                _semdedup_cells(spark, sf_dir).count()
+                raw.setdefault("semdedup_cells_build", []).append(
                     time.perf_counter() - t0
                 )
             if name == "sim_ivf_topk":
