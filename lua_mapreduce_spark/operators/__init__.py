@@ -81,7 +81,8 @@ _MODULES = [
 # dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk +
 # streaming_time_travel_snapshot + dedup_incremental_ingest +
 # curation_proportional_sample + scalar_explode_outer +
-# text_collocations + graph_triangle_count). The remaining
+# text_collocations + graph_triangle_count + agg_countmin_sketch). The
+# remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -99,9 +100,10 @@ _MODULES = [
 # dedup_incremental_ingest), text_rolling_fingerprint +
 # text_doc_stats (yielded to curation_proportional_sample +
 # scalar_explode_outer), text_token_count_bpe (yielded to
-# text_collocations), and text_langid (yielded to
-# graph_triangle_count). After a green round every registry query is
-# >= twice-verified except those twenty-five.
+# text_collocations), text_langid (yielded to
+# graph_triangle_count), and text_quality_score (yielded to
+# agg_countmin_sketch). After a green round every registry query is
+# >= twice-verified except those twenty-six.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -133,6 +135,7 @@ _DRIVER_WINDOW = [
     "scalar_explode_outer",
     "text_collocations",
     "graph_triangle_count",
+    "agg_countmin_sketch",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -149,7 +152,6 @@ _DRIVER_WINDOW = [
     "text_decontaminate",
     "text_decontaminate_fuzzy",
     "text_normalize_pandas_udf",
-    "text_quality_score",
     "text_repetition_filter",
     "text_tfidf",
     "udaf_group_median_pandas",

@@ -1181,7 +1181,105 @@ FROM u
 """
 
 
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode-Muthukrishnan 2005) — fully value-checked
+# --------------------------------------------------------------------------
+#
+# Unlike the HLL/GK sketches (engine-native, accuracy-boolean contract),
+# this CM sketch is built from the repo's portable md5 hashes with plain
+# integer counters, so EVERY cell and every estimate is bit-reproducible
+# in DuckDB: the oracle replays the build and the probes. The structural
+# guarantee est >= exact (CM never underestimates) is emitted as a column
+# and asserted TRUE by both engines. Scale shape: the build is one
+# map-side-combinable groupBy into <= _CM_D * _CM_W cells (a fixed-size
+# state no matter the input — the point of a sketch); probing joins the
+# distinct keys against the broadcast cell table.
+
+_CM_D = 4  # hash rows
+_CM_W = 1024  # counters per row
+_CM_SALTS = tuple(f"cm{d}:" for d in range(_CM_D))
+
+
+def _cm_pos(col_sql: str, salt: str) -> str:
+    salted = f"concat('{salt}', CAST({col_sql} AS STRING))"
+    return f"pmod({md5_bigint_expr(salted)}, {_CM_W})"
+
+
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-count estimates from a 4x1024 Count-Min sketch,
+    joined against exact counts: (key, exact, est, no_underestimate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pos_structs = ", ".join(
+        f"struct({d} AS d, {_cm_pos('o_custkey', _CM_SALTS[d])} AS pos)"
+        for d in range(_CM_D)
+    )
+    cells = (
+        orders.select(F.explode(F.expr(f"array({pos_structs})")).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    probes = exact.select(
+        "key",
+        "exact",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({d} AS d, {_cm_pos('key', _CM_SALTS[d])} AS pos)"
+                    for d in range(_CM_D)
+                )
+                + ")"
+            )
+        ).alias("c"),
+    ).select("key", "exact", F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("key", "exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "key",
+            "exact",
+            "est",
+            (F.col("est") >= F.col("exact")).alias("no_underestimate"),
+        )
+    )
+
+
+def _countmin_oracle() -> str:
+    def pos(col, salt):
+        h = oracle_md5_bigint_expr(f"concat('{salt}', CAST({col} AS VARCHAR))")
+        return f"(({h}) % {_CM_W} + {_CM_W}) % {_CM_W}"
+
+    cell_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {d} AS d, {pos('o_custkey', _CM_SALTS[d])} AS pos FROM orders"
+        for d in range(_CM_D)
+    )
+    probe_rows = "\n    UNION ALL\n".join(
+        f"    SELECT key, exact, {d} AS d, {pos('key', _CM_SALTS[d])} AS pos FROM exact"
+        for d in range(_CM_D)
+    )
+    return f"""
+WITH cells AS (
+  SELECT d, pos, COUNT(*) AS cnt FROM (
+{cell_rows}
+  ) GROUP BY d, pos),
+exact AS (
+  SELECT o_custkey AS key, COUNT(*) AS exact FROM orders GROUP BY o_custkey),
+probes AS (
+{probe_rows}
+)
+SELECT p.key, p.exact, MIN(c.cnt) AS est,
+       MIN(c.cnt) >= p.exact AS no_underestimate
+FROM probes p JOIN cells c ON p.d = c.d AND p.pos = c.pos
+GROUP BY p.key, p.exact
+"""
+
+
 QUERIES = {
+    "agg_countmin_sketch": agg_countmin_sketch,
     "scalar_explode_outer": scalar_explode_outer,
     "agg_null_semantics": agg_null_semantics,
     "scalar_string_predicates": scalar_string_predicates,
@@ -1211,6 +1309,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_countmin_sketch": _countmin_oracle(),
     "scalar_explode_outer": _explode_outer_oracle(),
     "agg_null_semantics": NULL_SEMANTICS_ORACLE,
     "scalar_string_predicates": STRING_PREDICATES_ORACLE,

@@ -132,3 +132,17 @@ def test_heavy_hitters_distributed_eviction_still_exact(spark):
     got = [tuple(r) for r in heavy_hitters(df, "k", 5, capacity=capacity).collect()]
     want = sorted(true.items(), key=lambda kc: (-kc[1], kc[0]))[:5]
     assert got == [(k, c) for k, c in want]
+
+
+def test_countmin_never_underestimates_and_error_is_bounded(spark):
+    """The CM structural guarantee (est >= exact) holds for EVERY key, and
+    the mean overestimate stays within a small multiple of N/W (the
+    expected-error bound; deterministic here since the hashes are md5)."""
+    from lua_mapreduce_spark.operators import QUERIES
+    from lua_mapreduce_spark.operators.relational4 import _CM_W
+
+    rows = QUERIES["agg_countmin_sketch"](spark, SF_MEDIUM).collect()
+    assert rows and all(r.no_underestimate for r in rows)
+    n_orders = spark.read.parquet(f"{SF_MEDIUM}/orders.parquet").count()
+    mean_err = sum(r.est - r.exact for r in rows) / len(rows)
+    assert mean_err <= 3.0 * n_orders / _CM_W, f"mean overestimate {mean_err}"
