@@ -81,8 +81,8 @@ _MODULES = [
 # dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk +
 # streaming_time_travel_snapshot + dedup_incremental_ingest +
 # curation_proportional_sample + scalar_explode_outer +
-# text_collocations + graph_triangle_count + agg_countmin_sketch). The
-# remaining
+# text_collocations + graph_triangle_count + agg_countmin_sketch +
+# streaming_hypertable_rollup). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -101,9 +101,10 @@ _MODULES = [
 # text_doc_stats (yielded to curation_proportional_sample +
 # scalar_explode_outer), text_token_count_bpe (yielded to
 # text_collocations), text_langid (yielded to
-# graph_triangle_count), and text_quality_score (yielded to
-# agg_countmin_sketch). After a green round every registry query is
-# >= twice-verified except those twenty-six.
+# graph_triangle_count), text_quality_score (yielded to
+# agg_countmin_sketch), and text_repetition_filter (yielded to
+# streaming_hypertable_rollup). After a green round every registry query
+# is >= twice-verified except those twenty-seven.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -136,6 +137,7 @@ _DRIVER_WINDOW = [
     "text_collocations",
     "graph_triangle_count",
     "agg_countmin_sketch",
+    "streaming_hypertable_rollup",
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -152,7 +154,6 @@ _DRIVER_WINDOW = [
     "text_decontaminate",
     "text_decontaminate_fuzzy",
     "text_normalize_pandas_udf",
-    "text_repetition_filter",
     "text_tfidf",
     "udaf_group_median_pandas",
     "curation_cluster_balanced_sample",

@@ -229,6 +229,36 @@ def streaming_time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+def streaming_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of analytics.agg_hypertable_rollup: the hourly
+    continuous aggregate runs IN the stream (watermarked tumbling windows
+    with DECIMAL partials, accumulated across >= 3 micro-batches); the
+    daily level combines the drained hourly partials in batch — exactly
+    the materialized-continuous-aggregate maintenance loop a TimescaleDB
+    deployment runs. Complete-mode drain emits every hourly window, so
+    the daily combine sees all partials; decimal sums keep the two-level
+    result equal to the one-shot batch aggregate (shared oracle)."""
+    from lua_mapreduce_spark.streaming.windows import stream_hourly_value_partials
+
+    sink = drain_stream(
+        stream_hourly_value_partials(_events_stream(spark, sf_dir)),
+        "stream_hypertable",
+        output_mode="complete",
+    )
+    return (
+        sink.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.expr("CAST(SUM(sv) AS DOUBLE)").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.max("n").alias("peak_hour_events"),
+        )
+    )
+
+
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchase <- click within 1h), counted
     per user after drain; watermarks bound the join state."""
@@ -291,6 +321,7 @@ QUERIES = {
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_upsert_merge": streaming_upsert_merge,
     "streaming_time_travel_snapshot": streaming_time_travel_snapshot,
+    "streaming_hypertable_rollup": streaming_hypertable_rollup,
     "streaming_anomaly_hours": streaming_anomaly_hours,
     "streaming_session_windows": streaming_session_windows,
 }
@@ -398,6 +429,7 @@ SELECT agg.user_id, agg.n_events, agg.sum_value,
 FROM agg JOIN latest USING (user_id)
 """
 
+from lua_mapreduce_spark.operators.analytics import HYPERTABLE_ORACLE as STREAM_HYPERTABLE_ORACLE
 from lua_mapreduce_spark.operators.events import ANOMALY_ORACLE as STREAM_ANOMALY_ORACLE
 from lua_mapreduce_spark.operators.events import SESSION_ORACLE as STREAM_SESSION_ORACLE
 
@@ -409,6 +441,7 @@ ORACLES: dict[str, str] = {
     "streaming_stream_stream_join": STREAM_STREAM_ORACLE,
     "streaming_upsert_merge": UPSERT_MERGE_ORACLE,
     "streaming_time_travel_snapshot": TIME_TRAVEL_ORACLE,
+    "streaming_hypertable_rollup": STREAM_HYPERTABLE_ORACLE,
     "streaming_anomaly_hours": STREAM_ANOMALY_ORACLE,
     "streaming_session_windows": STREAM_SESSION_ORACLE,
 }

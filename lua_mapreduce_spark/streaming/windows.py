@@ -119,3 +119,20 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_sec: int = 120) 
         raise TimeoutError(f"stream {name} did not drain within {timeout_sec}s")
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def stream_hourly_value_partials(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hourly continuous-aggregate PARTIALS, streaming: count + decimal
+    value sum per hour (no event_type split). The decimal column stays in
+    the exact domain so a downstream daily rollup can combine partials
+    without float drift — the streaming half of
+    operators.analytics.agg_hypertable_rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"SUM({dec('value')})").alias("sv"),
+        )
+        .select(F.col("w.start").alias("hour"), "n", "sv")
+    )

@@ -442,3 +442,23 @@ def test_time_travel_snapshot_is_true_prefix_state(spark, tmp_path):
     assert {u: n for u, (n, _) in past.items()} == expect_counts
     # Monotone: every user's past count <= final count.
     assert all(past[u][0] <= final[u][0] for u in past)
+
+
+def test_streaming_hypertable_rollup_equals_batch(spark):
+    """The streamed hourly partials combined into days equal the one-shot
+    batch two-level rollup — the continuous-aggregate maintenance
+    contract, across >= 3 genuine micro-batches."""
+    from lua_mapreduce_spark.operators.analytics import agg_hypertable_rollup
+    from lua_mapreduce_spark.operators.streaming_ops import (
+        streaming_hypertable_rollup,
+    )
+
+    streamed = {
+        r.day: (r.n_events, r.sum_value, r.n_active_hours, r.peak_hour_events)
+        for r in streaming_hypertable_rollup(spark, SF_SMALL).collect()
+    }
+    batch = {
+        r.day: (r.n_events, r.sum_value, r.n_active_hours, r.peak_hour_events)
+        for r in agg_hypertable_rollup(spark, SF_SMALL).collect()
+    }
+    assert streamed == batch and streamed
