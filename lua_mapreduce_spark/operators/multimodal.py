@@ -467,6 +467,86 @@ FROM hashed
 """
 
 
+# --------------------------------------------------------------------------
+# Scene-cut detection over frame-sampled "video" payloads
+# --------------------------------------------------------------------------
+#
+# Frame differencing — the standard first-pass shot-boundary detector:
+# sample K frames at fixed offsets, compute a per-frame photometric
+# statistic, flag frames whose statistic jumps by more than a threshold
+# versus the previous frame. Per the module convention, the DECODE is the
+# deterministic byte-arithmetic stand-in (a real pipeline swaps in ffmpeg
+# frame extraction + luma histograms; the Spark plumbing — fixed-offset
+# slicing, per-frame integer features, adjacent-frame deltas, cut flags —
+# is exactly the production shape). Everything is JVM-side integer
+# arithmetic built in ONE projection: the per-frame intensities live in an
+# array, deltas index the same array (arr[i] - arr[i-1]), so the whole
+# operator is map-side with ZERO shuffles — no per-frame window sort.
+
+_SC_FRAMES = 8  # frames sampled per payload
+_SC_PROBE = 16  # bytes sampled per frame (stride 2)
+_SC_WIN = 32  # frame slice width (bytes)
+_SC_THRESH = 40  # |delta| above this = cut
+
+
+def _sc_intensity(text_col: str, i: int, div: str = "DIV") -> str:
+    """Engine-shared SQL: integer intensity of frame ``i`` — the sum of
+    _SC_PROBE sampled byte values inside the frame's _SC_WIN-byte slice at
+    offset n*i DIV K. ascii/substr/length behave identically in Spark and
+    DuckDB on this ASCII payload; the offset uses integer division
+    (``div`` = DIV / //) because CAST(double AS INT) truncates in Spark
+    but ROUNDS in DuckDB."""
+    start = f"1 + (length({text_col}) * {i}) {div} {_SC_FRAMES}"
+    probes = " + ".join(
+        f"ascii(substr(substr({text_col}, {start}, {_SC_WIN}), {1 + 2 * j}, 1))"
+        for j in range(_SC_PROBE)
+    )
+    return f"({probes})"
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, intensity, delta, is_cut) per frame TRANSITION
+    (frames 1..K-1; frame 0 has no predecessor). Null-free by design: a
+    nullable delta/flag column stringifies differently through the
+    external driver's pandas canonicalizer (NaN vs None) even when every
+    value matches."""
+    blobs = _with_blob(spark, sf_dir)
+    arr = ", ".join(
+        _sc_intensity("CAST(blob AS STRING)", i) for i in range(_SC_FRAMES)
+    )
+    frames = (
+        f"transform(sequence(1, {_SC_FRAMES - 1}), i -> struct("
+        f" i AS frame_idx,"
+        f" a[i] AS intensity,"
+        f" a[i] - a[i-1] AS delta))"
+    )
+    return (
+        blobs.select("doc_id", F.expr(f"array({arr})").alias("a"))
+        .select("doc_id", F.explode(F.expr(frames)).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.intensity").alias("intensity"),
+            F.col("f.delta").alias("delta"),
+            (F.abs(F.col("f.delta")) > _SC_THRESH).alias("is_cut"),
+        )
+    )
+
+
+def _scene_cuts_oracle() -> str:
+    arr = ", ".join(_sc_intensity("text", i, "//") for i in range(_SC_FRAMES))
+    idx = ", ".join(str(i) for i in range(1, _SC_FRAMES))
+    return f"""
+WITH feat AS (SELECT doc_id, [{arr}] AS a FROM documents),
+f AS (SELECT doc_id, unnest([{idx}]) AS frame_idx, a FROM feat)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(a[frame_idx + 1] AS INT) AS intensity,
+       CAST(a[frame_idx + 1] - a[frame_idx] AS INT) AS delta,
+       abs(a[frame_idx + 1] - a[frame_idx]) > {_SC_THRESH} AS is_cut
+FROM f
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
@@ -474,6 +554,7 @@ QUERIES = {
     "multimodal_resize_thumbnail": multimodal_resize_thumbnail,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "multimodal_scene_cuts": multimodal_scene_cuts,
 }
 
 ORACLES = {
@@ -483,4 +564,5 @@ ORACLES = {
     "multimodal_resize_thumbnail": MULTIMODAL_RESIZE_ORACLE,
     "multimodal_audio_features": MULTIMODAL_AUDIO_ORACLE,
     "multimodal_phash_dedup": MULTIMODAL_PHASH_ORACLE,
+    "multimodal_scene_cuts": _scene_cuts_oracle(),
 }

@@ -146,3 +146,26 @@ def test_phash_dedup_covers_exact_text_dups(spark):
     assert len(phash_rows) == n_docs  # verdict covers every image
     phash_dup_docs = sum(1 for r in phash_rows if r.is_dup)
     assert phash_dup_docs >= exact_dup_docs
+
+
+def test_scene_cuts_flags_are_mixed_and_map_side(spark):
+    """Cut flags actually discriminate (both True and False present), the
+    per-doc transition count is K-1, and the whole operator compiles to a
+    shuffle-free map-side plan (no Exchange: the deltas index one array)."""
+    import re as _re
+
+    from lua_mapreduce_spark.operators import QUERIES
+    from lua_mapreduce_spark.operators.multimodal import _SC_FRAMES
+
+    df = QUERIES["multimodal_scene_cuts"](spark, SF_MEDIUM)
+    rows = df.collect()
+    flags = {r.is_cut for r in rows}
+    assert flags == {True, False}, f"degenerate cut threshold: {flags}"
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert set(per_doc.values()) == {_SC_FRAMES - 1}
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert not _re.search(r"\(\d+\) Exchange", plan), "scene cuts shuffled"
