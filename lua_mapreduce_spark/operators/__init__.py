@@ -82,7 +82,8 @@ _MODULES = [
 # streaming_time_travel_snapshot + dedup_incremental_ingest +
 # curation_proportional_sample + scalar_explode_outer +
 # text_collocations + graph_triangle_count + agg_countmin_sketch +
-# streaming_hypertable_rollup + multimodal_scene_cuts). The remaining
+# streaming_hypertable_rollup + multimodal_scene_cuts +
+# window_ewma_dyadic). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -103,9 +104,10 @@ _MODULES = [
 # text_collocations), text_langid (yielded to
 # graph_triangle_count), text_quality_score (yielded to
 # agg_countmin_sketch), text_repetition_filter (yielded to
-# streaming_hypertable_rollup), and multimodal_resize_thumbnail (yielded
-# to multimodal_scene_cuts). After a green round every registry query
-# is >= twice-verified except those twenty-eight.
+# streaming_hypertable_rollup), multimodal_resize_thumbnail (yielded
+# to multimodal_scene_cuts), and curation_pack_sequences (yielded to
+# window_ewma_dyadic). After a green round every registry query is
+# >= twice-verified except those twenty-nine.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -140,8 +142,8 @@ _DRIVER_WINDOW = [
     "agg_countmin_sketch",
     "streaming_hypertable_rollup",
     "multimodal_scene_cuts",
+    "window_ewma_dyadic",
     "agg_heavy_hitters_sketch",
-    "curation_pack_sequences",
     "curation_sample_mixture",
     "events_anomaly_hours",
     "multimodal_audio_features",

@@ -180,6 +180,65 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# Dyadic EWMA (bit-exact exponential smoothing)
+# --------------------------------------------------------------------------
+#
+# True EWMA is a per-row recursion SQL windows cannot express; the standard
+# bounded form truncates the tail: y_t = sum_{k=0..7} x_{t-k} * 2^-(k+1).
+# With alpha = 1/2 every weight is a DYADIC rational, and multiplying any
+# IEEE double by 2^-n only shifts the exponent — EXACT, no rounding — so
+# the smoothed series is bit-identical across engines (the reason
+# deterministic trading/telemetry systems pick dyadic alphas). The weights
+# are written as exact decimal literals; terms sum left-associated in the
+# same order in both engines. Missing predecessors contribute 0.
+
+_EWMA_DEPTH = 8
+_EWMA_WEIGHTS = [2.0 ** -(k + 1) for k in range(_EWMA_DEPTH)]
+
+
+def _ewma_expr(lag_fmt: str) -> str:
+    """Engine-shared arithmetic chain; ``lag_fmt`` formats the k-th lagged
+    value expression (k=0 is the current row)."""
+    terms = [
+        f"{lag_fmt.format(k=k)} * {w!r}" for k, w in enumerate(_EWMA_WEIGHTS)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out}) + {t}"
+    return out
+
+
+def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing dyadic EWMA of event value per user, ordered (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        *[
+            F.coalesce(F.lag("value", k).over(w), F.lit(0.0)).alias(f"x{k}")
+            for k in range(1, _EWMA_DEPTH)
+        ],
+    )
+    chain = _ewma_expr("x{k}").replace("x0", "value")
+    return lags.select(
+        "event_id", "user_id", "value", F.expr(chain).alias("ewma")
+    )
+
+
+def _ewma_oracle() -> str:
+    chain = _ewma_expr("COALESCE(LAG(value, {k}) OVER w, 0.0)").replace(
+        "COALESCE(LAG(value, 0) OVER w, 0.0)", "value"
+    )
+    return f"""
+SELECT event_id, user_id, value, {chain} AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "window_topk_per_group": window_topk_per_group,
     "window_gap_fill_ignore_nulls": window_gap_fill_ignore_nulls,
@@ -187,6 +246,7 @@ QUERIES = {
     "window_lag_lead": window_lag_lead,
     "window_rank_dense": window_rank_dense,
     "window_moving_avg": window_moving_avg,
+    "window_ewma_dyadic": window_ewma_dyadic,
 }
 
 ORACLES = {
@@ -196,4 +256,5 @@ ORACLES = {
     "window_lag_lead": WINDOW_LAG_ORACLE,
     "window_rank_dense": WINDOW_RANK_ORACLE,
     "window_moving_avg": WINDOW_MAVG_ORACLE,
+    "window_ewma_dyadic": _ewma_oracle(),
 }

@@ -317,3 +317,32 @@ def test_triangle_orientation_bounds_fanout_and_matches_naive(spark):
         sum(1 for v in adj[u] if rank[v] > rank[u]) for u in adj
     )
     assert max_out < max_deg
+
+
+# -------------------------------------------------------------- Dyadic EWMA
+
+
+def test_ewma_dyadic_matches_python_replay_bitwise(spark):
+    """Dyadic weights make the smoothing EXACT: the Spark doubles equal a
+    plain-Python replay bit-for-bit (== on floats, no tolerance)."""
+    from lua_mapreduce_spark.operators.analytics import _RD_FRAME  # noqa: F401
+    from lua_mapreduce_spark.operators.windows import _EWMA_DEPTH, _EWMA_WEIGHTS
+
+    rows = QUERIES["window_ewma_dyadic"](spark, SF_SMALL).collect()
+    got = {r.event_id: r.ewma for r in rows}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    by_user = {}
+    for r in ev.select("user_id", "ts", "event_id", "value").collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for user, seq in by_user.items():
+        seq.sort(key=lambda r: (r.ts, r.event_id))
+        vals = [r.value for r in seq]
+        for i, r in enumerate(seq):
+            acc = vals[i] * _EWMA_WEIGHTS[0]
+            for k in range(1, _EWMA_DEPTH):
+                x = vals[i - k] if i - k >= 0 else 0.0
+                acc = acc + x * _EWMA_WEIGHTS[k]
+            assert got[r.event_id] == acc, (user, r.event_id)
+            checked += 1
+    assert checked == len(got) > 0
