@@ -99,6 +99,13 @@ HEADLINE = [
     "agg_hypertable_rollup",
     "sim_pq_adc_topk",
     "dedup_jaccard_prefix_join",
+    # Round 6 additions, part 4 — the late-round analytics/curation wave.
+    "graph_triangle_count",
+    "dedup_incremental_ingest",
+    "text_collocations",
+    "agg_countmin_sketch",
+    "multimodal_scene_cuts",
+    "window_ewma_dyadic",
 ]
 
 N_RUNS = 3

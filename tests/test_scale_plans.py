@@ -204,6 +204,7 @@ _BROADCAST_OK = {
     ("text.py", "n"),                 # single-row global token count (PMI N)
     ("analytics.py", "n_edges"),      # single-row global edge count
     ("analytics.py", "n_tri"),        # single-row global triangle count
+    ("relational4.py", "cells"),      # CM sketch: fixed _CM_D x _CM_W counters
 }
 
 
