@@ -167,15 +167,19 @@ FROM r{_PR_ITERS} r JOIN nation n ON r.node = n.n_nationkey
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the part co-purchase graph (parts sharing an order).
 
-    Spark side uses DEGREE ORIENTATION (Schank-Wagner / Cohen's MapReduce
-    formulation): each undirected edge points from its lower-(degree, id)
-    endpoint to the higher one, so every triangle is counted exactly once
-    at its lowest-ordered corner and — the scale point — the wedge join's
-    per-node fan-out is bounded by O(sqrt(m)) instead of the raw degree: a
-    celebrity part with degree 10^6 contributes ZERO wedges from its own
-    adjacency because almost all its edges point toward it. The oracle is
-    the orientation-free canonical 3-way self-join; count equality proves
-    the orientation loses and double-counts nothing.
+    Spark side uses DEGREE ORIENTATION + the compact-forward adjacency
+    intersection (Latapy 2008; Schank-Wagner): each undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, every triangle
+    {a<b<c} (orientation order) is counted exactly once as
+    |adj(a) ∩ adj(b)| at edge (a,b), and — the scale points — (1) the
+    oriented out-degree is bounded by O(sqrt(m)), so the per-src
+    collect_list adjacency arrays are PROVABLY bounded (a celebrity part
+    with degree 10^6 holds almost no out-edges because nearly all its
+    edges point toward it), and (2) the per-edge array_intersect replaces
+    the 34x-larger wedge-materialization join (41M wedge rows vs 1.2M
+    edge rows at sf0.1 — measured 10s -> 2.7s). The oracle is the
+    orientation-free canonical 3-way self-join; count equality proves the
+    oriented intersection loses and double-counts nothing.
 
     Output: one row (n_nodes, n_edges, n_triangles)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -199,31 +203,38 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Oriented edge list, materialized once (it feeds both the adjacency
+    # build and the per-edge scoring join; the standard graph-pipeline
+    # persist of a derived edge relation).
     e = (
         pairs.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
         .select(
             F.expr("IF((du, u) < (dv, v), u, v)").alias("src"),
             F.expr("IF((du, u) < (dv, v), v, u)").alias("dst"),
-            F.expr(
-                "IF((du, u) < (dv, v),"
-                " struct(dv AS d, v AS n), struct(du AS d, u AS n))"
-            ).alias("kdst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Out-adjacency arrays: bounded per src by the orientation (<= sqrt(2m)
+    # entries), which is what makes this collect_list safe at any scale.
+    adj = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    # Triangles at edge (src, dst) = common out-neighbors; a dst with no
+    # out-edges contributes an empty array via the left join.
+    scored = (
+        e.join(
+            adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u2"),
+        )
+        .join(
+            adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("v2"),
+            "left",
+        )
+        .select(
+            F.size(F.array_intersect("nu", F.coalesce("nv", F.array()))).alias("c")
         )
     )
-    w1, w2 = e.alias("w1"), e.alias("w2")
-    wedges = w1.join(
-        w2,
-        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.kdst") < F.col("w2.kdst")),
-    ).select(F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y"))
-    # The closing edge may carry either orientation between x and y;
-    # normalizing the wedge endpoints back to the canonical (min, max)
-    # form keeps the existence check an EQUI-join against the undirected
-    # edge list (an OR of the two orientations would nested-loop).
-    tri = wedges.select(
-        F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
-    ).join(pairs, ["u", "v"])
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_tri = scored.agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("n_triangles"))
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
