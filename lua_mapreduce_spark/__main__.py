@@ -69,7 +69,17 @@ def build_parser() -> argparse.ArgumentParser:
         description="Run a MapReduce task file on Spark "
         "(reference-equivalent of lua-mapreduce-server.lua -t).",
     )
-    p.add_argument("-t", "--task-file", required=True, help="path to the task-file module")
+    p.add_argument(
+        "-t",
+        "--task-file",
+        required=True,
+        action="append",
+        help="path to a task-file module; repeatable — multiple task "
+        "files run in sequence on ONE session (the reference's TODO #3, "
+        "README.md:50: 'ability to send multiple task-files to the "
+        "server'). With -o and several tasks, each writes to "
+        "<output>/<task-stem>.",
+    )
     p.add_argument("-a", "--arg", default=None, help="argument passed to taskfn")
     p.add_argument(
         "--master",
@@ -148,10 +158,17 @@ def resolve_master(master: str, num_workers: int | None) -> str:
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    mod = load_task_module(args.task_file)
-    for slot in ("taskfn", "mapfn"):
-        if not callable(getattr(mod, slot, None)):
-            raise SystemExit(f"task file must define {slot}() (see module docstring)")
+    # Load + validate EVERY task module before the session spins up: a
+    # typo in task 3 of 3 should fail fast, not after tasks 1-2 ran.
+    mods = []
+    for path in args.task_file:
+        mod = load_task_module(path)
+        for slot in ("taskfn", "mapfn"):
+            if not callable(getattr(mod, slot, None)):
+                raise SystemExit(
+                    f"{path}: task file must define {slot}() (see module docstring)"
+                )
+        mods.append((path, mod))
 
     if args.num_workers is not None and args.num_workers < 1:
         parser.error("-n/--num-workers must be >= 1")
@@ -159,15 +176,22 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
+    names = ", ".join(os.path.basename(p) for p, _ in mods)
     spark = (
         SparkSession.builder.master(master)
-        .appName(f"lua-mapreduce: {os.path.basename(args.task_file)}")
+        .appName(f"lua-mapreduce: {names}")
         .getOrCreate()
     )
     if args.loglevel is not None:
         spark.sparkContext.setLogLevel(args.loglevel.upper())
     try:
-        run_task_file(mod, args, spark)
+        for path, mod in mods:
+            task_args = args
+            if args.output is not None and len(mods) > 1:
+                stem = os.path.splitext(os.path.basename(path))[0]
+                task_args = argparse.Namespace(**vars(args))
+                task_args.output = os.path.join(args.output, stem)
+            run_task_file(mod, task_args, spark)
     finally:
         spark.stop()
     return 0

@@ -68,7 +68,7 @@ def test_cli_output_parquet_sink(spark, tmp_path):
             out,
         ]
     )
-    mod = load_task_module(args.task_file)
+    mod = load_task_module(args.task_file[0])  # -t is repeatable: a list
     run_task_file(mod, args, spark)
     got = {r.key: r.value for r in spark.read.parquet(out).collect()}
     assert got == GOLDEN
@@ -207,3 +207,46 @@ def test_grep_task_rejects_malformed_arg():
     mod = load_task_module(str(_REPO / "examples" / "grep_task.py"))
     with pytest.raises(SystemExit, match="<dir>:<pattern>"):
         list(mod.taskfn("no-separator-here"))
+
+
+def test_cli_multiple_task_files_one_session(tmp_path):
+    """Reference TODO #3 (README.md:50): several -t task files run in
+    sequence on ONE session; both outputs appear on stdout (doc stats'
+    fixed key space + word count's golden words)."""
+    for name, text in FIXTURES.items():
+        (tmp_path / name).write_text(text, encoding="utf-8")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "lua_mapreduce_spark",
+            "-t",
+            str(_REPO / "examples" / "docstats_task.py"),
+            "-t",
+            str(_REPO / "examples" / "wordcount_task.py"),
+            "-a",
+            str(tmp_path),
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = {}
+    for line in proc.stdout.splitlines():
+        if "\t" in line:
+            k, v = line.split("\t")
+            got[k] = int(v)
+    # word count's golden pairs all present
+    for w, c in GOLDEN.items():
+        assert got.get(w) == c
+    # doc stats: 3 fixture files; totals consistent with the fixtures
+    assert got["files"] == len(FIXTURES)
+    assert got["words"] == sum(len(t.split()) for t in FIXTURES.values())
