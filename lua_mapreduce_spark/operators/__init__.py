@@ -83,7 +83,7 @@ _MODULES = [
 # curation_proportional_sample + scalar_explode_outer +
 # text_collocations + graph_triangle_count + agg_countmin_sketch +
 # streaming_hypertable_rollup + multimodal_scene_cuts +
-# window_ewma_dyadic). The remaining
+# window_ewma_dyadic + events_markov_transitions). The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -105,9 +105,10 @@ _MODULES = [
 # graph_triangle_count), text_quality_score (yielded to
 # agg_countmin_sketch), text_repetition_filter (yielded to
 # streaming_hypertable_rollup), multimodal_resize_thumbnail (yielded
-# to multimodal_scene_cuts), and curation_pack_sequences (yielded to
-# window_ewma_dyadic). After a green round every registry query is
-# >= twice-verified except those twenty-nine.
+# to multimodal_scene_cuts), curation_pack_sequences (yielded to
+# window_ewma_dyadic), and curation_sample_mixture (yielded to
+# events_markov_transitions). After a green round every registry query
+# is >= twice-verified except those thirty.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -143,8 +144,8 @@ _DRIVER_WINDOW = [
     "streaming_hypertable_rollup",
     "multimodal_scene_cuts",
     "window_ewma_dyadic",
+    "events_markov_transitions",
     "agg_heavy_hitters_sketch",
-    "curation_sample_mixture",
     "events_anomaly_hours",
     "multimodal_audio_features",
     "range_join_monthly",

@@ -434,7 +434,67 @@ FROM based
 """
 
 
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov over user sequences)
+# --------------------------------------------------------------------------
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (previous type, current type) pair, the transition count and
+    its row-normalized probability in integer permille — the standard
+    user-behavior model input. Each user's first event has no predecessor
+    and is dropped (no NULL-state row).
+
+    Scale shape: one window shuffle on user_id for the lag, then a
+    map-side-combinable count into <= |types|^2 groups; the row totals
+    come from a window over that tiny grouped relation (no second scan).
+    Integer permille via truncating division -> exact value oracle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(seq_w).alias("prev_type"),
+            F.col("event_type").alias("cur_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "cur_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return pairs.select(
+        "prev_type",
+        "cur_type",
+        "n_transitions",
+        F.expr(
+            "CAST((n_transitions * 1000) DIV SUM(n_transitions)"
+            " OVER (PARTITION BY prev_type) AS BIGINT)"
+        ).alias("p_permille"),
+    )
+
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS cur_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, cur_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, cur_type)
+SELECT prev_type, cur_type, n_transitions,
+       CAST((n_transitions * 1000) // SUM(n_transitions)
+            OVER (PARTITION BY prev_type) AS BIGINT) AS p_permille
+FROM pairs
+"""
+
+
 QUERIES = {
+    "events_markov_transitions": events_markov_transitions,
     "events_sessionize_gap_method": events_sessionize_gap_method,
     "events_trending_hourly": events_trending_hourly,
     "events_cohort_retention": events_cohort_retention,
@@ -448,6 +508,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_markov_transitions": MARKOV_ORACLE,
     "events_sessionize_gap_method": SESSIONIZE_GAP_ORACLE,
     "events_trending_hourly": TRENDING_ORACLE,
     "events_cohort_retention": COHORT_ORACLE,
