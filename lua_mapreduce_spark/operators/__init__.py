@@ -83,7 +83,8 @@ _MODULES = [
 # curation_proportional_sample + scalar_explode_outer +
 # text_collocations + graph_triangle_count + agg_countmin_sketch +
 # streaming_hypertable_rollup + multimodal_scene_cuts +
-# window_ewma_dyadic + events_markov_transitions). The remaining
+# window_ewma_dyadic + events_markov_transitions + graph_kcore_peel).
+# The remaining
 # slots take once-driver-verified queries; sixteen once-verified names had
 # to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
 # window_range_frame (yielded its slot to curation_cluster_balanced_sample),
@@ -106,9 +107,10 @@ _MODULES = [
 # agg_countmin_sketch), text_repetition_filter (yielded to
 # streaming_hypertable_rollup), multimodal_resize_thumbnail (yielded
 # to multimodal_scene_cuts), curation_pack_sequences (yielded to
-# window_ewma_dyadic), and curation_sample_mixture (yielded to
-# events_markov_transitions). After a green round every registry query
-# is >= twice-verified except those thirty.
+# window_ewma_dyadic), curation_sample_mixture (yielded to
+# events_markov_transitions), and agg_heavy_hitters_sketch (yielded to
+# graph_kcore_peel). After a green round every registry query is
+# >= twice-verified except those thirty-one.
 # Exactly 50 names; the import-time check below keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -145,7 +147,7 @@ _DRIVER_WINDOW = [
     "multimodal_scene_cuts",
     "window_ewma_dyadic",
     "events_markov_transitions",
-    "agg_heavy_hitters_sketch",
+    "graph_kcore_peel",
     "events_anomaly_hours",
     "multimodal_audio_features",
     "range_join_monthly",

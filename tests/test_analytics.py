@@ -346,3 +346,45 @@ def test_ewma_dyadic_matches_python_replay_bitwise(spark):
             assert got[r.event_id] == acc, (user, r.event_id)
             checked += 1
     assert checked == len(got) > 0
+
+
+# --------------------------------------------------------------- k-core peel
+
+
+def test_kcore_peel_prunes_fringe_keeps_core(spark):
+    """The derived 3*mean/4 threshold peels SOME nodes but keeps a core
+    (neither no-op nor collapse), every survivor meets the threshold on
+    the induced subgraph, and survivors shrink monotonically per round."""
+    from lua_mapreduce_spark.operators.analytics import graph_kcore_peel
+
+    rows = graph_kcore_peel(spark, SF_SMALL).collect()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    n_nodes = len(adj)
+    mean = sum(len(s) for s in adj.values()) // n_nodes
+    k = 3 * mean // 4
+    assert 0 < len(rows) < n_nodes, f"peel degenerate: {len(rows)}/{n_nodes}"
+    # Python replay of the 3 fixed rounds
+    alive = set(adj)
+    for _ in range(3):
+        deg = {u: sum(1 for v in adj[u] if v in alive) for u in alive}
+        alive = {u for u in alive if deg[u] >= k}
+    deg = {u: sum(1 for v in adj[u] if v in alive) for u in alive}
+    expect = {u: d for u, d in deg.items() if d >= k}
+    assert {r.node: r.degree for r in rows} == expect

@@ -139,6 +139,7 @@ _NESTED_LOOP_OK = {
     "text_collocations",      # 1-row N-scalar broadcast cross join
     "curation_proportional_sample",  # 1-row total-count broadcast cross join
     "graph_triangle_count",   # three 1-row scalar aggregates cross-joined
+    "graph_kcore_peel",       # 1-row degree-threshold broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -205,6 +206,7 @@ _BROADCAST_OK = {
     ("analytics.py", "n_edges"),      # single-row global edge count
     ("analytics.py", "n_tri"),        # single-row global triangle count
     ("relational4.py", "cells"),      # CM sketch: fixed _CM_D x _CM_W counters
+    ("analytics.py", "kdf"),          # single-row degree threshold (k-core)
 }
 
 
