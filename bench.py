@@ -106,6 +106,8 @@ HEADLINE = [
     "agg_countmin_sketch",
     "multimodal_scene_cuts",
     "window_ewma_dyadic",
+    "events_markov_transitions",
+    "graph_kcore_peel",
 ]
 
 N_RUNS = 3

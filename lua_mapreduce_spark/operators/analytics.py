@@ -315,9 +315,16 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= F.col("kthr"))
             .select("n")
         )
-        edges = edges.join(
-            alive.select(F.col("n").alias("u")), "u", "left_semi"
-        ).join(alive.select(F.col("n").alias("v")), "v", "left_semi")
+        # Per-round lineage truncation (the CC convention): round r's
+        # survivor set references the round-r edge relation TWICE (degree
+        # count + both semi joins), so without materialization the edge
+        # subtree re-executes ~2^r times — measured minutes at sf0.1 for
+        # 3 rounds vs seconds linearized.
+        edges = (
+            edges.join(alive.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("n").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
     return (
         degrees(edges)
         .crossJoin(F.broadcast(kdf))
@@ -328,26 +335,31 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_oracle() -> str:
     ctes = [
-        """pairs AS (
+        """pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-e0 AS (SELECT u, v FROM pairs)"""
+e0 AS MATERIALIZED (SELECT u, v FROM pairs)"""
     ]
-    ctes.append("""kd AS (
+    # AS MATERIALIZED: every e{r}/a{r} is referenced 2-3x downstream;
+    # DuckDB would otherwise inline the CTE per reference and the peel
+    # chain re-executes exponentially (the same blowup the Spark side
+    # avoids with per-round localCheckpoint).
+    ctes.append("""kd AS MATERIALIZED (
   SELECT CAST((3 * SUM(d)) // (4 * COUNT(*)) AS BIGINT) AS kthr FROM (
     SELECT n, COUNT(*) AS d FROM (
       SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
     GROUP BY n))""")
     for r in range(_KC_ROUNDS):
-        ctes.append(f"""d{r} AS (
+        ctes.append(f"""d{r} AS MATERIALIZED (
   SELECT n, COUNT(*) AS d FROM (
     SELECT u AS n FROM e{r} UNION ALL SELECT v AS n FROM e{r})
   GROUP BY n),
-a{r} AS (SELECT n FROM d{r} CROSS JOIN kd WHERE d >= kthr),
-e{r + 1} AS (
+a{r} AS MATERIALIZED (SELECT n FROM d{r} CROSS JOIN kd WHERE d >= kthr),
+e{r + 1} AS MATERIALIZED (
   SELECT e.u, e.v FROM e{r} e
-  WHERE e.u IN (SELECT n FROM a{r}) AND e.v IN (SELECT n FROM a{r}))""")
+  JOIN a{r} au ON e.u = au.n
+  JOIN a{r} av ON e.v = av.n)""")
     last = f"e{_KC_ROUNDS}"
     return (
         "WITH " + ",\n".join(ctes) + f"""
