@@ -172,6 +172,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.num_workers is not None and args.num_workers < 1:
         parser.error("-n/--num-workers must be >= 1")
+    if args.output is not None and len(mods) > 1:
+        # Per-task output dirs are keyed by file STEM; two task files named
+        # e.g. a/job.py and b/job.py would silently overwrite each other's
+        # <output>/job — fail fast instead.
+        stems = [os.path.splitext(os.path.basename(p))[0] for p, _ in mods]
+        dupes = sorted({s for s in stems if stems.count(s) > 1})
+        if dupes:
+            parser.error(
+                "duplicate task-file stem(s) with -o would overwrite each "
+                f"other's output dir: {', '.join(dupes)} — rename the task "
+                "files or run them in separate invocations"
+            )
     master = resolve_master(args.master, args.num_workers)
 
     from pyspark.sql import SparkSession

@@ -303,7 +303,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
-    # Threshold from the ORIGINAL degrees: mean + 1, fixed for all rounds.
+    # Threshold from the ORIGINAL degrees: (3 * total_degree) DIV
+    # (4 * n_nodes) — three quarters of the mean, integer — fixed for all
+    # rounds.
     kdf = degrees(pairs).agg(
         F.expr("CAST((3 * SUM(d)) DIV (4 * COUNT(*)) AS BIGINT)").alias("kthr")
     )

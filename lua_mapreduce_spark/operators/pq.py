@@ -101,7 +101,7 @@ def _pq_train_pandas(pdf):
     return pd.DataFrame(rows, columns=["m", "code", "cvec"])
 
 
-_PQ_CB_CACHE: dict[str, DataFrame] = {}
+_PQ_CB_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_pq_cache() -> None:
@@ -110,10 +110,13 @@ def clear_pq_cache() -> None:
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(m, code, cvec): M x K rows, trained once per sf_dir and checkpointed
-    so downstream references don't re-run the training task."""
+    so downstream references don't re-run the training task. Keyed on
+    (applicationId, sf_dir) — the _MH_CACHE convention (dedup.py) — so a
+    SparkSession restart in the same process never serves a checkpointed
+    DataFrame bound to the stopped SparkContext."""
     import os as _os
 
-    key = _os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     cached = _PQ_CB_CACHE.get(key)
     if cached is not None:
         return cached

@@ -220,10 +220,17 @@ def streaming_time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
         run_merge_stream(
             _events_stream(spark, sf_dir), store, os.path.join(work, "ckpt")
         )
-        versions = store._committed()
-        if len(versions) < 2:
-            raise RuntimeError(f"need >= 2 committed versions, got {versions}")
-        past = store.read_version(spark, versions[-2])
+        versions = store.committed_versions()
+        # availableNow over _N_STREAM_FILES single-file triggers on a fresh
+        # checkpoint commits EXACTLY batch ids 0.._N_STREAM_FILES-1; assert
+        # that so a stray (e.g. empty) extra commit fails loudly instead of
+        # silently shifting which version "two of three batches" means.
+        if versions != list(range(_N_STREAM_FILES)):
+            raise RuntimeError(
+                f"expected committed versions {list(range(_N_STREAM_FILES))},"
+                f" got {versions}"
+            )
+        past = store.read_version(spark, _N_STREAM_FILES - 2)
         return snapshot_result(past).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

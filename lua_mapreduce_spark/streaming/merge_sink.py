@@ -59,7 +59,8 @@ class SnapshotStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def _committed(self) -> list[int]:
+    def committed_versions(self) -> list[int]:
+        """Sorted committed version ids (the time-travel axis)."""
         versions = []
         for name in os.listdir(self.root):
             if not name.endswith("._COMMITTED"):
@@ -69,8 +70,11 @@ class SnapshotStore:
                 versions.append(int(m.group(1)))
         return sorted(versions)
 
+    # Backwards-compatible private alias (pre-r7 callers).
+    _committed = committed_versions
+
     def latest_version(self, below: int | None = None) -> int | None:
-        versions = self._committed()
+        versions = self.committed_versions()
         if below is not None:
             versions = [v for v in versions if v < below]
         return versions[-1] if versions else None

@@ -377,8 +377,10 @@ def test_kcore_peel_prunes_fringe_keeps_core(spark):
         adj.setdefault(r.u, set()).add(r.v)
         adj.setdefault(r.v, set()).add(r.u)
     n_nodes = len(adj)
-    mean = sum(len(s) for s in adj.values()) // n_nodes
-    k = 3 * mean // 4
+    # Match the operator/oracle exactly: (3 * total_degree) DIV (4 * n) —
+    # NOT 3 * (total // n) // 4, which diverges for some distributions
+    # (sum=59, n=10: 4 vs 3).
+    k = (3 * sum(len(s) for s in adj.values())) // (4 * n_nodes)
     assert 0 < len(rows) < n_nodes, f"peel degenerate: {len(rows)}/{n_nodes}"
     # Python replay of the 3 fixed rounds
     alive = set(adj)

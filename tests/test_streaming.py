@@ -385,7 +385,7 @@ def test_merge_sink_batch_replay_is_idempotent(spark, tmp_path):
     once = sorted(map(tuple, snapshot_result(store.read_latest(spark)).collect()))
 
     sink(b1, 1)  # crash-replay of the last batch
-    assert store._committed() == [0, 1]
+    assert store.committed_versions() == [0, 1]
     again = sorted(map(tuple, snapshot_result(store.read_latest(spark)).collect()))
     assert again == once
 
@@ -406,7 +406,7 @@ def test_merge_sink_commits_one_version_per_microbatch(spark, tmp_path):
         spark, _batched_events_dir(SF_SMALL), max_files_per_trigger=1
     )
     run_merge_stream(stream, store, str(tmp_path / "ckpt"))
-    assert len(store._committed()) >= 3
+    assert len(store.committed_versions()) >= 3
 
 
 def test_time_travel_snapshot_is_true_prefix_state(spark, tmp_path):
