@@ -699,8 +699,26 @@ _COSINE_DUP_THRESHOLD = 0.40
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs. All-pairs baseline — at 100 TB replace
-    the cross join with the LSH-bucketed variant (sim_ann_lsh_buckets)."""
+    """Exact-cosine near-dup pair list (vec_a, vec_b, cosine), candidate-
+    gated by the deterministic hyperplane-LSH tables (similarity.
+    lsh_dup_pairs): a pair is emitted iff it collides in >= 1 of the L
+    sign-bit tables AND its exact cosine clears the threshold.
+
+    Through round 6 this was the all-pairs cross join — correct, but
+    quadratic by construction (10,000x work at 100x rows). The registered
+    form now reuses the banded candidate generation, so the cost is the
+    sum of squared bucket sizes; the banding is deterministic, so the
+    oracle replays it exactly. The all-pairs form survives only as
+    ``_embedding_cosine_allpairs``, the test-side audit that measures the
+    gate's recall (tests/test_similarity.py)."""
+    from lua_mapreduce_spark.operators.similarity import lsh_dup_pairs
+
+    return lsh_dup_pairs(spark, sf_dir).select("vec_a", "vec_b", "cosine")
+
+
+def _embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact baseline — TEST-SIDE ONLY (recall audit for the
+    LSH gate). Quadratic; never registered."""
     emb = load_table(spark, sf_dir, "embeddings")
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.expr(f"{_DOT} / ({_NORM.format(side='a')} * {_NORM.format(side='b')})")
@@ -713,23 +731,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
     )
-
-
-_ORACLE_DOT = (
-    "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
-    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-)
-_ORACLE_NORM = (
-    "sqrt(list_sum(list_transform({side}.embedding,"
-    " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
-)
-
-EMB_COSINE_ORACLE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_ORACLE_DOT} / ({_ORACLE_NORM.format(side='a')} * {_ORACLE_NORM.format(side='b')}) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_ORACLE_DOT} / ({_ORACLE_NORM.format(side='a')} * {_ORACLE_NORM.format(side='b')}) >= {_COSINE_DUP_THRESHOLD}
-"""
 
 
 def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,5 +789,16 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_incremental_ingest": _incremental_ingest_oracle(),
     "dedup_simhash": _simhash_oracle(),
-    "dedup_embedding_cosine": EMB_COSINE_ORACLE,
 }
+
+
+def _emb_cosine_oracle() -> str:
+    # Banded replay shared with similarity.dedup_embedding_lsh, minus the
+    # n_tables confidence column (lazy import: similarity is registered
+    # after dedup in the module list).
+    from lua_mapreduce_spark.operators.similarity import _dedup_lsh_oracle
+
+    return _dedup_lsh_oracle(with_tables=False)
+
+
+ORACLES["dedup_embedding_cosine"] = _emb_cosine_oracle()

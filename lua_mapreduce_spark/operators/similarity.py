@@ -283,15 +283,15 @@ WHERE rank <= {_TOP_K}
 _DUP_COSINE_THRESHOLD = 0.40
 
 
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at scale: candidate pairs must collide in
-    >= 1 of the L hyperplane tables, then exact cosine + threshold inside
-    the buckets — the bucketed twin of dedup_embedding_cosine's all-pairs
-    exact baseline (dedup.py). Near-identical vectors agree on almost
-    every sign bit, so true duplicates collide with high probability while
-    the candidate count stays ~sum of squared bucket sizes instead of
-    n^2/2. n_tables (collision multiplicity) rides along as a confidence
-    signal."""
+def lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cosine, n_tables): embedding near-dup pairs at scale.
+    Candidate pairs must collide in >= 1 of the L hyperplane tables, then
+    exact cosine + threshold inside the buckets. Near-identical vectors
+    agree on almost every sign bit, so true duplicates collide with high
+    probability while the candidate count stays ~sum of squared bucket
+    sizes instead of n^2/2. Shared pipeline behind dedup_embedding_lsh
+    (confidence-annotated) and dedup.dedup_embedding_cosine (canonical
+    pair list)."""
     emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
     sigs = emb.alias("a").select(
         F.col("a.vec_id").alias("vec_id"),
@@ -327,7 +327,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_lsh_oracle() -> str:
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_dup_pairs with the collision multiplicity (n_tables) kept as a
+    confidence signal."""
+    return lsh_dup_pairs(spark, sf_dir)
+
+
+def _dedup_lsh_oracle(with_tables: bool = True) -> str:
     sig_cols = ",\n         ".join(
         f"CAST({_signature_expr('a', _ORACLE_PLANE_DOT, _MT_PLANES[t])} AS INT) AS sig{t}"
         for t in range(_MT_TABLES)
@@ -349,7 +355,7 @@ cand AS (
          MIN({_ORACLE_COS}) AS cosine
   FROM long a JOIN long b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
   GROUP BY 1, 2)
-SELECT vec_a, vec_b, cosine, n_tables
+SELECT vec_a, vec_b, cosine{", n_tables" if with_tables else ""}
 FROM cand WHERE cosine >= {_DUP_COSINE_THRESHOLD}
 """
 

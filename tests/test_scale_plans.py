@@ -125,7 +125,6 @@ _NESTED_LOOP_OK = {
     "sim_ivf_topk",           # centroid cross join (8 rows, broadcast)
     "dedup_semantic_semdedup", # same 8-row centroid cross join (shared cells)
     "curation_cluster_balanced_sample",  # same 8-row centroid cross join
-    "dedup_embedding_cosine", # all-pairs exact baseline (documented)
     "q22_dormant_rich_customers",  # 1-row scalar subquery broadcast
     "text_tfidf",             # 1-row N-scalar broadcast cross join
     "agg_heavy_hitters_sketch",  # 1-row n_total broadcast cross join

@@ -38,10 +38,15 @@ def test_embedding_lsh_dedup_subset_of_exact(spark):
     """The bucketed near-dup path returns a SUBSET of the exact all-pairs
     result at the same threshold (LSH can only miss, never invent), with
     usable recall (measured 0.49 at sf0.01 on near-random embeddings;
-    true near-duplicates collide with much higher probability)."""
+    true near-duplicates collide with much higher probability). The
+    all-pairs baseline is the TEST-ONLY _embedding_cosine_allpairs audit —
+    since r7 the registered dedup_embedding_cosine is the LSH-gated form,
+    asserted below to be exactly the gated pair list."""
+    from lua_mapreduce_spark.operators.dedup import _embedding_cosine_allpairs
+
     exact = {
         (r.vec_a, r.vec_b)
-        for r in QUERIES["dedup_embedding_cosine"](spark, SF_MEDIUM).collect()
+        for r in _embedding_cosine_allpairs(spark, SF_MEDIUM).collect()
     }
     lsh = {
         (r.vec_a, r.vec_b)
@@ -50,6 +55,12 @@ def test_embedding_lsh_dedup_subset_of_exact(spark):
     assert exact, "exact baseline returned no pairs"
     assert lsh <= exact, f"LSH invented pairs: {sorted(lsh - exact)[:5]}"
     assert len(lsh) / len(exact) >= 0.3, f"recall collapsed: {len(lsh)}/{len(exact)}"
+    # The registered query is the gated pair list (same pairs, no n_tables).
+    gated = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding_cosine"](spark, SF_MEDIUM).collect()
+    }
+    assert gated == lsh, "registered gated query diverged from the LSH pipeline"
 
 
 def test_ivf_kmeans_recall_vs_exact(spark):
