@@ -19,6 +19,9 @@ The task file is a plain Python module defining:
 * ``combinefn(a, b)``  — associative pairwise combiner enabling map-side
   partial aggregation (optional; no reference equivalent — its shuffle
   ships raw pairs, lua-mapreduce-client.lua:168-175)
+* ``filterfn(key, value) -> bool`` — post-reduce filter applied before
+  finalfn/output (optional; the reference's README TODO #5 "filter after
+  reduce", which it never shipped — here it runs executor-side)
 
 There is no host/port pair because Spark subsumes the TCP coordinator: the
 cluster manager plays the server role and ``--master`` replaces the
@@ -130,6 +133,7 @@ def run_task_file(mod: Any, args: argparse.Namespace, spark: "Any") -> None:
         reducefn=getattr(mod, "reducefn", None),
         finalfn=getattr(mod, "finalfn", None),
         combinefn=getattr(mod, "combinefn", None),
+        filterfn=getattr(mod, "filterfn", None),
         arg=args.arg,
         num_partitions=args.num_partitions,
     )

@@ -21,6 +21,11 @@ fixed map -> shuffle -> reduce -> finalize dataflow) on Spark primitives:
   we document the same as undefined order.
 * ``finalfn(results)`` runs once on the driver with the whole result dict
   (lua-mapreduce-server.lua:323-327).
+* ``filterfn(key, value) -> bool`` (optional) runs on each reduce-output
+  pair BEFORE finalfn/collection — the reference's own roadmap item
+  ("Add support for filter after reduce is performed", README.md TODO #5)
+  which its engine never shipped. Executor-side: filtered pairs never
+  reach the driver.
 
 Scale notes: ``run_distributed``/``to_dataframe`` never materialize
 intermediate data on the driver; only ``finalfn``'s input is collected, and
@@ -44,6 +49,7 @@ MapFn = Callable[[Any, Any], Iterable[tuple[Any, Any]]]
 ReduceFn = Callable[[Any, list], Iterable[tuple[Any, Any]]]
 FinalFn = Callable[[dict], Any]
 CombineFn = Callable[[Any, Any], Any]
+FilterFn = Callable[[Any, Any], bool]
 
 
 class MapReduceJob:
@@ -63,6 +69,7 @@ class MapReduceJob:
         finalfn: FinalFn | None = None,
         *,
         combinefn: CombineFn | None = None,
+        filterfn: FilterFn | None = None,
         source_df: DataFrame | None = None,
         arg: Any = None,
         num_partitions: int | None = None,
@@ -76,6 +83,7 @@ class MapReduceJob:
         self.reducefn = reducefn
         self.finalfn = finalfn
         self.combinefn = combinefn
+        self.filterfn = filterfn
         self.source_df = source_df
         self.arg = arg
         self.num_partitions = num_partitions
@@ -93,17 +101,26 @@ class MapReduceJob:
         mapfn, reducefn = self.mapfn, self.reducefn
         mapped = self._source_rdd(spark).flatMap(lambda kv: mapfn(kv[0], kv[1]))
         if reducefn is None:
-            return mapped
+            return self._filtered(mapped)
         if self.combinefn is not None:
             # Pairwise combiner path: map-side partial aggregation. Only
             # valid when the caller asserts reducefn(k, vs) == fold(combinefn,
             # vs) semantics; reducefn still runs on the (single) combined
             # value list for output-shape fidelity.
             combined = mapped.reduceByKey(self.combinefn, numPartitions=self.num_partitions)
-            return combined.flatMap(lambda kv: reducefn(kv[0], [kv[1]]))
+            return self._filtered(combined.flatMap(lambda kv: reducefn(kv[0], [kv[1]])))
         # Faithful holistic path: reducefn sees the complete value list.
         grouped = mapped.groupByKey(numPartitions=self.num_partitions)
-        return grouped.flatMap(lambda kv: reducefn(kv[0], list(kv[1])))
+        return self._filtered(grouped.flatMap(lambda kv: reducefn(kv[0], list(kv[1]))))
+
+    def _filtered(self, reduced: RDD) -> RDD:
+        """Post-reduce filter (reference README TODO #5): runs where the
+        reduce output lives, so discarded pairs never cross to the driver
+        or the sink."""
+        filterfn = self.filterfn
+        if filterfn is None:
+            return reduced
+        return reduced.filter(lambda kv: filterfn(kv[0], kv[1]))
 
     # -- actions -----------------------------------------------------------
     def run(self, spark: SparkSession) -> dict:

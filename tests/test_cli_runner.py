@@ -250,3 +250,75 @@ def test_cli_multiple_task_files_one_session(tmp_path):
     # doc stats: 3 fixture files; totals consistent with the fixtures
     assert got["files"] == len(FIXTURES)
     assert got["words"] == sum(len(t.split()) for t in FIXTURES.values())
+
+
+def test_cli_filterfn_post_reduce(tmp_path):
+    """Reference TODO #5 (README.md:52, 'filter after reduce'): the
+    frequent_words task file's filterfn drops reduce-output pairs below
+    the -a threshold before they reach stdout."""
+    for name, text in FIXTURES.items():
+        (tmp_path / name).write_text(text, encoding="utf-8")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "lua_mapreduce_spark",
+            "-t",
+            str(_REPO / "examples" / "frequent_words_task.py"),
+            "-a",
+            f"{tmp_path}:2",
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = {}
+    for line in proc.stdout.splitlines():
+        if "\t" in line:
+            word, count = line.split("\t")
+            got[word] = int(count)
+    assert got == {w: c for w, c in GOLDEN.items() if c >= 2}
+
+
+def test_cli_duplicate_task_stems_with_output_rejected(tmp_path):
+    """Two -t files sharing a basename stem plus -o would overwrite each
+    other's <output>/<stem> dir: the CLI must fail fast, before any task
+    (or session) starts."""
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "job.py").write_text(
+            "def taskfn(arg):\n    yield 'k', 1\n"
+            "def mapfn(k, v):\n    yield k, v\n",
+            encoding="utf-8",
+        )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "lua_mapreduce_spark",
+            "-t",
+            str(tmp_path / "a" / "job.py"),
+            "-t",
+            str(tmp_path / "b" / "job.py"),
+            "-o",
+            str(tmp_path / "out"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode != 0
+    assert "duplicate task-file stem" in proc.stderr

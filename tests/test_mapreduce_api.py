@@ -102,3 +102,28 @@ def test_source_df_replaces_taskfn(spark):
     src = spark.createDataFrame(list(FIXTURES.items()), "key string, value string")
     job = MapReduceJob(source_df=src, mapfn=mapfn, reducefn=reducefn)
     assert job.run(spark) == GOLDEN
+
+
+def test_filterfn_runs_after_reduce(spark):
+    """filterfn (reference README TODO #5) sees REDUCE output — keys whose
+    count fails the predicate vanish from run() and to_dataframe() alike,
+    and the combiner path applies the same filter."""
+    from lua_mapreduce_spark.mapreduce import MapReduceJob
+
+    def filterfn(key, value):
+        return value >= 2
+
+    expected = {w: c for w, c in GOLDEN.items() if c >= 2}
+    holistic = MapReduceJob(
+        taskfn=taskfn, mapfn=mapfn, reducefn=reducefn, filterfn=filterfn
+    )
+    assert holistic.run(spark) == expected
+    combined = MapReduceJob(
+        taskfn=taskfn,
+        mapfn=mapfn,
+        reducefn=lambda k, vs: [(k, sum(vs))],  # sum-style: combiner-safe
+        combinefn=lambda a, b: a + b,
+        filterfn=filterfn,
+    )
+    rows = combined.to_dataframe(spark).collect()
+    assert {r.key: r.value for r in rows} == expected
