@@ -62,107 +62,77 @@ _MODULES = [
 #
 # PERMANENT RULE: `mr_wordcount` and `text_wordcount` stay in EVERY
 # window — word count is the reference's one golden workload
-# (example/word-count-taskfile.lua:73-159), so these two are the
-# non-negotiable reference-fidelity signal each round.
+# (example/word-count-taskfile.lua:73-159), the non-negotiable
+# reference-fidelity signal each round.
 #
-# Round-6 rotation: IN stay the two pins plus everything that CHANGED this
-# round (text_inverted_index — postings now concat_ws-serialized after the
-# r5 driver-canonicalizer failure; both approx sketches — now emit exact
-# columns + an accuracy boolean and carry full oracles;
-# streaming_upsert_merge — work-dir cleanup added), plus the ten NEW
-# queries (join_bloom_prefilter, curation_stratified_sample,
-# layout_zorder_keys, sim_quantized_topk, agg_bitmap_distinct,
-# dedup_substring_windows, dedup_semantic_semdedup, curation_pii_scrub,
-# text_unigram_rarity, multimodal_phash_dedup,
-# curation_cluster_balanced_sample — added late-r6) per the new-query rule,
-# and the four analytics.py queries added later in r6
-# (graph_pagerank_nations, agg_hypertable_rollup,
-# subquery_not_in_null_aware, window_rolling_distinct, and later still
-# dedup_jaccard_prefix_join + udtf_ngram_shingles + sim_pq_adc_topk +
-# streaming_time_travel_snapshot + dedup_incremental_ingest +
-# curation_proportional_sample + scalar_explode_outer +
-# text_collocations + graph_triangle_count + agg_countmin_sketch +
-# streaming_hypertable_rollup + multimodal_scene_cuts +
-# window_ewma_dyadic + events_markov_transitions + graph_kcore_peel).
-# The remaining
-# slots take once-driver-verified queries; sixteen once-verified names had
-# to yield slots and re-window in r7: curation_shuffle_shards (yielded r6),
-# window_range_frame (yielded its slot to curation_cluster_balanced_sample),
-# sample_deterministic_hash, scalar_conditional_funcs,
-# scalar_array_map_funcs, scalar_higher_order_funcs,
-# scalar_map_higher_order, scalar_date_arithmetic,
-# scalar_functions_showcase, scalar_math_funcs, scalar_regex_funcs,
-# scalar_string_advanced (yielded to the new queries), plus
-# scalar_timestamp_diff, setop_union_intersect_except, sort_topk_orders,
-# subquery_above_nation_avg (yielded to the analytics.py four), plus
-# unpivot_rates and window_distribution_funcs (yielded to the prefix
-# join + UDTF pair), plus upsert_snapshot_merge (yielded to
-# sim_pq_adc_topk), text_term_frequency (yielded to
-# streaming_time_travel_snapshot), text_fingerprint (yielded to
-# dedup_incremental_ingest), text_rolling_fingerprint +
-# text_doc_stats (yielded to curation_proportional_sample +
-# scalar_explode_outer), text_token_count_bpe (yielded to
-# text_collocations), text_langid (yielded to
-# graph_triangle_count), text_quality_score (yielded to
-# agg_countmin_sketch), text_repetition_filter (yielded to
-# streaming_hypertable_rollup), multimodal_resize_thumbnail (yielded
-# to multimodal_scene_cuts), curation_pack_sequences (yielded to
-# window_ewma_dyadic), curation_sample_mixture (yielded to
-# events_markov_transitions), and agg_heavy_hitters_sketch (yielded to
-# graph_kcore_peel). After a green round every registry query is
-# >= twice-verified except those thirty-one.
-# Exactly 50 names; the import-time check below keeps it honest.
+# Rotation rule: pins first, then every query ADDED or CHANGED this round,
+# then the stalest once-verified queries. Full per-round yield history
+# lives in SURVEY.md §2.6 (rotation log).
+#
+# Round-7 window: the two pins; the four r7-changed queries
+# (dedup_embedding_cosine — now LSH-gated, new banded oracle;
+# dedup_embedding_lsh — shared-pipeline refactor;
+# streaming_time_travel_snapshot — exact-commit-count guard;
+# sim_pq_adc_topk — codebook cache re-keyed); the THIRTY-ONE queries that
+# yielded slots in r5/r6 and are still once-verified (the full
+# twice-verified sweep, VERDICT r6 item 1); remaining slots = r7-new
+# queries as they land (until then, r6-new complex queries take a second
+# consecutive confirmation). Exactly 50; the import-time check keeps it
+# honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    "text_inverted_index",
-    "agg_approx_distinct_sketch",
-    "agg_approx_percentile_sketch",
-    "streaming_upsert_merge",
-    "join_bloom_prefilter",
-    "curation_stratified_sample",
-    "layout_zorder_keys",
+    # changed in r7
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "streaming_time_travel_snapshot",
+    "sim_pq_adc_topk",
+    # the 31 stale once-verified queries (twice-verified sweep)
+    "curation_shuffle_shards",
+    "window_range_frame",
+    "sample_deterministic_hash",
+    "scalar_conditional_funcs",
+    "scalar_array_map_funcs",
+    "scalar_higher_order_funcs",
+    "scalar_map_higher_order",
+    "scalar_date_arithmetic",
+    "scalar_functions_showcase",
+    "scalar_math_funcs",
+    "scalar_regex_funcs",
+    "scalar_string_advanced",
+    "scalar_timestamp_diff",
+    "setop_union_intersect_except",
+    "sort_topk_orders",
+    "subquery_above_nation_avg",
+    "unpivot_rates",
+    "window_distribution_funcs",
+    "upsert_snapshot_merge",
+    "text_term_frequency",
+    "text_fingerprint",
+    "text_rolling_fingerprint",
+    "text_doc_stats",
+    "text_token_count_bpe",
+    "text_langid",
+    "text_quality_score",
+    "text_repetition_filter",
+    "multimodal_resize_thumbnail",
+    "curation_pack_sequences",
+    "curation_sample_mixture",
+    "agg_heavy_hitters_sketch",
+    # r7-new queries land here, displacing the provisional r6 re-checks
+    "graph_kcore_peel",
+    "graph_triangle_count",
+    "dedup_jaccard_prefix_join",
     "sim_quantized_topk",
-    "agg_bitmap_distinct",
     "dedup_substring_windows",
     "dedup_semantic_semdedup",
     "curation_pii_scrub",
     "text_unigram_rarity",
     "multimodal_phash_dedup",
-    "graph_pagerank_nations",
-    "agg_hypertable_rollup",
-    "subquery_not_in_null_aware",
-    "window_rolling_distinct",
-    "dedup_jaccard_prefix_join",
-    "udtf_ngram_shingles",
-    "sim_pq_adc_topk",
-    "streaming_time_travel_snapshot",
-    "dedup_incremental_ingest",
-    "curation_proportional_sample",
-    "scalar_explode_outer",
-    "text_collocations",
-    "graph_triangle_count",
-    "agg_countmin_sketch",
-    "streaming_hypertable_rollup",
-    "multimodal_scene_cuts",
-    "window_ewma_dyadic",
-    "events_markov_transitions",
-    "graph_kcore_peel",
-    "events_anomaly_hours",
-    "multimodal_audio_features",
-    "range_join_monthly",
-    "streaming_anomaly_hours",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "text_bigrams",
-    "text_boilerplate_ngrams",
-    "text_chunk_tokens",
-    "text_decontaminate",
-    "text_decontaminate_fuzzy",
-    "text_normalize_pandas_udf",
-    "text_tfidf",
-    "udaf_group_median_pandas",
-    "curation_cluster_balanced_sample",
+    "agg_bitmap_distinct",
+    "layout_zorder_keys",
+    "curation_stratified_sample",
+    "join_bloom_prefilter",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`
