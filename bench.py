@@ -18,6 +18,13 @@ set spans the engine's operator families: scan+agg, multi-join, window,
 text, dedup (MinHash-LSH), similarity (cosine top-k), event-time
 sessionization.
 
+Since round 7 the line also carries "queries_extended": a single timed
+pass over EVERY other registered query (streaming drains, multimodal
+decodes, window_*/scalar_*, MapReduce layer) — a whole-registry
+regression radar. It is excluded from "value" so the headline total stays
+comparable across rounds, and a per-query failure records -1.0 instead of
+aborting the bench.
+
 The tail also carries "skew_join_events": the same genuinely-skewed join
 (events fact joined to a per-event_type dim — 5 hot keys, so hash
 partitioning alone leaves ~5 of 32 reducers doing all the work) executed
@@ -112,6 +119,15 @@ HEADLINE = [
 
 N_RUNS = 3
 _SKEW_SALT = 8
+
+# Extended tier (round 7+): EVERY registered query not in the headline set,
+# timed with a single pass each — a per-family regression radar over the
+# whole registry (streaming drains, multimodal decodes, window_*, scalar_*,
+# MapReduce layer), not a headline metric. Single-run because the families
+# it covers are dominated by fixed costs (stream drain wall-clock, Arrow
+# batch startup) that are stable round-over-round; the headline set keeps
+# its 3-run medians and remains the number compared against BASELINE.md.
+# Computed at runtime so new queries are covered the round they land.
 
 
 def _skew_queries(spark, sf_dir):
@@ -361,6 +377,21 @@ def main() -> None:
     # run. Judges/rounds can tell the two apart without re-running.
     runs_detail = {n: [round(t, 3) for t in ts] for n, ts in raw.items()}
 
+    # Extended tier: one timed pass over every non-headline registered
+    # query. Per-query errors are recorded as -1.0 rather than aborting the
+    # whole bench (the correctness gate, not the bench, owns failures).
+    extended: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        if name in HEADLINE:
+            continue
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, sf_dir).collect()
+            extended[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — radar line, never fatal
+            print(f"extended bench {name} failed: {exc!r}", file=sys.stderr)
+            extended[name] = -1.0
+
     skew = _skew_bench(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -379,6 +410,7 @@ def main() -> None:
                 "medians": timings,
                 "spread": spread,
                 "runs_detail": runs_detail,
+                "extended_single_run": extended,
                 "skew_join_events": skew,
             },
             fh,
@@ -392,8 +424,13 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "runs_per_query": N_RUNS,
+                # single-pass radar over the rest of the registry; NOT part
+                # of "value" (which stays comparable to prior rounds).
+                "extended_runs_per_query": 1,
+                "n_benched": len(timings) + len(extended),
                 "skew_join_events": skew,
                 "queries": timings,
+                "queries_extended": extended,
             }
         )
     )
