@@ -160,6 +160,70 @@ FROM r{_PR_ITERS} r JOIN nation n ON r.node = n.n_nationkey
 
 
 # --------------------------------------------------------------------------
+# Part co-purchase edge list (shared by triangle count + k-core)
+# --------------------------------------------------------------------------
+
+_CP_ORDER_CAP = 64  # max distinct parts per order entering the pair build
+
+
+def _copurchase_pairs_from(li: DataFrame) -> DataFrame:
+    """Distinct co-purchase edges (u < v share an order) from a
+    (l_orderkey, l_partkey) relation, with a PER-ORDER FAN-OUT CAP.
+
+    The self-join emits C(items, 2) pairs per order — quadratic in basket
+    size, so one pathological hot order (10^4 items) would emit ~10^8
+    rows into the shuffle. Each order is therefore truncated to its
+    _CP_ORDER_CAP lowest-partkey items first (deterministic, replayed
+    verbatim in the SQL oracles), bounding per-order fan-out at
+    C(cap, 2) = 2016 pairs. TPC-H-shaped orders hold <= 7 items at ANY
+    scale factor, so on real data the cap is semantics-free headroom;
+    rn <= cap compiles to WindowGroupLimit, so truncation happens
+    map-side before the join, and the window's hash partitioning on
+    l_orderkey is exactly the join's partitioning (no extra Exchange)."""
+    li = li.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CP_ORDER_CAP)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped edge list over the sf_dir lineitem table, materialized
+    once (it is referenced by degree counts, orientation, and per-round
+    semi joins downstream — the standard persist of a derived edge
+    relation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _copurchase_pairs_from(li).localCheckpoint(eager=True)
+
+
+# Oracle replay of the capped edge build (DuckDB). MATERIALIZED because
+# every consumer references `pairs` several times.
+_CP_PAIRS_SQL = f"""capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+  WHERE rn <= {_CP_ORDER_CAP}),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM capped a JOIN capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+# --------------------------------------------------------------------------
 # Triangle counting (degree-oriented, the MapReduce classic)
 # --------------------------------------------------------------------------
 
@@ -182,21 +246,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented intersection loses and double-counts nothing.
 
     Output: one row (n_nodes, n_edges, n_triangles)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        # referenced by degree calc + orientation + the final edge-exists
-        # join: materialize the (small) edge list once, like PageRank's
-        # edge relation.
-        .localCheckpoint(eager=True)
-    )
+    # Capped shared edge build (per-order fan-out bound; see
+    # _copurchase_pairs_from), materialized once like PageRank's edges.
+    pairs = _copurchase_pairs(spark, sf_dir)
     deg = (
         pairs.select(F.col("u").alias("n"))
         .unionAll(pairs.select(F.col("v").alias("n")))
@@ -240,11 +292,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
 
 
-TRIANGLE_ORACLE = """
-WITH pairs AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+TRIANGLE_ORACLE = f"""
+WITH {_CP_PAIRS_SQL},
 deg AS (
   SELECT n, COUNT(*) AS d FROM (
     SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
@@ -283,18 +332,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge relation is the same localCheckpoint'd co-purchase pairs the
     triangle counter builds; k is a 1-row broadcast. Integer-only ->
     exact oracle."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
+
     def degrees(rel):
         return (
             rel.select(F.col("u").alias("n"))
@@ -337,10 +376,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_oracle() -> str:
     ctes = [
-        """pairs AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        f"""{_CP_PAIRS_SQL},
 e0 AS MATERIALIZED (SELECT u, v FROM pairs)"""
     ]
     # AS MATERIALIZED: every e{r}/a{r} is referenced 2-3x downstream;

@@ -390,3 +390,67 @@ def test_kcore_peel_prunes_fringe_keeps_core(spark):
     deg = {u: sum(1 for v in adj[u] if v in alive) for u in alive}
     expect = {u: d for u, d in deg.items() if d >= k}
     assert {r.node: r.degree for r in rows} == expect
+
+
+def test_copurchase_hot_order_fanout_capped(spark):
+    """A pathological hot order (one basket holding 1000 parts) must NOT
+    emit C(1000,2) ~ 500k pairs into the shuffle: the per-order cap keeps
+    the _CP_ORDER_CAP lowest-partkey items, bounding per-order fan-out at
+    C(cap, 2), and the truncation compiles to WindowGroupLimit (map-side,
+    before the self-join). Normal-sized orders are untouched."""
+    from lua_mapreduce_spark.operators.analytics import (
+        _CP_ORDER_CAP,
+        _copurchase_pairs_from,
+    )
+
+    hot = [(1, p) for p in range(1000)]
+    normal = [(o, p) for o in (2, 3) for p in (2000, 2001, 2002)]
+    li = spark.createDataFrame(
+        hot + normal, "l_orderkey long, l_partkey long"
+    )
+    pairs = _copurchase_pairs_from(li)
+    cap_pairs = _CP_ORDER_CAP * (_CP_ORDER_CAP - 1) // 2
+    got = pairs.collect()
+    # hot order contributes exactly C(cap,2) pairs over its lowest partkeys
+    hot_pairs = [r for r in got if r.u < _CP_ORDER_CAP and r.v < _CP_ORDER_CAP]
+    assert len(hot_pairs) == cap_pairs
+    # nothing beyond the cap frontier survives from the hot order
+    assert all(r.v < _CP_ORDER_CAP or r.u >= 2000 for r in got)
+    # normal orders keep their full C(3,2) pairs (cap is pure headroom)
+    assert {(r.u, r.v) for r in got if r.u >= 2000} == {
+        (2000, 2001),
+        (2000, 2002),
+        (2001, 2002),
+    }
+    # truncation is map-side: the rank filter compiled to WindowGroupLimit
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pairs.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_copurchase_cap_is_headroom_on_real_data(spark):
+    """On TPC-H-shaped data (max items/order is single-digit at any SF) the
+    cap binds nowhere: the capped edge list equals the uncapped one."""
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.operators.analytics import _copurchase_pairs_from
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    capped = {(r.u, r.v) for r in _copurchase_pairs_from(li).collect()}
+    a, b = li.alias("a"), li.alias("b")
+    uncapped = {
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .collect()
+    }
+    assert capped == uncapped
