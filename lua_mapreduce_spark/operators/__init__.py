@@ -28,6 +28,7 @@ from lua_mapreduce_spark.operators import (
     relational3,
     relational4,
     scale_ops,
+    scale_ops2,
     similarity,
     streaming_ops,
     text,
@@ -52,6 +53,7 @@ _MODULES = [
     pipeline,
     curation,
     scale_ops,
+    scale_ops2,
     hygiene,
     analytics,
     pq,
@@ -119,7 +121,13 @@ _DRIVER_WINDOW = [
     "curation_pack_sequences",
     "curation_sample_mixture",
     "agg_heavy_hitters_sketch",
-    # r7-new queries land here, displacing the provisional r6 re-checks
+    # r7-new queries (scale_ops2 wave), then the graph pair (r7-changed:
+    # capped co-purchase edge build), then provisional r6 re-checks that
+    # further r7-new queries displace
+    "agg_bitmap_intersect",
+    "range_join_binned",
+    "agg_vector_centroids",
+    "curation_length_buckets",
     "graph_kcore_peel",
     "graph_triangle_count",
     "dedup_jaccard_prefix_join",
@@ -129,10 +137,6 @@ _DRIVER_WINDOW = [
     "curation_pii_scrub",
     "text_unigram_rarity",
     "multimodal_phash_dedup",
-    "agg_bitmap_distinct",
-    "layout_zorder_keys",
-    "curation_stratified_sample",
-    "join_bloom_prefilter",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -1,0 +1,280 @@
+"""Scale-technique operators, wave 2 (round 7): bitmap set algebra,
+bin-bucketed range joins, vectorized centroid aggregation, and log-width
+length bucketing.
+
+Like scale_ops.py, these demonstrate levers a 100 TB deployment pulls
+explicitly, each with a full DuckDB value oracle:
+
+- **Bitmap set algebra**: COUNT(DISTINCT) answers one set's size;
+  audience-overlap questions (|A∩B|, |A∪B|, Jaccard) naively need
+  self-joins over distinct sets. Packing members into 64-bit words keyed
+  by ``id DIV 64`` makes intersection/union a bitwise AND/OR on
+  co-grouped words — one map-side-combinable shuffle, no Expand, no
+  distinct self-join. (The same packing as ``agg_bitmap_distinct``,
+  composed one level further.)
+- **Bin-bucketed range join**: a value-vs-interval join is a
+  BroadcastNestedLoopJoin — O(rows x ranges) — when expressed directly.
+  Quantizing values into fixed-width bins and exploding each range into
+  the bins it overlaps turns it into a hash EQUI-join on the bin id plus
+  an exact residual filter. With 6 bands the nested loop would also have
+  been fine; with the millions of ranges an IP-geo or genomics table
+  carries, the equi-join rewrite is the difference between feasible and
+  not. The residual filter keeps the result exact, so fp-overlap from
+  coarse bins is a pure plan concern (the bloom-prefilter argument).
+- **Per-label embedding centroids**: the reduce step behind k-means,
+  class prototypes, and SemDeDup-style curation at corpus scale: explode
+  (label, dim, quantized value) and sum per (label, dim) — map-side
+  combinable, one shuffle of integer triples, output bounded by
+  labels x dims. Values quantized to 1e-6 BIGINTs so the sums are exact
+  and order-independent in both engines (the _KM_QV convention,
+  similarity.py).
+- **Log-width length buckets**: curriculum/balance reporting over doc
+  lengths. Equal-frequency deciles (ntile) need a GLOBAL sort — one
+  reducer sees every row; log2-width buckets assign map-side (bucket =
+  LENGTH(BIN(n_tokens)), integer-exact in both engines), aggregate
+  map-side-combinably, and the cumulative curriculum position is a
+  window over the <= ~15 bucket rows.
+
+The reference engine has no analogue for any of these (its one workload
+is word count, example/word-count-taskfile.lua:73-159); they extend the
+north-star pipeline surface. Everything is built-in-function only — zero
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table, parallelize_scan
+from lua_mapreduce_spark.functions.texthash import oracle_words_expr, words_expr
+
+# --------------------------------------------------------------------------
+# Bitmap set algebra: audience overlap between two event-type user sets
+# --------------------------------------------------------------------------
+
+_BM_SET_A = "signup"
+_BM_SET_B = "purchase"
+
+
+def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact |A|, |B|, |A∩B|, |A∪B| and Jaccard (permille) between the
+    signup-user and purchase-user sets, via packed 64-bit bitmap words.
+
+    One conditional bit_or aggregation builds BOTH sets' words in a single
+    shuffle keyed on ``user_id DIV 64`` (map-side combinable — partial
+    words OR together); intersection and union are then bitwise AND/OR on
+    the co-grouped words, popcounted and summed. State is bounded by
+    max_user_id / 64 words regardless of event count; contrast with the
+    COUNT(DISTINCT)-per-set + distinct-self-join formulation, which
+    shuffles every distinct member twice and Expands the fact scan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_BM_SET_A, _BM_SET_B)
+    )
+    one = "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+    words = ev.groupBy(F.expr("user_id DIV 64").alias("w")).agg(
+        F.expr(
+            f"bit_or(IF(event_type = '{_BM_SET_A}', {one}, CAST(0 AS BIGINT)))"
+        ).alias("a"),
+        F.expr(
+            f"bit_or(IF(event_type = '{_BM_SET_B}', {one}, CAST(0 AS BIGINT)))"
+        ).alias("b"),
+    )
+    return words.agg(
+        F.expr("CAST(sum(bit_count(a)) AS BIGINT)").alias("n_signup"),
+        F.expr("CAST(sum(bit_count(b)) AS BIGINT)").alias("n_purchase"),
+        F.expr("CAST(sum(bit_count(a & b)) AS BIGINT)").alias("n_both"),
+        F.expr("CAST(sum(bit_count(a | b)) AS BIGINT)").alias("n_any"),
+    ).select(
+        "n_signup",
+        "n_purchase",
+        "n_both",
+        "n_any",
+        F.expr("(1000 * n_both) DIV n_any").alias("jaccard_permille"),
+    )
+
+
+BITMAP_INTERSECT_ORACLE = f"""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = '{_BM_SET_A}'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = '{_BM_SET_B}'),
+s AS (
+  SELECT (SELECT COUNT(*) FROM a) AS n_signup,
+         (SELECT COUNT(*) FROM b) AS n_purchase,
+         (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS n_both,
+         (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_any)
+SELECT n_signup, n_purchase, n_both, n_any,
+       (1000 * n_both) // n_any AS jaccard_permille
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Bin-bucketed range join: event values vs variable-width value bands
+# --------------------------------------------------------------------------
+
+# Exponential value bands in integer cents, [lo, hi). Literal and
+# data-independent (like the q19 predicate constants); covers the full
+# events.value domain at any SF (value is bounded by the generator).
+_RB_BANDS = [(0, 64), (64, 256), (256, 1024), (1024, 4096), (4096, 16384), (16384, 1 << 20)]
+_RB_BIN = 512  # cents per bin: each band explodes to (hi-lo)/512 bin rows
+
+
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band event counts/sums via the bin-bucketed range-join rewrite.
+
+    Every band is exploded to the fixed-width bins it overlaps (sequence
+    on ``DIV _RB_BIN``); facts compute their bin map-side and hash-join on
+    the bin id; the exact BETWEEN residual filter then removes the
+    coarse-bin false pairs, so the result equals the direct range join
+    (which is the oracle). Integer cents make every comparison exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100.0) AS BIGINT)").alias("v_c")
+    )
+    bands = spark.createDataFrame(_RB_BANDS, "lo long, hi long")
+    binned = bands.select(
+        "lo",
+        "hi",
+        F.explode(
+            F.expr(f"sequence(lo DIV {_RB_BIN}, (hi - 1) DIV {_RB_BIN})")
+        ).alias("bin"),
+    )
+    return (
+        ev.withColumn("bin", F.expr(f"v_c DIV {_RB_BIN}"))
+        .join(F.broadcast(binned), "bin")
+        .filter("v_c >= lo AND v_c < hi")
+        .groupBy(F.col("lo").alias("band_lo"), F.col("hi").alias("band_hi"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(v_c) AS BIGINT)").alias("sum_cents"),
+        )
+    )
+
+
+_RB_VALUES = ", ".join(f"({lo}, {hi})" for lo, hi in _RB_BANDS)
+
+RANGE_BINNED_ORACLE = f"""
+WITH ev AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS v_c FROM events),
+bands(lo, hi) AS (VALUES {_RB_VALUES})
+SELECT lo AS band_lo, hi AS band_hi,
+       COUNT(*) AS n_events, CAST(SUM(v_c) AS BIGINT) AS sum_cents
+FROM ev JOIN bands ON v_c >= lo AND v_c < hi
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (the k-means / class-prototype reduce)
+# --------------------------------------------------------------------------
+
+_VC_DIM = 64
+_VC_QV = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+
+
+def agg_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, dim, n, sum_micro, centroid): per-label mean embedding.
+
+    Elements are quantized to 1e-6-unit BIGINTs (the _KM_QV convention)
+    so the per-(label, dim) sums are exact integers — order-independent
+    in both engines — and the centroid double is one deterministic IEEE
+    division chain over exact operands. posexplode fans each vector into
+    64 integer triples; the aggregation is map-side combinable and the
+    output is bounded by labels x dims at any corpus size."""
+    emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "label", F.posexplode(F.expr(_VC_QV)).alias("dim", "q")
+    )
+    return q.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(q) AS BIGINT)").alias("sum_micro"),
+    ).select(
+        "label",
+        "dim",
+        "n",
+        "sum_micro",
+        F.expr("CAST(sum_micro AS DOUBLE) / n / 1000000.0").alias("centroid"),
+    )
+
+
+VECTOR_CENTROIDS_ORACLE = f"""
+WITH q AS (
+  SELECT label, d AS dim,
+         CAST(round(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings, range({_VC_DIM}) t(d))
+SELECT label, dim, COUNT(*) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_micro,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
+FROM q GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Log-width token-length buckets (curriculum / balance reporting)
+# --------------------------------------------------------------------------
+
+
+def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution in log2-width buckets with a cumulative
+    curriculum position.
+
+    bucket = LENGTH(BIN(n_tokens)) = floor(log2(n)) + 1, computed with
+    integer/string builtins only (no transcendentals — the cross-engine
+    exactness rule). Assignment is map-side, the per-bucket aggregate is
+    map-side combinable, and the cumulative window runs over the <= ~15
+    bucket rows — unlike ntile deciles, which force a global sort through
+    one reducer. Output: bucket, token bounds, doc count, token mass,
+    cumulative docs (the curriculum ordering a length-staged training
+    schedule consumes)."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.expr(f"size({words_expr('text')})").alias("n_tokens")
+    )
+    buckets = toks.select(
+        F.expr("LENGTH(BIN(n_tokens))").alias("bucket"), "n_tokens"
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("sum_tokens"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        "bucket",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        "sum_tokens",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+    )
+
+
+LENGTH_BUCKETS_ORACLE = f"""
+WITH toks AS (
+  SELECT len({oracle_words_expr("text")}) AS n_tokens FROM documents),
+buckets AS (
+  SELECT LENGTH(BIN(n_tokens)) AS bucket,
+         COUNT(*) AS n_docs,
+         MIN(n_tokens) AS min_tokens,
+         MAX(n_tokens) AS max_tokens,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+  FROM toks GROUP BY 1)
+SELECT bucket, n_docs, min_tokens, max_tokens, sum_tokens,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_docs
+FROM buckets
+"""
+
+
+QUERIES = {
+    "agg_bitmap_intersect": agg_bitmap_intersect,
+    "range_join_binned": range_join_binned,
+    "agg_vector_centroids": agg_vector_centroids,
+    "curation_length_buckets": curation_length_buckets,
+}
+
+ORACLES = {
+    "agg_bitmap_intersect": BITMAP_INTERSECT_ORACLE,
+    "range_join_binned": RANGE_BINNED_ORACLE,
+    "agg_vector_centroids": VECTOR_CENTROIDS_ORACLE,
+    "curation_length_buckets": LENGTH_BUCKETS_ORACLE,
+}

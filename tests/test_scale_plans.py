@@ -206,6 +206,7 @@ _BROADCAST_OK = {
     ("analytics.py", "n_tri"),        # single-row global triangle count
     ("relational4.py", "cells"),      # CM sketch: fixed _CM_D x _CM_W counters
     ("analytics.py", "kdf"),          # single-row degree threshold (k-core)
+    ("scale_ops2.py", "binned"),      # literal 6-band table exploded to bounded bins
 }
 
 
