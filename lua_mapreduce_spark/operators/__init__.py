@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lua_mapreduce_spark.operators import (
     analytics,
+    analytics2,
     curation,
     dedup,
     events,
@@ -56,6 +57,7 @@ _MODULES = [
     scale_ops2,
     hygiene,
     analytics,
+    analytics2,
     pq,
 ]
 
@@ -128,15 +130,15 @@ _DRIVER_WINDOW = [
     "range_join_binned",
     "agg_vector_centroids",
     "curation_length_buckets",
+    "graph_label_propagation",
+    "events_market_basket",
+    "text_count_of_counts",
+    "text_postings_delta",
+    "diag_key_skew_profile",
     "graph_kcore_peel",
     "graph_triangle_count",
     "dedup_jaccard_prefix_join",
     "sim_quantized_topk",
-    "dedup_substring_windows",
-    "dedup_semantic_semdedup",
-    "curation_pii_scrub",
-    "text_unigram_rarity",
-    "multimodal_phash_dedup",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

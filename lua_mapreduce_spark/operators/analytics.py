@@ -166,6 +166,18 @@ FROM r{_PR_ITERS} r JOIN nation n ON r.node = n.n_nationkey
 _CP_ORDER_CAP = 64  # max distinct parts per order entering the pair build
 
 
+def _capped_order_items(li: DataFrame) -> DataFrame:
+    """(l_orderkey, l_partkey): distinct items per order, truncated to the
+    _CP_ORDER_CAP lowest-partkey items (WindowGroupLimit, map-side)."""
+    li = li.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CP_ORDER_CAP)
+        .drop("rn")
+    )
+
+
 def _copurchase_pairs_from(li: DataFrame) -> DataFrame:
     """Distinct co-purchase edges (u < v share an order) from a
     (l_orderkey, l_partkey) relation, with a PER-ORDER FAN-OUT CAP.
@@ -180,14 +192,7 @@ def _copurchase_pairs_from(li: DataFrame) -> DataFrame:
     rn <= cap compiles to WindowGroupLimit, so truncation happens
     map-side before the join, and the window's hash partitioning on
     l_orderkey is exactly the join's partitioning (no extra Exchange)."""
-    li = li.select("l_orderkey", "l_partkey").distinct()
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    capped = (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _CP_ORDER_CAP)
-        .drop("rn")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
+    a, b = _capped_order_items(li).alias("a"), _capped_order_items(li).alias("b")
     return (
         a.join(
             b,
@@ -210,13 +215,15 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle replay of the capped edge build (DuckDB). MATERIALIZED because
 # every consumer references `pairs` several times.
-_CP_PAIRS_SQL = f"""capped AS (
+_CP_CAPPED_SQL = f"""capped AS (
   SELECT l_orderkey, l_partkey FROM (
     SELECT l_orderkey, l_partkey,
            ROW_NUMBER() OVER (PARTITION BY l_orderkey
                               ORDER BY l_partkey) AS rn
     FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
-  WHERE rn <= {_CP_ORDER_CAP}),
+  WHERE rn <= {_CP_ORDER_CAP})"""
+
+_CP_PAIRS_SQL = f"""{_CP_CAPPED_SQL},
 pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM capped a JOIN capped b

@@ -1,0 +1,125 @@
+"""Behavioral invariants for the round-7 analytics wave (oracle parity is
+in test_oracle_parity.py; these check semantics the hash can't see)."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.operators import QUERIES
+from tests.conftest import SF_SMALL
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_lpa_python_replay(spark):
+    """Bit-exact replay of the 3 synchronous rounds with the same
+    (count DESC, label ASC) tie rule, over the same capped edge list."""
+    from lua_mapreduce_spark.operators.analytics import _copurchase_pairs
+    from lua_mapreduce_spark.operators.analytics2 import _LPA_ROUNDS
+
+    got = {
+        r.node: r.community
+        for r in QUERIES["graph_label_propagation"](spark, SF_SMALL).collect()
+    }
+    pairs = _copurchase_pairs(spark, SF_SMALL).collect()
+    adj: dict = collections.defaultdict(list)
+    for r in pairs:
+        adj[r.u].append(r.v)
+        adj[r.v].append(r.u)
+    labels = {n: n for n in adj}
+    for _ in range(_LPA_ROUNDS):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = collections.Counter(labels[m] for m in nbrs)
+            # most frequent label, ties to the smallest label
+            new[n] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    assert got == labels
+    # communities actually merge nodes (not the degenerate identity map)
+    assert len(set(got.values())) < len(got)
+
+
+# --------------------------------------------------------- market basket
+
+
+def test_market_basket_rule_identities(spark):
+    rows = QUERIES["events_market_basket"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 50
+    items = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    n_orders = items.select("l_orderkey").distinct().count()
+    for r in rows:
+        assert r.u < r.v
+        assert r.sup <= min(r.sup_u, r.sup_v)
+        assert r.confidence_permille == (1000 * r.sup) // r.sup_u
+        assert r.confidence_permille <= 1000
+        assert r.lift_permille == (1000 * n_orders * r.sup) // (r.sup_u * r.sup_v)
+    # descending-lift frontier (the deterministic top-k contract)
+    lifts = [r.lift_permille for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+# -------------------------------------------------------- count of counts
+
+
+def test_count_of_counts_mass_conservation(spark):
+    rows = QUERIES["text_count_of_counts"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from lua_mapreduce_spark.functions.texthash import words_expr
+
+    n_tokens = docs.select(
+        F.expr(f"size({words_expr('text')})").alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    uni = [r for r in rows if r.ngram_order == 1]
+    # sum over c of c * N_c recovers the total token count exactly
+    assert sum(r.freq * r.n_types for r in uni) == n_tokens
+    bi = [r for r in rows if r.ngram_order == 2]
+    assert bi and sum(r.freq * r.n_types for r in bi) == n_tokens - docs.count()
+
+
+# --------------------------------------------------------- delta postings
+
+
+def test_postings_delta_reconstructs_doc_ids(spark):
+    """Cumulative-summing the serialized gap prefix (from the -1 origin)
+    must reproduce the sorted doc-id prefix of the plain inverted index."""
+    from lua_mapreduce_spark.operators.curation import inverted_index_postings
+
+    rows = QUERIES["text_postings_delta"](spark, SF_SMALL).collect()
+    assert rows, "df floor left no terms — recalibrate"
+    tf = inverted_index_postings(spark, SF_SMALL).collect()
+    postings: dict = collections.defaultdict(list)
+    for r in tf:
+        postings[r.word].append(r.doc_id)
+    for r in rows:
+        docs = sorted(postings[r.word])
+        gaps = [int(g) for g in r.gaps_csv.split(",")]
+        acc, rebuilt = -1, []
+        for g in gaps:
+            acc += g
+            rebuilt.append(acc)
+        assert rebuilt == docs[: len(gaps)]
+        assert r.first_doc == docs[0]
+        assert r.df == len(docs)
+        all_gaps = [docs[0] + 1] + [
+            b - a for a, b in zip(docs, docs[1:])
+        ]
+        assert r.max_gap == max(all_gaps)
+
+
+# -------------------------------------------------------- key-skew profile
+
+
+def test_key_skew_profile_replay(spark):
+    r = QUERIES["diag_key_skew_profile"](spark, SF_SMALL).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    sizes = collections.Counter(e.user_id for e in ev)
+    assert r.n_keys == len(sizes)
+    assert r.n_rows == len(ev)
+    assert r.max_size == max(sizes.values())
+    top = max(sizes.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert (r.top_key, r.top_size) == top
+    assert r.p50_size <= r.p99_size <= r.max_size
+    assert r.mean_size == len(ev) / len(sizes)

@@ -139,6 +139,7 @@ _NESTED_LOOP_OK = {
     "curation_proportional_sample",  # 1-row total-count broadcast cross join
     "graph_triangle_count",   # three 1-row scalar aggregates cross-joined
     "graph_kcore_peel",       # 1-row degree-threshold broadcast cross join
+    "events_market_basket",   # 1-row n_orders broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -207,6 +208,7 @@ _BROADCAST_OK = {
     ("relational4.py", "cells"),      # CM sketch: fixed _CM_D x _CM_W counters
     ("analytics.py", "kdf"),          # single-row degree threshold (k-core)
     ("scale_ops2.py", "binned"),      # literal 6-band table exploded to bounded bins
+    ("analytics2.py", "tot"),         # single-row global order count (basket lift N)
 }
 
 
