@@ -135,10 +135,10 @@ _DRIVER_WINDOW = [
     "text_count_of_counts",
     "text_postings_delta",
     "diag_key_skew_profile",
+    "events_seasonal_decompose",
+    "events_path_analysis",
     "graph_kcore_peel",
     "graph_triangle_count",
-    "dedup_jaccard_prefix_join",
-    "sim_quantized_topk",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -493,8 +493,136 @@ FROM pairs
 """
 
 
+# --------------------------------------------------------------------------
+# Seasonal decomposition (trend + hour-of-day profile, integer-milli exact)
+# --------------------------------------------------------------------------
+
+_SD_HALF = 12 * 3600  # centered +/-12 h RANGE frame, in epoch seconds
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition of the hourly event-count series into a
+    centered 25-hour moving-average TREND and an hour-of-day SEASONAL
+    profile, all in scaled-integer (milli) arithmetic — no floats, so the
+    oracle is exact.
+
+    The RANGE frame on epoch seconds stays correct across missing hours
+    (the events_anomaly_hours convention); both windows run over the
+    ALREADY-AGGREGATED hourly table (days x 24 rows — input-size-
+    independent after the first map-side-combined shuffle). The hour-of-
+    day mean partitions by hod; deviation_milli = 1000*n - hod_mean is
+    the seasonality-adjusted load signal an alerting pipeline consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    trend = (
+        f"CAST((1000 * SUM(n) OVER (ORDER BY hr_epoch RANGE BETWEEN {_SD_HALF}"
+        f" PRECEDING AND {_SD_HALF} FOLLOWING)) DIV (COUNT(*) OVER (ORDER BY"
+        f" hr_epoch RANGE BETWEEN {_SD_HALF} PRECEDING AND {_SD_HALF}"
+        " FOLLOWING)) AS BIGINT)"
+    )
+    hod_mean = (
+        "CAST((1000 * SUM(n) OVER (PARTITION BY hod)) DIV"
+        " (COUNT(*) OVER (PARTITION BY hod)) AS BIGINT)"
+    )
+    return hourly.select(
+        F.unix_timestamp("hour").alias("hr_epoch"),
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
+        F.hour("hour").cast("int").alias("hod"),
+        "n",
+    ).select(
+        "hr_epoch",
+        "hour_str",
+        "hod",
+        "n",
+        F.expr(trend).alias("trend_milli"),
+        F.expr(hod_mean).alias("hod_mean_milli"),
+        (F.col("n") * 1000 - F.expr(hod_mean)).alias("deviation_milli"),
+    )
+
+
+SEASONAL_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1),
+base AS (
+  SELECT CAST(epoch(hour) AS BIGINT) AS hr_epoch,
+         strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_str,
+         CAST(EXTRACT(hour FROM hour) AS INT) AS hod,
+         n
+  FROM hourly)
+SELECT hr_epoch, hour_str, hod, n,
+       CAST((1000 * SUM(n) OVER (ORDER BY hr_epoch RANGE BETWEEN {_SD_HALF}
+             PRECEDING AND {_SD_HALF} FOLLOWING))
+            // (COUNT(*) OVER (ORDER BY hr_epoch RANGE BETWEEN {_SD_HALF}
+                PRECEDING AND {_SD_HALF} FOLLOWING)) AS BIGINT) AS trend_milli,
+       CAST((1000 * SUM(n) OVER (PARTITION BY hod))
+            // (COUNT(*) OVER (PARTITION BY hod)) AS BIGINT) AS hod_mean_milli,
+       1000 * n - CAST((1000 * SUM(n) OVER (PARTITION BY hod))
+            // (COUNT(*) OVER (PARTITION BY hod)) AS BIGINT) AS deviation_milli
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# Session-path analysis (top user journeys)
+# --------------------------------------------------------------------------
+
+_PA_CAP = 32  # serialized path prefix (events per user-day, deterministic)
+_PA_TOP = 20
+
+
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-_PA_TOP user journeys: the ordered event-type path of each
+    (user, day), truncated to the first _PA_CAP events, counted across
+    the corpus. Path construction is one (user, day) aggregation (sorted
+    struct collect, bounded by the cap — no per-event window); the top-k
+    frontier sorts only the aggregated path-TYPE table (the
+    text_collocations convention) with the deterministic
+    (count DESC, path ASC) order."""
+    ev = load_table(spark, sf_dir, "events")
+    prefix = F.transform(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            1,
+            _PA_CAP,
+        ),
+        lambda s: s["event_type"],
+    )
+    paths = ev.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.concat_ws(">", prefix).alias("path"))
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_user_days"))
+    w = Window.orderBy(F.desc("n_user_days"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PA_TOP)
+        .select("path", "n_user_days", "rank")
+    )
+
+
+PATH_ANALYSIS_ORACLE = f"""
+WITH paths AS (
+  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         array_to_string(
+           list(event_type ORDER BY ts, event_id)[1:{_PA_CAP}], '>') AS path
+  FROM events GROUP BY 1, 2),
+counted AS (
+  SELECT path, COUNT(*) AS n_user_days FROM paths GROUP BY path)
+SELECT path, n_user_days, rank FROM (
+  SELECT path, n_user_days,
+         ROW_NUMBER() OVER (ORDER BY n_user_days DESC, path ASC) AS rank
+  FROM counted)
+WHERE rank <= {_PA_TOP}
+"""
+
+
 QUERIES = {
     "events_markov_transitions": events_markov_transitions,
+    "events_seasonal_decompose": events_seasonal_decompose,
+    "events_path_analysis": events_path_analysis,
     "events_sessionize_gap_method": events_sessionize_gap_method,
     "events_trending_hourly": events_trending_hourly,
     "events_cohort_retention": events_cohort_retention,
@@ -509,6 +637,8 @@ QUERIES = {
 
 ORACLES = {
     "events_markov_transitions": MARKOV_ORACLE,
+    "events_seasonal_decompose": SEASONAL_ORACLE,
+    "events_path_analysis": PATH_ANALYSIS_ORACLE,
     "events_sessionize_gap_method": SESSIONIZE_GAP_ORACLE,
     "events_trending_hourly": TRENDING_ORACLE,
     "events_cohort_retention": COHORT_ORACLE,

@@ -4,7 +4,7 @@ value-level correctness for every events_* query in test_oracle_parity)."""
 from __future__ import annotations
 
 from lua_mapreduce_spark.operators import QUERIES
-from tests.conftest import SF_MEDIUM
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
 def test_anomaly_hours_nonvacuous_and_bounded(spark):
@@ -39,3 +39,47 @@ def test_markov_transitions_rows_and_mass(spark):
         assert 0 <= r.p_permille <= 1000
     for prev, ps in by_prev.items():
         assert 1000 - len(ps) < sum(ps) <= 1000, prev
+
+
+def test_seasonal_decompose_identities(spark):
+    """Trend is bounded by the window's min/max, hod means are consistent
+    per hour-of-day, and deviation is the exact milli identity."""
+    import collections
+
+    rows = QUERIES["events_seasonal_decompose"](spark, SF_SMALL).collect()
+    assert rows
+    by_hod = collections.defaultdict(list)
+    for r in rows:
+        by_hod[r.hod].append(r.n)
+        assert r.deviation_milli == 1000 * r.n - r.hod_mean_milli
+    for r in rows:
+        assert r.hod_mean_milli == (1000 * sum(by_hod[r.hod])) // len(by_hod[r.hod])
+    # trend replay: centered +/-12h mean over the hourly series
+    series = {r.hr_epoch: r.n for r in rows}
+    for r in rows:
+        window = [
+            n for e, n in series.items() if abs(e - r.hr_epoch) <= 12 * 3600
+        ]
+        assert r.trend_milli == (1000 * sum(window)) // len(window)
+
+
+def test_path_analysis_replay(spark):
+    """The top path's count replays exactly from raw events."""
+    import collections
+
+    rows = QUERIES["events_path_analysis"](spark, SF_SMALL).collect()
+    assert rows and rows[0].rank == 1
+    counts = [r.n_user_days for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    journeys = collections.defaultdict(list)
+    for e in ev:
+        journeys[(e.user_id, e.ts.strftime("%Y-%m-%d"))].append(
+            (e.ts, e.event_id, e.event_type)
+        )
+    paths = collections.Counter(
+        ">".join(t[2] for t in sorted(v)[:32]) for v in journeys.values()
+    )
+    top = rows[0]
+    assert paths[top.path] == top.n_user_days
+    assert top.n_user_days == max(paths.values())
