@@ -282,8 +282,9 @@ def text_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-gap-encoded postings — each term's sorted doc ids stored as the
     first id plus ascending gaps (gap_0 = doc_0 + 1 from the -1 origin),
     the layout that makes posting lists varint-compressible. The gap is a
-    lag window INSIDE each term partition (one hash shuffle on word,
-    shared with the tf aggregation's partitioning); the serialized prefix
+    lag window inside each term partition; its word-partition exchange
+    runs AFTER the (word, doc_id) tf aggregation, so only collapsed
+    posting rows — not raw tokens — reach it. The serialized prefix
     follows the concat_ws convention (no top-level arrays)."""
     from lua_mapreduce_spark.operators.curation import inverted_index_postings
 

@@ -130,7 +130,12 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("CAST(round(value * 100.0) AS BIGINT)").alias("v_c")
     )
-    bands = spark.createDataFrame(_RB_BANDS, "lo long, hi long")
+    # Literal band table built JVM-side (stack over a 1-row relation): no
+    # Python->RDD round trip per call, plans as a LocalRelation.
+    stack_args = ", ".join(f"{lo}L, {hi}L" for lo, hi in _RB_BANDS)
+    bands = spark.range(1).selectExpr(
+        f"stack({len(_RB_BANDS)}, {stack_args}) AS (lo, hi)"
+    )
     binned = bands.select(
         "lo",
         "hi",
