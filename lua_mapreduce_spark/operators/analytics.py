@@ -204,13 +204,31 @@ def _copurchase_pairs_from(li: DataFrame) -> DataFrame:
     )
 
 
+_CP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_copurchase_cache() -> None:
+    _CP_CACHE.clear()
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capped edge list over the sf_dir lineitem table, materialized
     once (it is referenced by degree counts, orientation, and per-round
     semi joins downstream — the standard persist of a derived edge
-    relation)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return _copurchase_pairs_from(li).localCheckpoint(eager=True)
+    relation) and CACHED per (applicationId, sf_dir) — the _MH_CACHE
+    convention: triangle count, k-core, and label propagation all consume
+    the same relation, so rebuilding the self-join per query wastes a
+    scan + shuffle and piles dead checkpoint blocks into the block
+    manager."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    cached = _CP_CACHE.get(key)
+    if cached is None:
+        li = load_table(spark, sf_dir, "lineitem")
+        cached = _copurchase_pairs_from(li).localCheckpoint(eager=True)
+        _CP_CACHE[key] = cached
+    return cached
 
 
 # Oracle replay of the capped edge build (DuckDB). MATERIALIZED because
