@@ -123,3 +123,76 @@ def test_key_skew_profile_replay(spark):
     assert (r.top_key, r.top_size) == top
     assert r.p50_size <= r.p99_size <= r.max_size
     assert r.mean_size == len(ev) / len(sizes)
+
+
+# ----------------------------------------------------- registry/bench sync
+
+
+def test_bench_headline_names_are_registered():
+    """Every name bench.py times must exist in the registry (a typo'd or
+    renamed query would crash the driver's per-round bench run), and the
+    headline list carries no duplicates."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate bench names"
+
+
+# ------------------------------------------- property: edge-build fan-out
+
+
+def _edge_build_python(rows, cap):
+    """Plain-Python replay of the capped co-purchase edge build."""
+    import collections
+
+    orders = collections.defaultdict(set)
+    for o, p in rows:
+        orders[o].add(p)
+    pairs = set()
+    for items in orders.values():
+        kept = sorted(items)[:cap]
+        pairs.update(
+            (u, v) for i, u in enumerate(kept) for v in kept[i + 1 :]
+        )
+    return pairs
+
+
+def test_copurchase_pairs_property(spark):
+    """On arbitrary basket shapes (hot baskets, duplicates, singletons)
+    the Spark edge build equals the Python replay of 'distinct items,
+    cap to lowest-partkey per order, all pairs'."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lua_mapreduce_spark.operators.analytics import (
+        _CP_ORDER_CAP,
+        _copurchase_pairs_from,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),
+                st.integers(min_value=0, max_value=200),
+            ),
+            min_size=1,
+            max_size=300,
+        )
+    )
+    def run(rows):
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        got = {(r.u, r.v) for r in _copurchase_pairs_from(li).collect()}
+        assert got == _edge_build_python(rows, _CP_ORDER_CAP)
+
+    run()
