@@ -73,16 +73,19 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-7 window: the two pins; the four r7-changed queries
+# Round-7 window: the two pins; the four early-r7-changed queries
 # (dedup_embedding_cosine — now LSH-gated, new banded oracle;
 # dedup_embedding_lsh — shared-pipeline refactor;
 # streaming_time_travel_snapshot — exact-commit-count guard;
 # sim_pq_adc_topk — codebook cache re-keyed); the THIRTY-ONE queries that
 # yielded slots in r5/r6 and are still once-verified (the full
-# twice-verified sweep, VERDICT r6 item 1); remaining slots = r7-new
-# queries as they land (until then, r6-new complex queries take a second
-# consecutive confirmation). Exactly 50; the import-time check keeps it
-# honest.
+# twice-verified sweep, VERDICT r6 item 1); the ELEVEN r7-new queries
+# (scale_ops2 + analytics2 + events waves); and the graph pair whose
+# shared edge build changed in r7 (per-order fan-out cap). One late-r7
+# plan-only change (dedup_jaccard_prefix_join df-window rewrite,
+# result-identical at both SFs) found no free slot — r8 owes it a
+# re-confirmation (SURVEY §2.6 rotation log). Exactly 50; the
+# import-time check keeps it honest.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
