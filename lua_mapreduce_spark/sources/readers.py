@@ -65,6 +65,46 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return configure_runtime(spark).read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """XML source — native in Spark 4 (the spark-xml package was folded
+    into core): one row per ``row_tag`` element, schema inferred or
+    supplied. Same Catalyst scan path as json (element pruning applies
+    when a schema is given)."""
+    reader = (
+        configure_runtime(spark)
+        .read.format("xml")
+        .option("rowTag", row_tag)
+        .options(**options)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def parse_variant(df: DataFrame, json_col: str, out_col: str = "v") -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type: parse a JSON
+    string column once into the binary variant encoding; downstream
+    ``variant_get(v, '$.path', 'type')`` extractions then read the typed
+    binary directly — the open-format answer to schema-on-read JSON
+    columns (shredded storage, no per-query re-parse, fields that differ
+    in type across rows stay accessible)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out_col, F.parse_json(F.col(json_col)))
+
+
 def read_binary_files(spark: SparkSession, path: str, pattern: str = "*") -> DataFrame:
     """Multimodal ingest: one row per file with (path, modificationTime,
     length, content binary) — the raw-bytes source for image/audio/video

@@ -189,3 +189,47 @@ def test_clustered_write_compacts_small_files(spark, tmp_path):
     write_clustered_parquet(read_parquet(spark, shattered), compacted, ["l_orderkey"], 4)
     assert len(glob.glob(f"{compacted}/*.parquet")) == 4
     assert read_parquet(spark, compacted).count() == li.count()
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 native XML: write rows under a rowTag, read them back with
+    an explicit schema (inference-free, so types survive)."""
+    from lua_mapreduce_spark.sources import read_parquet, read_xml, write_xml
+
+    nation = read_parquet(spark, "/root/testdata/sf0.01/nation.parquet")
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation")
+    back = read_xml(
+        spark,
+        path,
+        row_tag="nation",
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    assert sorted(back.columns) == sorted(nation.columns)
+    a = {tuple(r) for r in nation.select(*sorted(nation.columns)).collect()}
+    b = {tuple(r) for r in back.select(*sorted(back.columns)).collect()}
+    assert a == b
+
+
+def test_variant_ingestion_extracts_typed_fields(spark):
+    """events.props (a JSON string) parses ONCE into a VARIANT column;
+    variant_get then serves typed extractions without re-parsing, and the
+    values agree with the classic get_json_object path."""
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.sources import parse_variant, read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet").limit(200)
+    v = parse_variant(ev, "props")
+    assert v.schema["v"].dataType.typeName() == "variant"
+    got = v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.device', 'string')").alias("device"),
+    ).collect()
+    classic = {
+        r.event_id: r.device
+        for r in ev.select(
+            "event_id", F.get_json_object("props", "$.device").alias("device")
+        ).collect()
+    }
+    assert {r.event_id: r.device for r in got} == classic
