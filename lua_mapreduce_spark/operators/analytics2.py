@@ -317,10 +317,17 @@ def text_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         "doc_id",
         (F.col("doc_id") - F.lag("doc_id", 1, -1).over(w)).alias("gap"),
+        F.row_number().over(w).alias("rn"),
     )
+    # Bounded collect: only the first _PD_CAP postings per term enter the
+    # aggregation buffer (collect_list skips the NULLs the WHEN emits), so
+    # a stopword with millions of postings cannot blow a single buffer —
+    # df and max_gap still aggregate over the FULL gap stream.
     prefix = F.transform(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("doc_id", "gap"))), 1, _PD_CAP
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("rn") <= _PD_CAP, F.struct("rn", "gap"))
+            )
         ),
         lambda s: s["gap"].cast("string"),
     )

@@ -508,15 +508,27 @@ _POSTINGS_CAP = 16
 
 
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.expr(words_expr("text"))).alias("word"))
     tf = toks.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     # Postings serialize to a comma-joined string (numeric sort BEFORE the
     # string cast) — top-level array columns break external row hashers;
     # same convention as agg_collect_sorted_sets (relational4.py).
+    # Bounded collect (r7): the cap is applied via row_number BEFORE the
+    # per-term aggregation buffer fills — collect_list skips the WHEN's
+    # NULLs, so a stopword's millions of postings never materialize in one
+    # buffer; df/total_tf still aggregate the full posting stream. The
+    # word-partition exchange the window needs is the same one the final
+    # groupBy required anyway.
+    rn = F.row_number().over(Window.partitionBy("word").orderBy("doc_id"))
+    tf = tf.withColumn("rn", rn)
     postings = F.transform(
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP),
-        lambda d: d.cast("string"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") <= _POSTINGS_CAP, F.struct("rn", "doc_id")))
+        ),
+        lambda s: s["doc_id"].cast("string"),
     )
     return (
         tf.groupBy("word")

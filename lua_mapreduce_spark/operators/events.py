@@ -580,20 +580,27 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct collect, bounded by the cap — no per-event window); the top-k
     frontier sorts only the aggregated path-TYPE table (the
     text_collocations convention) with the deterministic
-    (count DESC, path ASC) order."""
-    ev = load_table(spark, sf_dir, "events")
+    (count DESC, path ASC) order.
+
+    Bounded state: the cap is applied with a row_number over the same
+    (user, day) keys the aggregation groups on — rn <= cap compiles to
+    WindowGroupLimit, so a pathological user-day (10^6 events) is
+    truncated map-side BEFORE any per-group list materializes, and the
+    collect is structurally <= _PA_CAP rows per group."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    capped = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PA_CAP
+    )
     prefix = F.transform(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            1,
-            _PA_CAP,
-        ),
+        F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
         lambda s: s["event_type"],
     )
-    paths = ev.groupBy(
-        "user_id",
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-    ).agg(F.concat_ws(">", prefix).alias("path"))
+    paths = capped.groupBy("user_id", "day").agg(
+        F.concat_ws(">", prefix).alias("path")
+    )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_user_days"))
     w = Window.orderBy(F.desc("n_user_days"), F.asc("path"))
     return (
