@@ -229,6 +229,51 @@ def test_no_broadcast_hint_on_unbounded_relations():
     assert not offenders, f"broadcast hints on unbounded relations: {offenders}"
 
 
+# Source lines allowed to call collect_list/collect_set, each with its
+# boundedness argument. An UNBOUNDED per-key collect is the OOM class the
+# r7 bounded-collect rewrites removed (a hot key materializes its whole
+# group in one aggregation buffer); every new collect site must either be
+# structurally bounded or gate rows with a pre-rank WHEN, and then be
+# allowlisted here. Keyed (filename, lineno-independent snippet).
+_COLLECT_OK = {
+    ("analytics.py", "F.collect_list(\"dst\")"),        # oriented out-degree <= O(sqrt m)
+    ("analytics.py", "F.collect_set(\"event_type\")"),  # 5-row window frame bound
+    ("analytics2.py", "F.when(F.col(\"rn\") <= _PD_CAP"),  # pre-rank gated
+    ("curation.py", "F.when(F.col(\"rn\") <= _POSTINGS_CAP"),  # pre-rank gated
+    ("events.py", "F.collect_list(F.struct(\"rn\", \"event_type\"))"),  # rn<=cap pre-filter
+    ("relational4.py", "F.collect_set(\"l_linestatus\")"),  # <= 3 distinct values
+    ("relational4.py", "F.collect_set(F.col(\"l_linenumber\")"),  # <= 7 per order
+    ("scale_ops.py", "F.collect_list(F.struct(\"w\", \"bits\"))"),  # <= _BLOOM_WORDS rows
+}
+
+
+def test_no_unbounded_collect_aggregations():
+    """Every collect_list/collect_set call site in the package matches an
+    allowlisted snippet with a documented cardinality bound."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "lua_mapreduce_spark"
+    ok_by_file: dict[str, list[str]] = {}
+    for fname, snippet in _COLLECT_OK:
+        ok_by_file.setdefault(fname, []).append(snippet)
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
+            stripped = line.strip()
+            if stripped.startswith("#"):
+                continue
+            if "F.collect_list(" in line or "F.collect_set(" in line:
+                # calls may wrap: match the snippet in a 3-line window
+                window = "".join(x.strip() for x in lines[i - 1 : i + 2])
+                if not any(s in window for s in ok_by_file.get(path.name, [])):
+                    offenders.append(f"{path.name}:{i}: {stripped[:80]}")
+    assert not offenders, (
+        "collect aggregation without a documented bound (add a pre-rank "
+        f"gate or allowlist with justification): {offenders}"
+    )
+
+
 def test_curation_single_scan_single_shuffle(spark):
     """The corpus-curation composite reads the text ONCE and shuffles once
     (fingerprint hash-partition for keep-first); the rn=1 filter compiles
