@@ -322,3 +322,51 @@ def test_cli_duplicate_task_stems_with_output_rejected(tmp_path):
     )
     assert proc.returncode != 0
     assert "duplicate task-file stem" in proc.stderr
+
+
+def test_cli_inverted_index_task(tmp_path):
+    """The inverted-index example composes all Layer-A slots: structure-
+    building reducefn + post-reduce filterfn; stdout carries only terms
+    appearing in >= 2 fixture documents, with sorted distinct postings."""
+    from collections import defaultdict
+
+    for name, text in FIXTURES.items():
+        (tmp_path / name).write_text(text, encoding="utf-8")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "lua_mapreduce_spark",
+            "-t",
+            str(_REPO / "examples" / "inverted_index_task.py"),
+            "-a",
+            str(tmp_path),
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = {}
+    for line in proc.stdout.splitlines():
+        if "\t" in line:
+            word, postings = line.split("\t")
+            got[word] = postings
+    import re as _re
+
+    index = defaultdict(set)
+    for fname, text in FIXTURES.items():
+        for token in text.split():
+            for w in _re.findall(r"[A-Za-z]+", token):
+                index[w.lower()].add(fname)
+    expect = {
+        w: ",".join(sorted(docs)) for w, docs in index.items() if len(docs) >= 2
+    }
+    assert got == expect and got
