@@ -196,3 +196,163 @@ def test_copurchase_pairs_property(spark):
         assert got == _edge_build_python(rows, _CP_ORDER_CAP)
 
     run()
+
+
+def test_market_basket_property_random_baskets(spark):
+    """On random basket data the full rule table (before top-k) replays
+    exactly in Python: supports, confidence, lift."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lua_mapreduce_spark.operators.analytics2 import _MB_TOP_K
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),
+                st.integers(min_value=0, max_value=12),
+            ),
+            min_size=2,
+            max_size=60,
+        )
+    )
+    def run(rows):
+        import collections
+        import itertools
+
+        # Python replay
+        orders = collections.defaultdict(set)
+        for o, p in rows:
+            orders[o].add(p)
+        pair_sup: collections.Counter = collections.Counter()
+        item_sup: collections.Counter = collections.Counter()
+        for items in orders.values():
+            kept = sorted(items)  # cap never binds at <= 13 items
+            item_sup.update(kept)
+            pair_sup.update(itertools.combinations(kept, 2))
+        n_orders = len(orders)
+        expect = {}
+        for (u, v), sup in pair_sup.items():
+            expect[(u, v)] = (
+                sup,
+                item_sup[u],
+                item_sup[v],
+                (1000 * sup) // item_sup[u],
+                (1000 * n_orders * sup) // (item_sup[u] * item_sup[v]),
+            )
+        # Spark side: rebuild the same pipeline on an inline relation
+        # (the registered query reads the sf_dir table; the pipeline is
+        # identical modulo the source).
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from lua_mapreduce_spark.operators.analytics import _capped_order_items
+
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        items = _capped_order_items(li)
+        a, b = items.alias("a"), items.alias("b")
+        ps = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        isup = items.groupBy(F.col("l_partkey").alias("p")).agg(
+            F.count(F.lit(1)).alias("isup")
+        )
+        tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        got = {
+            (r.u, r.v): (r.sup, r.sup_u, r.sup_v, r.conf, r.lift)
+            for r in ps.join(isup.select(F.col("p").alias("u"), F.col("isup").alias("sup_u")), "u")
+            .join(isup.select(F.col("p").alias("v"), F.col("isup").alias("sup_v")), "v")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "u",
+                "v",
+                "sup",
+                "sup_u",
+                "sup_v",
+                F.expr("(1000 * sup) DIV sup_u").alias("conf"),
+                F.expr("(1000 * n_orders * sup) DIV (sup_u * sup_v)").alias("lift"),
+            )
+            .collect()
+        }
+        assert got == expect
+        assert _MB_TOP_K > 0  # constant sanity (keeps the import honest)
+
+    run()
+
+
+def test_lpa_property_random_graphs(spark):
+    """On random edge lists the registered LPA pipeline (rebuilt over an
+    inline relation) equals the synchronous Python replay."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lua_mapreduce_spark.operators.analytics2 import _LPA_ROUNDS
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=15),
+                st.integers(min_value=0, max_value=15),
+            ).filter(lambda e: e[0] < e[1]),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def run(edges):
+        import collections
+
+        from pyspark.sql import functions as F
+
+        pairs = spark.createDataFrame(sorted(edges), "u long, v long")
+        sym = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+        )
+        for _ in range(_LPA_ROUNDS):
+            msgs = sym.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            ).select(F.col("dst").alias("node"), "lbl")
+            cnt = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+            labels = (
+                cnt.groupBy("node")
+                .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+                .select("node", (-F.col("m.nl")).alias("lbl"))
+            )
+        got = {r.node: r.lbl for r in labels.collect()}
+
+        adj = collections.defaultdict(list)
+        for u, v in edges:
+            adj[u].append(v)
+            adj[v].append(u)
+        expect = {n: n for n in adj}
+        for _ in range(_LPA_ROUNDS):
+            expect = {
+                n: max(
+                    collections.Counter(expect[m] for m in nbrs).items(),
+                    key=lambda kv: (kv[1], -kv[0]),
+                )[0]
+                for n, nbrs in adj.items()
+            }
+        assert got == expect
+
+    run()
