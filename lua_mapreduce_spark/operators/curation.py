@@ -773,6 +773,62 @@ WINDOW w AS (PARTITION BY shuffle_key % {_EXPORT_SHARDS}
 """
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = _EXPORT_SHARDS,
+    key_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> dict:
+    """The real exporter behind ``curation_shuffle_shards``: write ``df``
+    as ``n_shards`` deterministically-shuffled parquet shards.
+
+    shard = md5(key) % n_shards; rows within a shard are laid out in
+    shuffle-key order via repartition + sortWithinPartitions — NO global
+    sort, and the plan is shard-count-independent (a 100 TB corpus just
+    raises n_shards so each stays executor-memory-sized). partitionBy
+    writes one ``shard=K/`` directory per shard, exactly one file each
+    (each task holds whole shards after the repartition). Returns the
+    manifest {shard: {"rows": n, "bytes": chars}} — computed with one
+    bounded n_shards-row aggregate, also written as ``_manifest.json``
+    beside the shards so a loader can plan without listing files.
+    Reading any shard back in path order replays the exact sequence the
+    ``curation_shuffle_shards`` query enumerates (same key, same order)."""
+    import json as _json
+    import os as _os
+
+    keyed = df.withColumn(
+        "shuffle_key", F.expr(md5_bigint_expr(f"CAST({key_col} AS STRING)"))
+    ).withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)))
+    (
+        # sort leads with shard: a task may hold several whole shards
+        # (hash collisions on the shard value), and each must stay
+        # contiguous and internally key-ordered.
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", key_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    manifest_rows = (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr("CAST(SUM(length(CAST(text AS STRING))) AS BIGINT)").alias("bytes")
+            if "text" in df.columns
+            else F.count(F.lit(1)).alias("bytes"),
+        )
+        .collect()
+    )
+    manifest = {
+        int(r.shard): {"rows": int(r.rows), "bytes": int(r.bytes)}
+        for r in manifest_rows
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition_filter": text_repetition_filter,

@@ -342,3 +342,49 @@ def test_collocations_rank_by_association_not_frequency(spark):
     lifts = [r.lift for r in rows]
     assert lifts == sorted(lifts, reverse=True)
     assert rows[0].lift > 1.0
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """The shard exporter writes one file per shard=K dir, rows land in
+    their md5-assigned shard in shuffle-key order, totals are preserved,
+    and the manifest matches the files."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from lua_mapreduce_spark.functions.texthash import md5_bigint_expr
+    from lua_mapreduce_spark.operators.curation import (
+        _EXPORT_SHARDS,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out)
+
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == _EXPORT_SHARDS
+    for d in dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, f"multiple files in {d}"
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # every row sits in its md5-assigned shard
+    misplaced = back.filter(
+        F.pmod(
+            F.expr(md5_bigint_expr("CAST(doc_id AS STRING)")),
+            F.lit(_EXPORT_SHARDS),
+        )
+        != F.col("shard")
+    ).count()
+    assert misplaced == 0
+    # within a shard file, rows are in shuffle-key order (read preserves
+    # single-file row order)
+    one = spark.read.parquet(dirs[0]).select("shuffle_key").collect()
+    keys = [r.shuffle_key for r in one]
+    assert keys == sorted(keys)
+    # manifest agrees with the data and the written json
+    assert sum(m["rows"] for m in manifest.values()) == docs.count()
+    on_disk = json.load(open(f"{out}/_manifest.json"))
+    assert {int(k): v for k, v in on_disk.items()} == manifest
