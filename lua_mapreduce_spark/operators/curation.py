@@ -829,6 +829,21 @@ def write_training_shards(
     return manifest
 
 
+def read_training_shards(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read back a ``write_training_shards`` export. With ``shards``, the
+    filter on the shard partition column prunes to those directories at
+    plan time (directory-level skip — no bytes of other shards are read;
+    the standard way a multi-epoch trainer streams one shard subset per
+    worker). Row order within a shard file is the deterministic
+    shuffle-key order the exporter wrote."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    return df
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition_filter": text_repetition_filter,

@@ -388,3 +388,34 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     assert sum(m["rows"] for m in manifest.values()) == docs.count()
     on_disk = json.load(open(f"{out}/_manifest.json"))
     assert {int(k): v for k, v in on_disk.items()} == manifest
+
+
+def test_read_training_shards_prunes_directories(spark, tmp_path):
+    """Selecting shards applies a PartitionFilter on the shard column —
+    unselected shard directories are skipped at plan time — and the rows
+    read equal exactly the manifest's selected-shard populations."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from lua_mapreduce_spark.operators.curation import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out)
+
+    picked = [0, 3, 7]
+    df = read_training_shards(spark, out, shards=picked)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "shard" in m.group(1), "shard filter did not reach the scan"
+    assert df.count() == sum(manifest[s]["rows"] for s in picked)
+    assert {r.shard for r in df.select("shard").distinct().collect()} == set(picked)
+    # no-filter read returns everything
+    assert read_training_shards(spark, out).count() == docs.count()
