@@ -789,8 +789,9 @@ def write_training_shards(
     raises n_shards so each stays executor-memory-sized). partitionBy
     writes one ``shard=K/`` directory per shard, exactly one file each
     (each task holds whole shards after the repartition). Returns the
-    manifest {shard: {"rows": n, "bytes": chars}} — computed with one
-    bounded n_shards-row aggregate, also written as ``_manifest.json``
+    manifest {shard: {"rows": n, "bytes": chars}} (``bytes`` falls back
+    to the row count when the frame has no ``text`` column) — computed
+    with one bounded n_shards-row aggregate, also written as ``_manifest.json``
     beside the shards so a loader can plan without listing files.
     Reading any shard back in path order replays the exact sequence the
     ``curation_shuffle_shards`` query enumerates (same key, same order)."""
