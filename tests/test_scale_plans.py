@@ -384,3 +384,35 @@ def test_every_registered_query_documented_in_survey():
     ).read_text()
     missing = [n for n in QUERIES if f"`{n}`" not in survey]
     assert not missing, f"registered queries missing from SURVEY.md: {missing}"
+
+
+# Package lines allowed to materialize on the driver, each with its bound.
+_DRIVER_COLLECT_OK = {
+    # MapReduceJob.run(): the reference contract — finalfn runs driver-side
+    # (lua-mapreduce-server.lua:323-327); the scale path is to_dataframe.
+    ("mapreduce.py", "results = dict(self._reduced_rdd(spark).collect())"),
+    # Shard-export manifest: one bounded n_shards-row aggregate.
+    ("curation.py", ".collect()"),
+}
+
+
+def test_no_driver_materialization_in_operators():
+    """collect()/toPandas()/toLocalIterator() in package code means a
+    non-distributed path; every site must be allowlisted with a documented
+    bound (the reference-contract run() and the n_shards-row manifest)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "lua_mapreduce_spark"
+    ok_by_file: dict[str, list[str]] = {}
+    for fname, snippet in _DRIVER_COLLECT_OK:
+        ok_by_file.setdefault(fname, []).append(snippet)
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            s = line.strip()
+            if s.startswith("#"):
+                continue
+            if ".collect()" in s or ".toPandas()" in s or ".toLocalIterator()" in s:
+                if not any(sn in line for sn in ok_by_file.get(path.name, [])):
+                    offenders.append(f"{path.name}:{i}: {s[:80]}")
+    assert not offenders, f"undeclared driver materialization: {offenders}"
