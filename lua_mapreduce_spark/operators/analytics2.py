@@ -72,8 +72,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, so lineage grows linearly and only the initial node relation is
     checkpointed — measured ~10% faster than checkpointing every round at
     sf0.1, identical results. The argmax trick: max over (count, -label)
-    structs picks the highest count and, within it, the smallest
-    label."""
+    structs picks the highest count and, within it, the smallest label
+    (labels are node ids, non-negative by schema, so the negation is a
+    safe total-order flip — the same assumption the skew profile's
+    -user_id argmax makes)."""
     pairs = _copurchase_pairs(spark, sf_dir)
     sym = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))

@@ -67,7 +67,12 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the co-grouped words, popcounted and summed. State is bounded by
     max_user_id / 64 words regardless of event count; contrast with the
     COUNT(DISTINCT)-per-set + distinct-self-join formulation, which
-    shuffles every distinct member twice and Expands the fact scan."""
+    shuffles every distinct member twice and Expands the fact scan.
+
+    Assumes non-negative member ids (holds for every id column in this
+    schema): with signed ids, truncating DIV and % pair up differently
+    than floor semantics — a deployment with negative keys would switch
+    both to pmod/floor-div together."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_BM_SET_A, _BM_SET_B)
     )
