@@ -384,6 +384,22 @@ def main() -> None:
                 raw.setdefault("copurchase_edges_build", []).append(
                     time.perf_counter() - t0
                 )
+            if name == "events_market_basket":
+                # Same split for the basket items relation (shared with no
+                # other query, but cached per sf_dir): clearing it here also
+                # keeps checkpoint blocks from accumulating across bench
+                # scale factors within one process.
+                from lua_mapreduce_spark.operators.analytics2 import (
+                    _mb_items,
+                    clear_basket_cache,
+                )
+
+                clear_basket_cache()
+                t0 = time.perf_counter()
+                _mb_items(spark, sf_dir).count()
+                raw.setdefault("basket_items_build", []).append(
+                    time.perf_counter() - t0
+                )
             if name == "sim_ivf_topk":
                 # Same split for IVF: the iterative k-means training is a
                 # build-once cost (cached per sf_dir like the signatures),

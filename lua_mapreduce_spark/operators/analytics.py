@@ -208,6 +208,10 @@ _CP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_copurchase_cache() -> None:
+    """Drop every memoized edge relation. The entries are localCheckpoint
+    DataFrames: dropping the last reference lets the ContextCleaner free
+    their block-manager storage (there is no user-level unpersist for a
+    checkpointed RDD)."""
     _CP_CACHE.clear()
 
 
@@ -225,6 +229,10 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     cached = _CP_CACHE.get(key)
     if cached is None:
+        # Only the current (session, sf_dir) entry stays live — the
+        # _MH_CACHE eviction convention, so checkpoint blocks don't
+        # accumulate across scale-factor switches for the process lifetime.
+        clear_copurchase_cache()
         li = load_table(spark, sf_dir, "lineitem")
         cached = _copurchase_pairs_from(li).localCheckpoint(eager=True)
         _CP_CACHE[key] = cached

@@ -138,6 +138,8 @@ _MB_ITEMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_basket_cache() -> None:
+    """Drop every memoized items relation (localCheckpoint blocks are
+    freed by the ContextCleaner once unreferenced)."""
     _MB_ITEMS_CACHE.clear()
 
 
@@ -147,6 +149,9 @@ def _mb_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     cached = _MB_ITEMS_CACHE.get(key)
     if cached is None:
+        # _MH_CACHE eviction convention: only the current (session,
+        # sf_dir) entry stays live across scale-factor switches.
+        clear_basket_cache()
         cached = _capped_order_items(
             load_table(spark, sf_dir, "lineitem")
         ).localCheckpoint(eager=True)

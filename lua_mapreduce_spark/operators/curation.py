@@ -792,11 +792,13 @@ def write_training_shards(
     manifest {shard: {"rows": n, "bytes": chars}} (``bytes`` falls back
     to the row count when the frame has no ``text`` column) — computed
     with one bounded n_shards-row aggregate, also written as ``_manifest.json``
-    beside the shards so a loader can plan without listing files.
+    beside the shards so a loader can plan without listing files. The
+    manifest goes through the same Hadoop FileSystem API as the parquet
+    write, so hdfs:// / s3a:// output paths work end-to-end — not just the
+    local filesystem.
     Reading any shard back in path order replays the exact sequence the
     ``curation_shuffle_shards`` query enumerates (same key, same order)."""
     import json as _json
-    import os as _os
 
     keyed = df.withColumn(
         "shuffle_key", F.expr(md5_bigint_expr(f"CAST({key_col} AS STRING)"))
@@ -811,22 +813,30 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    manifest_rows = (
-        keyed.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.expr("CAST(SUM(length(CAST(text AS STRING))) AS BIGINT)").alias("bytes")
-            if "text" in df.columns
-            else F.count(F.lit(1)).alias("bytes"),
-        )
-        .collect()
+    shard_stats = keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.expr("CAST(SUM(length(CAST(text AS STRING))) AS BIGINT)").alias("bytes")
+        if "text" in df.columns
+        else F.count(F.lit(1)).alias("bytes"),
     )
+    manifest_rows = shard_stats.collect()  # bounded: exactly n_shards rows
     manifest = {
         int(r.shard): {"rows": int(r.rows), "bytes": int(r.bytes)}
         for r in manifest_rows
     }
-    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
-        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    spark = df.sparkSession
+    jvm = spark._jvm
+    manifest_path = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    fs = manifest_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(manifest_path, True)
+    try:
+        out.write(
+            bytearray(
+                _json.dumps(manifest, indent=1, sort_keys=True).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
     return manifest
 
 

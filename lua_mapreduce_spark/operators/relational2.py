@@ -125,9 +125,13 @@ WHERE c_acctbal > nation_avg
 
 # --------------------------------------------------------------------------
 # Range join: lineitem rows bucketed into month ranges derived from the
-# data itself. Spark plans inequality joins as broadcast-nested-loop; with
-# the month dim broadcast this is linear in the fact table — the correct
-# shape at 100 TB (never shuffle the fact side for a range join).
+# data itself. Because every range boundary is an exact month bucket, the
+# value-vs-interval predicate rewrites as a hash EQUI-join on
+# date_trunc('month', value) == month_start — no BroadcastNestedLoopJoin,
+# no per-row interval comparisons that grow with the data's time span.
+# (The oracle keeps the original inequality form, proving the rewrite.)
+# For ranges that are NOT aligned buckets, see range_join_binned
+# (scale_ops2.py) for the general bin-explosion equi-join.
 # --------------------------------------------------------------------------
 
 
@@ -142,10 +146,10 @@ def range_join_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(
+        li.withColumn("l_month", F.date_trunc("month", "l_shipdate"))
+        .join(
             F.broadcast(months),
-            (F.col("l_shipdate") >= F.col("month_start"))
-            & (F.col("l_shipdate") < F.col("month_end")),
+            F.col("l_month") == F.col("month_start"),
         )
         .groupBy(F.date_format("month_start", "yyyy-MM").alias("ship_month"))
         .agg(

@@ -85,17 +85,23 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bit_or(IF(event_type = '{_BM_SET_B}', {one}, CAST(0 AS BIGINT)))"
         ).alias("b"),
     )
+    # COALESCE + the n_any = 0 guard keep the degenerate zero-event input
+    # parity-checkable: Spark's agg over an EMPTY words relation yields one
+    # all-NULL row, where the oracle's scalar subqueries yield zeros — and
+    # both engines would otherwise hit a NULL/zero division for jaccard.
     return words.agg(
-        F.expr("CAST(sum(bit_count(a)) AS BIGINT)").alias("n_signup"),
-        F.expr("CAST(sum(bit_count(b)) AS BIGINT)").alias("n_purchase"),
-        F.expr("CAST(sum(bit_count(a & b)) AS BIGINT)").alias("n_both"),
-        F.expr("CAST(sum(bit_count(a | b)) AS BIGINT)").alias("n_any"),
+        F.expr("COALESCE(CAST(sum(bit_count(a)) AS BIGINT), 0)").alias("n_signup"),
+        F.expr("COALESCE(CAST(sum(bit_count(b)) AS BIGINT), 0)").alias("n_purchase"),
+        F.expr("COALESCE(CAST(sum(bit_count(a & b)) AS BIGINT), 0)").alias("n_both"),
+        F.expr("COALESCE(CAST(sum(bit_count(a | b)) AS BIGINT), 0)").alias("n_any"),
     ).select(
         "n_signup",
         "n_purchase",
         "n_both",
         "n_any",
-        F.expr("(1000 * n_both) DIV n_any").alias("jaccard_permille"),
+        F.expr("IF(n_any = 0, 0, (1000 * n_both) DIV n_any)").alias(
+            "jaccard_permille"
+        ),
     )
 
 
@@ -108,7 +114,7 @@ s AS (
          (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS n_both,
          (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_any)
 SELECT n_signup, n_purchase, n_both, n_any,
-       (1000 * n_both) // n_any AS jaccard_permille
+       IF(n_any = 0, 0, (1000 * n_both) // n_any) AS jaccard_permille
 FROM s
 """
 

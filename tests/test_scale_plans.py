@@ -120,7 +120,6 @@ _PYTHON_OK = {
 # intentionally non-equi join conditions).
 _NESTED_LOOP_OK = {
     "join_cross_region_status",
-    "range_join_monthly",
     "sim_cosine_topk",        # != condition against broadcast query set
     "sim_ivf_topk",           # centroid cross join (8 rows, broadcast)
     "dedup_semantic_semdedup", # same 8-row centroid cross join (shared cells)
@@ -340,6 +339,41 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
 
 
+def test_unpartitioned_topk_frontiers_are_take_ordered(spark):
+    """The three global top-k frontiers (rules / bigram-type / path-type
+    tables) filter an UNPARTITIONED row_number window by rank <= k. That
+    shape is scale-safe only because LimitPushDownThroughWindow rewrites
+    it to TakeOrderedAndProject(limit=k) — per-partition top-k, then a
+    k-row merge — with the Window left to recompute rank over <= k rows.
+    If a refactor ever breaks the rewrite (rank() instead of row_number,
+    an extra window column, a non-prefix sort), the full aggregated table
+    sorts through one task; this pins the rewrite per frontier."""
+    frontiers = {
+        "events_market_basket": 50,
+        "text_collocations": 50,
+        "events_path_analysis": 20,
+    }
+    for name, limit in frontiers.items():
+        plan = _explain(QUERIES[name](spark, SF_MEDIUM))
+        m = re.search(
+            r"TakeOrderedAndProject[\s\S]*?Arguments: (\d+),", plan
+        )
+        assert m and int(m.group(1)) == limit, (
+            f"{name}: global top-k frontier lost the "
+            f"TakeOrderedAndProject(limit={limit}) rewrite"
+        )
+
+
+def test_range_join_monthly_is_equi_join(spark):
+    """The month-bucket range join must plan as a hash equi-join on
+    date_trunc(month) — never a BroadcastNestedLoopJoin doing per-row
+    interval comparisons against a months spine that grows with the
+    data's time span."""
+    plan = _explain(QUERIES["range_join_monthly"](spark, SF_MEDIUM))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_anomaly_hours_two_shuffles(spark):
     """events_anomaly_hours collapses the raw scan in a map-side-combined
     hourly agg (shuffle 1) and re-partitions the tiny hourly table for the
@@ -391,8 +425,10 @@ _DRIVER_COLLECT_OK = {
     # MapReduceJob.run(): the reference contract — finalfn runs driver-side
     # (lua-mapreduce-server.lua:323-327); the scale path is to_dataframe.
     ("mapreduce.py", "results = dict(self._reduced_rdd(spark).collect())"),
-    # Shard-export manifest: one bounded n_shards-row aggregate.
-    ("curation.py", ".collect()"),
+    # Shard-export manifest: one bounded n_shards-row aggregate. The full
+    # line (not a bare ".collect()") so an unrelated collect added to
+    # curation.py cannot silently inherit the exemption.
+    ("curation.py", "manifest_rows = shard_stats.collect()"),
 }
 
 
