@@ -31,6 +31,7 @@ from lua_mapreduce_spark.operators import (
     scale_ops,
     scale_ops2,
     similarity,
+    sources_ops,
     streaming_ops,
     text,
     windows,
@@ -59,6 +60,7 @@ _MODULES = [
     analytics,
     analytics2,
     pq,
+    sources_ops,
 ]
 
 # The grading driver hard-verifies the FIRST 50 registry entries in
@@ -73,75 +75,77 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-7 window: the two pins; the four early-r7-changed queries
-# (dedup_embedding_cosine — now LSH-gated, new banded oracle;
-# dedup_embedding_lsh — shared-pipeline refactor;
-# streaming_time_travel_snapshot — exact-commit-count guard;
-# sim_pq_adc_topk — codebook cache re-keyed); the THIRTY-ONE queries that
-# yielded slots in r5/r6 and are still once-verified (the full
-# twice-verified sweep, VERDICT r6 item 1); the ELEVEN r7-new queries
-# (scale_ops2 + analytics2 + events waves); and the graph pair whose
-# shared edge build changed in r7 (per-order fan-out cap). One late-r7
-# plan-only change (dedup_jaccard_prefix_join df-window rewrite,
-# result-identical at both SFs) found no free slot — r8 owes it a
-# re-confirmation (SURVEY §2.6 rotation log). Exactly 50; the
-# import-time check keeps it honest.
+# Round-8 window (the committed SURVEY §2.6 r8 plan): the two pins; the
+# ONE r8-changed pre-existing query (range_join_monthly — rewritten from
+# BroadcastNestedLoopJoin to the date_trunc equi-join, same oracle); the
+# THREE late-r7 plan-changed queries whose driver rows predate their
+# current plans (dedup_jaccard_prefix_join — also once-verified,
+# text_inverted_index, dedup_ngram_jaccard); the remaining THIRTY-SIX
+# once-verified queries (the full 23-r6-new + 11-r7-new second-
+# confirmation sweep, plus agg_bitmap_intersect / events_market_basket /
+# text_collocations / events_path_analysis which also changed in r8 —
+# empty-input guard and frontier-form confirmations); and the EIGHT
+# r8-new queries. 2 + 1 + 3 + 36 + 8 = 50. After a green r8, every
+# pre-r8 query is driver-confirmed at least twice; only the r8 newcomers
+# owe a second pass (the r9 window).
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # changed in r7
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "streaming_time_travel_snapshot",
-    "sim_pq_adc_topk",
-    # the 31 stale once-verified queries (twice-verified sweep)
-    "curation_shuffle_shards",
-    "window_range_frame",
-    "sample_deterministic_hash",
-    "scalar_conditional_funcs",
-    "scalar_array_map_funcs",
-    "scalar_higher_order_funcs",
-    "scalar_map_higher_order",
-    "scalar_date_arithmetic",
-    "scalar_functions_showcase",
-    "scalar_math_funcs",
-    "scalar_regex_funcs",
-    "scalar_string_advanced",
-    "scalar_timestamp_diff",
-    "setop_union_intersect_except",
-    "sort_topk_orders",
-    "subquery_above_nation_avg",
-    "unpivot_rates",
-    "window_distribution_funcs",
-    "upsert_snapshot_merge",
-    "text_term_frequency",
-    "text_fingerprint",
-    "text_rolling_fingerprint",
-    "text_doc_stats",
-    "text_token_count_bpe",
-    "text_langid",
-    "text_quality_score",
-    "text_repetition_filter",
-    "multimodal_resize_thumbnail",
-    "curation_pack_sequences",
-    "curation_sample_mixture",
-    "agg_heavy_hitters_sketch",
-    # r7-new queries (scale_ops2 wave), then the graph pair (r7-changed:
-    # capped co-purchase edge build), then provisional r6 re-checks that
-    # further r7-new queries displace
+    # r8-changed (BNLJ -> equi-join rewrite)
+    "range_join_monthly",
+    # late-r7 plan-changed, driver rows predate the current plans
+    "dedup_jaccard_prefix_join",
+    "text_inverted_index",
+    "dedup_ngram_jaccard",
+    # once-verified r6 newcomers (second confirmation)
+    "agg_bitmap_distinct",
+    "agg_countmin_sketch",
+    "agg_hypertable_rollup",
+    "curation_cluster_balanced_sample",
+    "curation_pii_scrub",
+    "curation_proportional_sample",
+    "curation_stratified_sample",
+    "dedup_incremental_ingest",
+    "dedup_semantic_semdedup",
+    "dedup_substring_windows",
+    "events_markov_transitions",
+    "graph_pagerank_nations",
+    "join_bloom_prefilter",
+    "layout_zorder_keys",
+    "multimodal_phash_dedup",
+    "multimodal_scene_cuts",
+    "scalar_explode_outer",
+    "sim_quantized_topk",
+    "streaming_hypertable_rollup",
+    "subquery_not_in_null_aware",
+    "text_collocations",
+    "text_unigram_rarity",
+    "udtf_ngram_shingles",
+    "window_ewma_dyadic",
+    "window_rolling_distinct",
+    # once-verified r7 newcomers (second confirmation); agg_bitmap_intersect
+    # and events_market_basket also changed in r8 (empty-input guard;
+    # items-cache eviction)
     "agg_bitmap_intersect",
-    "range_join_binned",
     "agg_vector_centroids",
     "curation_length_buckets",
-    "graph_label_propagation",
+    "diag_key_skew_profile",
     "events_market_basket",
+    "events_path_analysis",
+    "events_seasonal_decompose",
+    "graph_label_propagation",
+    "range_join_binned",
     "text_count_of_counts",
     "text_postings_delta",
-    "diag_key_skew_profile",
-    "events_seasonal_decompose",
-    "events_path_analysis",
-    "graph_kcore_peel",
-    "graph_triangle_count",
+    # r8-new queries
+    "asof_join_tolerance",
+    "text_keyword_extraction",
+    "events_rfm_segments",
+    "dedup_simhash_pairs",
+    "interval_overlap_join_binned",
+    "curation_shard_manifest",
+    "source_xml_roundtrip",
+    "source_variant_extract",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -425,12 +425,139 @@ FROM prof CROSS JOIN top
 """
 
 
+# --------------------------------------------------------------------------
+# Per-document keyword extraction (rarity-weighted top terms)
+# --------------------------------------------------------------------------
+
+_KW_TOP = 3
+
+
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-_KW_TOP keywords per document by integer rarity-weighted term
+    frequency: score_milli = (1000 * tf * N) DIV df — the tf-idf ranking
+    with the transcendental log replaced by the monotone N/df rarity
+    ratio, so every score is integer-exact in both engines.
+
+    Shape: tokenize once; tf is a (doc, word) count; df reuses the tf
+    relation (one extra map-combinable agg, no second scan); N is a 1-row
+    broadcast. The per-doc frontier is a PARTITIONED row_number <= k,
+    which compiles to WindowGroupLimit — each map task truncates to k
+    rows per doc before the shuffle, so output is exactly k rows per
+    document at any corpus size (contrast the corpus-level text_tfidf,
+    curation.py, which scores globally)."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(words_expr("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.expr("(1000 * tf * n_docs) DIV df").alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KW_TOP)
+    )
+
+
+KEYWORD_EXTRACTION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t.word AS word
+  FROM (SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents),
+       unnest(l) AS t(word)),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.word AS word, tf, df,
+         (1000 * tf * n_docs) // df AS score_milli
+  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n)
+SELECT doc_id, word, tf, df, score_milli, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_milli DESC, word ASC) AS rank
+  FROM scored)
+WHERE rank <= {_KW_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (log-width buckets, no global sort)
+# --------------------------------------------------------------------------
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation of the events user base.
+
+    Per-user stats are one map-combinable aggregation; each RFM dimension
+    is then bucketed with the log2-width LENGTH(BIN(x)) trick
+    (curation_length_buckets, scale_ops2.py) — assigned map-side, exact
+    in both engines, and NOT the equal-frequency ntile formulation, whose
+    global sort funnels every user through one reducer. The corpus max
+    day is a 1-row broadcast. Output is bounded by the bucket cube
+    (~15^3), independent of user count."""
+    ev = load_table(spark, sf_dir, "events")
+    day = "CAST(date_trunc('DAY', ts) AS DATE)"
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(f"MAX({day})").alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)"
+        ).alias("monetary_cents"),
+    )
+    maxd = ev.agg(F.expr(f"MAX({day})").alias("max_day"))
+    seg = per_user.crossJoin(F.broadcast(maxd)).select(
+        F.expr("LENGTH(BIN(datediff(max_day, last_day) + 1))").alias("r_bucket"),
+        F.expr("LENGTH(BIN(n_events))").alias("f_bucket"),
+        F.expr("LENGTH(BIN(monetary_cents + 1))").alias("m_bucket"),
+        "monetary_cents",
+    )
+    return seg.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("CAST(SUM(monetary_cents) AS BIGINT)").alias("sum_cents"),
+    )
+
+
+RFM_SEGMENTS_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY 1),
+mx AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
+seg AS (
+  SELECT LENGTH(BIN(date_diff('day', last_day, max_day) + 1)) AS r_bucket,
+         LENGTH(BIN(n_events)) AS f_bucket,
+         LENGTH(BIN(monetary_cents + 1)) AS m_bucket,
+         monetary_cents
+  FROM per_user CROSS JOIN mx)
+SELECT r_bucket, f_bucket, m_bucket,
+       COUNT(*) AS n_users,
+       CAST(SUM(monetary_cents) AS BIGINT) AS sum_cents
+FROM seg GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "graph_label_propagation": graph_label_propagation,
     "events_market_basket": events_market_basket,
     "text_count_of_counts": text_count_of_counts,
     "text_postings_delta": text_postings_delta,
     "diag_key_skew_profile": diag_key_skew_profile,
+    "text_keyword_extraction": text_keyword_extraction,
+    "events_rfm_segments": events_rfm_segments,
 }
 
 ORACLES = {
@@ -439,4 +566,6 @@ ORACLES = {
     "text_count_of_counts": COUNT_OF_COUNTS_ORACLE,
     "text_postings_delta": POSTINGS_DELTA_ORACLE,
     "diag_key_skew_profile": KEY_SKEW_ORACLE,
+    "text_keyword_extraction": KEYWORD_EXTRACTION_ORACLE,
+    "events_rfm_segments": RFM_SEGMENTS_ORACLE,
 }

@@ -840,6 +840,48 @@ def write_training_shards(
     return manifest
 
 
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard-export sink's query face: run ``write_training_shards``
+    on the documents table (real parquet write + manifest) and report per
+    shard what actually landed — rows and text bytes aggregated from the
+    WRITTEN files read back through ``read_training_shards``, so the full
+    write -> layout -> read path is on the oracle gate, not just the plan.
+    The oracle replays the md5 sharding arithmetic directly over the
+    source table: equality proves the export is lossless and the shard
+    assignment deterministic. Overwrite mode keeps the query idempotent;
+    the export lands in a per-(application, sf) temp dir (the streaming
+    harness convention)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        "lmrs_shard_export_"
+        + spark.sparkContext.applicationId
+        + "_"
+        + _os.path.basename(_os.path.abspath(sf_dir)),
+    )
+    write_training_shards(docs, out)
+    back = read_training_shards(spark, out)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("CAST(SUM(length(text)) AS BIGINT)").alias("n_bytes"),
+    )
+
+
+SHARD_MANIFEST_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, text,
+         {oracle_md5_bigint_expr("CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents)
+SELECT CAST(k % {_EXPORT_SHARDS} AS BIGINT) AS shard,
+       COUNT(*) AS n_rows,
+       CAST(SUM(length(text)) AS BIGINT) AS n_bytes
+FROM keyed GROUP BY 1
+"""
+
+
 def read_training_shards(
     spark: SparkSession, path: str, shards: list[int] | None = None
 ) -> DataFrame:
@@ -865,6 +907,7 @@ QUERIES = {
     "curation_pack_sequences": curation_pack_sequences,
     "text_inverted_index": text_inverted_index,
     "curation_shuffle_shards": curation_shuffle_shards,
+    "curation_shard_manifest": curation_shard_manifest,
     "text_decontaminate_fuzzy": text_decontaminate_fuzzy,
 }
 
@@ -878,5 +921,6 @@ ORACLES = {
     "curation_pack_sequences": PACK_ORACLE,
     "text_inverted_index": INVERTED_INDEX_ORACLE,
     "curation_shuffle_shards": SHUFFLE_SHARDS_ORACLE,
+    "curation_shard_manifest": SHARD_MANIFEST_ORACLE,
     "text_decontaminate_fuzzy": _fuzzy_decon_oracle(),
 }

@@ -695,6 +695,129 @@ SELECT doc_id, CAST({hash_expr} AS BIGINT) AS simhash FROM bit_sums
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dup PAIRS (banded hamming join, Manku et al. 2007)
+# --------------------------------------------------------------------------
+
+# 48-bit fingerprints split into 4 bands of 12 bits: any pair within
+# hamming distance 3 leaves >= 1 band untouched (pigeonhole), so the
+# banded equi-join is a LOSSLESS candidate generator for the <= 3
+# threshold — the table-splitting scheme of Manku, Jain & Das Sarma,
+# "Detecting Near-Duplicates for Web Crawling" (WWW 2007). 48 bits (not
+# the fingerprint query's 16) because banding needs band-value
+# cardinality to grow with the corpus: 12-bit bands hash docs across
+# 4096 buckets each, so candidate cost is sum(bucket^2) over
+# content-distributed buckets, never n^2.
+_SHP_BITS = 48
+_SHP_BANDS = 4
+_SHP_BAND_BITS = _SHP_BITS // _SHP_BANDS
+_SHP_BAND_MASK = (1 << _SHP_BAND_BITS) - 1
+_SHP_MAX_HAM = 3
+
+
+def _simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 48-bit per-doc simhash — same per-bit majority
+    vote as dedup_simhash, widened for banding (md5_bigint_expr yields 60
+    usable bits)."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(words_expr("text"))).alias("tok")
+    ).withColumn("h", F.expr(md5_bigint_expr("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(_SHP_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(_SHP_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming distance <= _SHP_MAX_HAM over 48-bit
+    simhash fingerprints: explode each fingerprint into its 4 band values,
+    equi-join on (band_id, band_val), then verify candidates exactly with
+    xor + popcount. Candidates are DISTINCT'd on the pair before the
+    hamming check (a close pair can collide in several bands). One
+    tokenize pass builds the fingerprints; the join shuffles only
+    (doc_id, 8-byte fingerprint) tuples — no text moves."""
+    sh = _simhash_wide(spark, sf_dir)
+    # shiftright(), not `>>`: Spark's parser accepts the infix operator
+    # only at expression top level, not nested inside function calls.
+    band_structs = ", ".join(
+        f"named_struct('band_id', {j}, 'band_val',"
+        f" shiftright(simhash, {j * _SHP_BAND_BITS}) & {_SHP_BAND_MASK})"
+        for j in range(_SHP_BANDS)
+    )
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)")
+        )
+        .filter(F.col("hamming") <= _SHP_MAX_HAM)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    base = oracle_md5_bigint_expr("tok")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (({base}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SHP_BITS)
+    )
+    hash_expr = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SHP_BITS)
+    )
+    band_ids = ", ".join(str(j) for j in range(_SHP_BANDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, {oracle_words_expr("text")} AS l FROM documents), unnest(l) AS t(tok)),
+bit_sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({hash_expr} AS BIGINT) AS simhash FROM bit_sums),
+bands AS (
+  SELECT doc_id, simhash, t.j AS band_id,
+         (simhash >> (t.j * {_SHP_BAND_BITS})) & {_SHP_BAND_MASK} AS band_val
+  FROM sh, unnest([{band_ids}]) AS t(j)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_SHP_MAX_HAM}
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding cosine near-dup
 # --------------------------------------------------------------------------
 
@@ -789,6 +912,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_ingest": dedup_incremental_ingest,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -801,6 +925,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_incremental_ingest": _incremental_ingest_oracle(),
     "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
 }
 
 

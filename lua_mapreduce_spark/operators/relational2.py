@@ -218,6 +218,70 @@ WHERE event_type = 'purchase'
 """
 
 
+# As-of join with a tolerance (lookback) bound — the standard attribution
+# refinement: a purchase is credited to the most recent preceding
+# view/click by the same user ONLY if it happened within the window;
+# older touches lapse. Same union-tag + window carry-forward shape as
+# asof_join_attribution (ONE sort-shuffle on user_id, O(1) state per
+# row); the tolerance is a post-carry comparison, not a join condition,
+# so the plan never degrades to an inequality join.
+
+_ASOF_TOL_DAYS = 4  # attribution window
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_id = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_id")
+    )
+    touch_ts = F.when(F.col("event_type").isin("view", "click"), F.col("ts"))
+    # Raw-timestamp INTERVAL comparison: microsecond-exact in both engines
+    # (epoch-seconds flooring truncates differently across engines near
+    # the boundary).
+    in_window = F.col("ts") <= F.expr(
+        f"lt_ts + INTERVAL {_ASOF_TOL_DAYS} DAYS"
+    )
+    return (
+        ev.withColumn("lt_id", F.last(touch_id, ignorenulls=True).over(w))
+        .withColumn("lt_ts", F.last(touch_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.when(in_window, F.col("lt_id")).alias("attributed_touch_id"),
+            F.coalesce(in_window, F.lit(False)).alias("is_attributed"),
+        )
+    )
+
+
+ASOF_TOLERANCE_ORACLE = f"""
+SELECT user_id,
+       event_id AS purchase_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN in_window THEN lt_id END AS attributed_touch_id,
+       COALESCE(in_window, FALSE) AS is_attributed
+FROM (
+  SELECT user_id, event_id, ts, event_type, lt_id,
+         ts <= lt_ts + INTERVAL {_ASOF_TOL_DAYS} DAY AS in_window
+  FROM (
+    SELECT user_id, event_id, ts, event_type,
+           last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END IGNORE NULLS)
+             OVER w AS lt_id,
+           last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END IGNORE NULLS)
+             OVER w AS lt_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+WHERE event_type = 'purchase'
+"""
+
+
 # --------------------------------------------------------------------------
 # argmax/argmin aggregates + exact percentiles + exact variance.
 # --------------------------------------------------------------------------
@@ -381,6 +445,7 @@ QUERIES = {
     "subquery_above_nation_avg": subquery_above_nation_avg,
     "range_join_monthly": range_join_monthly,
     "asof_join_attribution": asof_join_attribution,
+    "asof_join_tolerance": asof_join_tolerance,
     "agg_argmax_orders": agg_argmax_orders,
     "agg_percentiles": agg_percentiles,
     "agg_exact_variance": agg_exact_variance,
@@ -394,6 +459,7 @@ ORACLES = {
     "subquery_above_nation_avg": SUBQUERY_AVG_ORACLE,
     "range_join_monthly": RANGE_JOIN_ORACLE,
     "asof_join_attribution": ASOF_ORACLE,
+    "asof_join_tolerance": ASOF_TOLERANCE_ORACLE,
     "agg_argmax_orders": ARGMAX_ORACLE,
     "agg_percentiles": PERCENTILES_ORACLE,
     "agg_exact_variance": EXACT_VARIANCE_ORACLE,

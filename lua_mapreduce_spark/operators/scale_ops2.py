@@ -281,11 +281,124 @@ FROM buckets
 """
 
 
+# --------------------------------------------------------------------------
+# Interval-overlap join via time-bin bucketing (session x error-burst)
+# --------------------------------------------------------------------------
+
+_OV_GAP_S = 1800  # session gap (the events_sessionize_gap_method contract)
+_OV_BURST_MIN = 5  # errors per hour to qualify as a burst
+_OV_BIN_S = 3600  # bin width: one hour
+
+
+def interval_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join — which user sessions were active
+    during an error burst — via the time-bin bucketing rewrite.
+
+    Both interval sets are data-derived: sessions from the 30-minute-gap
+    sessionization of the events stream, bursts as the [first_error_ts,
+    last_error_ts] span of any hour with >= _OV_BURST_MIN errors.
+    Expressed directly, overlap (s_start <= b_end AND s_end >= b_start)
+    is a BroadcastNestedLoopJoin — O(sessions x bursts). Instead each
+    session explodes to the hour bins it touches (sequence over truncated
+    epochs — linear in session-hours, no cap needed), each burst lands in
+    exactly ONE bin by construction, and the equi-join on the bin id plus
+    the exact residual overlap filter reproduces the inequality join
+    bit-for-bit (the oracle runs the direct inequality form). Per-bin
+    fan-out is sessions-active-that-hour x (0 or 1) bursts, so the join
+    output is linear in session-hours at any scale. Output: per burst
+    hour, the burst size and how many sessions/users it hit."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn(
+            "is_start",
+            F.when(
+                F.unix_timestamp("ts")
+                - F.lag(F.unix_timestamp("ts")).over(order_w)
+                > _OV_GAP_S,
+                1,
+            ).otherwise(
+                F.when(F.lag("ts").over(order_w).isNull(), 1).otherwise(0)
+            ),
+        )
+        .withColumn("session_seq", F.sum("is_start").over(run_w))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    bursts = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("b_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.min("ts").alias("b_start"),
+            F.max("ts").alias("b_end"),
+        )
+        .filter(F.col("n_errors") >= _OV_BURST_MIN)
+        .withColumn(
+            "bin", F.expr(f"unix_timestamp(b_hour) DIV {_OV_BIN_S}")
+        )
+    )
+    sess_bins = sess.withColumn(
+        "bin",
+        F.explode(
+            F.expr(
+                f"sequence(unix_timestamp(date_trunc('hour', s_start)) DIV {_OV_BIN_S},"
+                f" unix_timestamp(date_trunc('hour', s_end)) DIV {_OV_BIN_S})"
+            )
+        ),
+    )
+    return (
+        sess_bins.join(bursts, "bin")
+        .filter((F.col("s_start") <= F.col("b_end")) & (F.col("s_end") >= F.col("b_start")))
+        .groupBy(
+            F.date_format("b_hour", "yyyy-MM-dd HH").alias("burst_hour"),
+            "n_errors",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions_hit"),
+            F.countDistinct("user_id").alias("n_users_hit"),
+        )
+    )
+
+
+INTERVAL_OVERLAP_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {_OV_GAP_S} THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+labeled AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged),
+sess AS (
+  SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM labeled GROUP BY 1, 2),
+bursts AS (
+  SELECT date_trunc('hour', ts) AS b_hour, COUNT(*) AS n_errors,
+         MIN(ts) AS b_start, MAX(ts) AS b_end
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING COUNT(*) >= {_OV_BURST_MIN})
+SELECT strftime(b_hour, '%Y-%m-%d %H') AS burst_hour, n_errors,
+       COUNT(*) AS n_sessions_hit,
+       COUNT(DISTINCT user_id) AS n_users_hit
+FROM sess JOIN bursts
+  ON s_start <= b_end AND s_end >= b_start
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "agg_bitmap_intersect": agg_bitmap_intersect,
     "range_join_binned": range_join_binned,
     "agg_vector_centroids": agg_vector_centroids,
     "curation_length_buckets": curation_length_buckets,
+    "interval_overlap_join_binned": interval_overlap_join_binned,
 }
 
 ORACLES = {
@@ -293,4 +406,5 @@ ORACLES = {
     "range_join_binned": RANGE_BINNED_ORACLE,
     "agg_vector_centroids": VECTOR_CENTROIDS_ORACLE,
     "curation_length_buckets": LENGTH_BUCKETS_ORACLE,
+    "interval_overlap_join_binned": INTERVAL_OVERLAP_ORACLE,
 }

@@ -139,6 +139,8 @@ _NESTED_LOOP_OK = {
     "graph_triangle_count",   # three 1-row scalar aggregates cross-joined
     "graph_kcore_peel",       # 1-row degree-threshold broadcast cross join
     "events_market_basket",   # 1-row n_orders broadcast cross join
+    "text_keyword_extraction", # 1-row N-scalar broadcast cross join
+    "events_rfm_segments",    # 1-row max-day broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -208,6 +210,8 @@ _BROADCAST_OK = {
     ("analytics.py", "kdf"),          # single-row degree threshold (k-core)
     ("scale_ops2.py", "binned"),      # literal 6-band table exploded to bounded bins
     ("analytics2.py", "tot"),         # single-row global order count (basket lift N)
+    ("analytics2.py", "n_docs"),      # single-row global doc count (keyword rarity N)
+    ("analytics2.py", "maxd"),        # single-row global max day (RFM recency anchor)
 }
 
 
