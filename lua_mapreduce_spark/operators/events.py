@@ -269,11 +269,13 @@ def events_sessionize_gap_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Raw-timestamp interval comparison, NOT unix_timestamp() diffs: the
+    # floored-second form disagrees with a fractional-second oracle for
+    # gaps in (1800 s, 1801 s) — microsecond-exact in both engines.
     with_start = ev.withColumn(
         "is_start",
         F.when(
-            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(order_w)
-            > 1800,
+            F.col("ts") > F.lag("ts").over(order_w) + F.expr("INTERVAL 30 MINUTES"),
             1,
         )
         .otherwise(
@@ -294,7 +296,7 @@ def events_sessionize_gap_method(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSIONIZE_GAP_ORACLE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1
               WHEN lag(ts) OVER w IS NULL THEN 1
               ELSE 0 END AS is_start
   FROM events WHERE user_id < 50

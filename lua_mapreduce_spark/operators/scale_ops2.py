@@ -311,12 +311,15 @@ def interval_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = (
+        # Raw-timestamp interval comparison (not unix_timestamp diffs):
+        # microsecond-exact in both engines, so a gap in (1800 s, 1801 s)
+        # splits identically here and in the fractional-second oracle.
         ev.withColumn(
             "is_start",
             F.when(
-                F.unix_timestamp("ts")
-                - F.lag(F.unix_timestamp("ts")).over(order_w)
-                > _OV_GAP_S,
+                F.col("ts")
+                > F.lag("ts").over(order_w)
+                + F.expr(f"INTERVAL {_OV_GAP_S} SECONDS"),
                 1,
             ).otherwise(
                 F.when(F.lag("ts").over(order_w).isNull(), 1).otherwise(0)
@@ -365,7 +368,7 @@ def interval_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTERVAL_OVERLAP_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {_OV_GAP_S} THEN 1
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL '{_OV_GAP_S} seconds' THEN 1
               WHEN lag(ts) OVER w IS NULL THEN 1
               ELSE 0 END AS is_start
   FROM events
