@@ -45,6 +45,7 @@ from lua_mapreduce_spark.catalog import load_table, parallelize_scan
 from lua_mapreduce_spark.functions.texthash import oracle_words_expr, words_expr
 from lua_mapreduce_spark.operators.analytics import (
     _capped_order_items,
+    _copurchase_derived,
     _copurchase_pairs,
     _CP_CAPPED_SQL,
     _CP_PAIRS_SQL,
@@ -76,10 +77,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (labels are node ids, non-negative by schema, so the negation is a
     safe total-order flip — the same assumption the skew profile's
     -user_id argmax makes)."""
-    pairs = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    # Shared memoized symmetrized edge list: joined once per round plus
+    # the label seed, so the single materialization replaces per-round
+    # re-expansion of the checkpointed pairs.
+    sym = _copurchase_derived(spark, sf_dir, "sym")
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

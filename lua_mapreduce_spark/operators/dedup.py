@@ -279,13 +279,22 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("s") - F.expr(f"({_PJ_T} * s + 999) DIV 1000") + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "s", "shingle")
+    # PPJoin length filter (Xiao et al. 2008): J(A,B) <= min(|A|,|B|) /
+    # max(|A|,|B|), so J >= t forces 1000*min >= t*max — a LOSSLESS
+    # residual predicate on the prefix equi-join that drops size-skewed
+    # collisions before the distinct and the array-intersect verify join
+    # (integer arithmetic, no division).
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.s"), F.col("b.s")) * 1000
+                >= _PJ_T * F.greatest(F.col("a.s"), F.col("b.s"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -204,6 +204,48 @@ def test_prefix_join_actually_prunes(spark):
     assert 0 < kept < 0.7 * total, f"prefix kept {kept}/{total}"
 
 
+def test_prefix_join_length_filter_prunes_candidates(spark):
+    """The PPJoin length filter (1000*min(|A|,|B|) >= t*max(|A|,|B|), a
+    lossless consequence of J >= t) must strictly shrink the candidate
+    pair set relative to prefix collisions alone. Losslessness itself is
+    proven by test_prefix_join_lossless_vs_direct_spark + the prefix-free
+    oracle; this pins that the filter is actually doing work."""
+    from pyspark.sql import Window
+
+    from lua_mapreduce_spark.operators.dedup import _PJ_T, _shingle_arrays_df
+
+    sets = _shingle_arrays_df(spark, SF_MEDIUM).select(
+        "doc_id", "shingles", F.size("shingles").alias("s")
+    )
+    sh = sets.select("doc_id", "s", F.explode("shingles").alias("shingle"))
+    ranked = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("s") - F.expr(f"({_PJ_T} * s + 999) DIV 1000") + 1
+    ).select("doc_id", "s", "shingle")
+    base_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    length_cond = F.least(F.col("a.s"), F.col("b.s")) * 1000 >= _PJ_T * F.greatest(
+        F.col("a.s"), F.col("b.s")
+    )
+    without = (
+        prefix.alias("a").join(prefix.alias("b"), base_cond)
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    with_filter = (
+        prefix.alias("a").join(prefix.alias("b"), base_cond & length_cond)
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert 0 < with_filter < without, (
+        f"length filter pruned nothing: {with_filter} vs {without}"
+    )
+
+
 # ------------------------------------------------------------- Python UDTF
 
 

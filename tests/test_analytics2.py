@@ -8,7 +8,7 @@ import collections
 from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.operators import QUERIES
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
 # ------------------------------------------------------- label propagation
@@ -40,6 +40,33 @@ def test_lpa_python_replay(spark):
     assert got == labels
     # communities actually merge nodes (not the degenerate identity map)
     assert len(set(got.values())) < len(got)
+
+
+def test_copurchase_derived_cache_reuse_and_eviction(spark):
+    """The shared degree / symmetrized-edge relations are memoized per
+    (applicationId, sf_dir), agree with the edge list, and follow the
+    single-entry eviction convention when the scale factor switches."""
+    from lua_mapreduce_spark.operators import analytics as A
+
+    A.clear_copurchase_cache()
+    deg = A._copurchase_derived(spark, SF_SMALL, "deg")
+    sym = A._copurchase_derived(spark, SF_SMALL, "sym")
+    assert A._copurchase_derived(spark, SF_SMALL, "deg") is deg  # memoized
+    assert A._copurchase_derived(spark, SF_SMALL, "sym") is sym
+    pairs = A._copurchase_pairs(spark, SF_SMALL).collect()
+    want = collections.Counter()
+    for r in pairs:
+        want[r.u] += 1
+        want[r.v] += 1
+    assert {r.n: r.d for r in deg.collect()} == dict(want)
+    assert {(r.src, r.dst) for r in sym.collect()} == {
+        (r.u, r.v) for r in pairs
+    } | {(r.v, r.u) for r in pairs}
+    # switching sf_dir evicts the previous entries (edge AND derived)
+    A._copurchase_pairs(spark, SF_MEDIUM)
+    assert len(A._CP_CACHE) == 1 and not A._CP_DERIVED
+    A._copurchase_derived(spark, SF_MEDIUM, "deg")
+    assert len(A._CP_DERIVED) == 1
 
 
 # --------------------------------------------------------- market basket
