@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lua_mapreduce_spark.operators import (
     analytics,
     analytics2,
+    analytics3,
     curation,
     dedup,
     events,
@@ -59,6 +60,7 @@ _MODULES = [
     hygiene,
     analytics,
     analytics2,
+    analytics3,
     pq,
     sources_ops,
 ]
@@ -75,69 +77,24 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-8 window (the committed SURVEY §2.6 r8 plan): the two pins; the
-# ONE r8-changed pre-existing query (range_join_monthly — rewritten from
-# BroadcastNestedLoopJoin to the date_trunc equi-join, same oracle); the
-# THREE late-r7 plan-changed queries whose driver rows predate their
-# current plans (dedup_jaccard_prefix_join — also once-verified,
-# text_inverted_index, dedup_ngram_jaccard); the remaining THIRTY-SIX
-# once-verified queries (the full 23-r6-new + 11-r7-new second-
-# confirmation sweep, plus agg_bitmap_intersect / events_market_basket /
-# text_collocations / events_path_analysis which also changed in r8 —
-# empty-input guard and frontier-form confirmations); and the EIGHT
-# r8-new queries. 2 + 1 + 3 + 36 + 8 = 50. After a green r8, every
-# pre-r8 query is driver-confirmed at least twice; only the r8 newcomers
-# owe a second pass (the r9 window).
+# Round-9 window (the committed SURVEY §2.6 r9 plan): the two pins; the
+# EIGHT r8-new queries owing their second confirmation (one of them,
+# interval_overlap_join_binned, also changed in r9 — the microsecond-
+# exact interval sessionize); the FIVE r9-changed pre-existing queries
+# (events_sessionize_gap_method — same sessionize fix;
+# dedup_jaccard_prefix_join — PPJoin length filter; graph_triangle_count,
+# graph_kcore_peel, graph_label_propagation — shared derived-relation
+# cache changed their physical plans); the EIGHT r9-new queries; and
+# TWENTY-SEVEN third-confirmation fills drawn from the stalest pool
+# (last driver-verified r6 or earlier), spread across every family —
+# including streaming_user_totals, r8's lone perf-weak suspect.
+# 2 + 8 + 5 + 8 + 27 = 50. After a green r9, every pre-r9 query is
+# driver-confirmed at least twice and the r9 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r8-changed (BNLJ -> equi-join rewrite)
-    "range_join_monthly",
-    # late-r7 plan-changed, driver rows predate the current plans
-    "dedup_jaccard_prefix_join",
-    "text_inverted_index",
-    "dedup_ngram_jaccard",
-    # once-verified r6 newcomers (second confirmation)
-    "agg_bitmap_distinct",
-    "agg_countmin_sketch",
-    "agg_hypertable_rollup",
-    "curation_cluster_balanced_sample",
-    "curation_pii_scrub",
-    "curation_proportional_sample",
-    "curation_stratified_sample",
-    "dedup_incremental_ingest",
-    "dedup_semantic_semdedup",
-    "dedup_substring_windows",
-    "events_markov_transitions",
-    "graph_pagerank_nations",
-    "join_bloom_prefilter",
-    "layout_zorder_keys",
-    "multimodal_phash_dedup",
-    "multimodal_scene_cuts",
-    "scalar_explode_outer",
-    "sim_quantized_topk",
-    "streaming_hypertable_rollup",
-    "subquery_not_in_null_aware",
-    "text_collocations",
-    "text_unigram_rarity",
-    "udtf_ngram_shingles",
-    "window_ewma_dyadic",
-    "window_rolling_distinct",
-    # once-verified r7 newcomers (second confirmation); agg_bitmap_intersect
-    # and events_market_basket also changed in r8 (empty-input guard;
-    # items-cache eviction)
-    "agg_bitmap_intersect",
-    "agg_vector_centroids",
-    "curation_length_buckets",
-    "diag_key_skew_profile",
-    "events_market_basket",
-    "events_path_analysis",
-    "events_seasonal_decompose",
-    "graph_label_propagation",
-    "range_join_binned",
-    "text_count_of_counts",
-    "text_postings_delta",
-    # r8-new queries
+    # r8-new queries (second confirmation); interval_overlap_join_binned
+    # also r9-changed
     "asof_join_tolerance",
     "text_keyword_extraction",
     "events_rfm_segments",
@@ -146,6 +103,49 @@ _DRIVER_WINDOW = [
     "curation_shard_manifest",
     "source_xml_roundtrip",
     "source_variant_extract",
+    # r9-changed pre-existing queries
+    "events_sessionize_gap_method",
+    "dedup_jaccard_prefix_join",
+    "graph_triangle_count",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    # r9-new queries
+    "source_python_datasource",
+    "streaming_python_datasource",
+    "dedup_edit_distance_join",
+    "graph_common_neighbors",
+    "events_gini_diversity",
+    "ivm_delta_join_maintenance",
+    "agg_equidepth_histogram",
+    "diag_table_diff",
+    # third-confirmation fills (stalest pool, family-spread)
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "join_inner_basic",
+    "join_skew_salted",
+    "pivot_qty_by_linestatus",
+    "agg_argmax_orders",
+    "agg_percentiles",
+    "agg_null_semantics",
+    "agg_rollup_revenue",
+    "window_topk_per_group",
+    "window_gap_fill_ignore_nulls",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_anomaly_hours",
+    "streaming_user_totals",
+    "streaming_upsert_merge",
+    "streaming_stream_stream_join",
+    "streaming_dedup_count",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "dedup_exact_keep_first",
+    "sim_cosine_topk",
+    "sim_ann_multitable",
+    "multimodal_audio_features",
+    "text_tfidf",
+    "text_decontaminate_fuzzy",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -1,0 +1,538 @@
+"""Round-9 operator wave: fuzzy string joins, link prediction, diversity
+scoring, incremental view maintenance, equi-depth histograms, and
+snapshot reconciliation.
+
+Like every operator module, these extend the reference's single
+map-shuffle-reduce surface (SURVEY.md §2.4's capability matrix — the
+reference has no joins at all, lua-mapreduce-server.lua:269-291 drives a
+one-input dataflow) with the query shapes a production lake needs, each
+re-expressed Spark-first with a DuckDB oracle.
+
+Exactness conventions (the repo house rules): integer arithmetic
+everywhere (permille/cents scaling, truncating DIV), portable md5 60-bit
+hashes (functions/texthash.py), DuckDB SUMs cast back to BIGINT so no
+HUGEINT reaches the driver's typed hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.functions.texthash import (
+    md5_bigint_expr,
+    oracle_md5_bigint_expr,
+)
+from lua_mapreduce_spark.operators.analytics import (
+    _copurchase_derived,
+    _copurchase_pairs,
+    _CP_PAIRS_SQL,
+)
+
+# --------------------------------------------------------------------------
+# Edit-distance self-join with q-gram prefix filtering (Ed-Join style,
+# Gravano et al. 2001 / Xiao et al. 2008)
+# --------------------------------------------------------------------------
+
+_ED_K = 1  # edit-distance threshold
+_ED_Q = 2  # gram width
+_ED_PREFIX = _ED_K * _ED_Q + 1  # 3: the mismatch-prefix length
+_ED_DOMAIN = 500  # bounded id domain so the DIRECT all-pairs oracle stays
+#                   feasible at every SF (the engine plan itself is the
+#                   scale path and never materializes all pairs)
+
+
+def dedup_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Levenshtein <= _ED_K self-join over part names via q-gram
+    PREFIX filtering — the edit-distance sibling of
+    ``dedup_jaccard_prefix_join``.
+
+    Theory: one edit destroys at most q distinct q-grams, so strings
+    within distance k share all but <= k*q of their distinct gram sets;
+    by the prefix-filter lemma, under any global total order the
+    (k*q + 1)-prefixes of two matching strings must share a gram. Rarity
+    order (document frequency ASC, gram ASC) puts hot grams at set tails
+    where they never enter a prefix — the same structural skew-killer as
+    the Jaccard prefix join: no gram fans out more than its prefix
+    occurrences. The length filter |len_a - len_b| <= k (distance >=
+    length difference) is a second lossless residual on the candidate
+    join. Exact ``levenshtein`` verification makes candidate generation a
+    pure performance concern; the ORACLE is the direct all-pairs form,
+    so result equality is the losslessness proof. The length >= 7 guard
+    makes the prefix theorem unconditional here: two length >= 7 strings
+    within one edit always share a distinct bigram (the untouched
+    contiguous run has length >= 3).
+
+    Scale shape: grams from one scan (map-side explode of a bounded
+    12-char name), df via one COUNT window on the gram partition, prefix
+    via per-id row_number (WindowGroupLimit), candidates only from
+    prefix-gram collisions, verify joins keyed on id. The id-domain cap
+    exists for the oracle, not the plan."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.filter(
+            (F.col("p_partkey") <= _ED_DOMAIN) & (F.length("p_name") >= 7)
+        )
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.col("p_name").alias("nm"),
+            F.length("p_name").alias("ln"),
+        )
+    )
+    grams = names.select(
+        "id",
+        "ln",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, ln - {_ED_Q - 1}),"
+                f" i -> substring(nm, i, {_ED_Q})))"
+            )
+        ).alias("g"),
+    )
+    ranked = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).withColumn(
+        "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "g"))
+    )
+    prefix = ranked.filter(F.col("rk") <= _ED_PREFIX).select("id", "ln", "g")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= _ED_K),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    na = names.select(F.col("id").alias("id_a"), F.col("nm").alias("nm_a"))
+    nb = names.select(F.col("id").alias("id_b"), F.col("nm").alias("nm_b"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "dist", F.expr("CAST(levenshtein(nm_a, nm_b) AS BIGINT)")
+        )
+        .filter(F.col("dist") <= _ED_K)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+EDIT_DISTANCE_ORACLE = f"""
+WITH names AS (
+  SELECT p_partkey AS id, p_name AS nm FROM part
+  WHERE p_partkey <= {_ED_DOMAIN} AND length(p_name) >= 7)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.id < b.id
+WHERE abs(length(a.nm) - length(b.nm)) <= {_ED_K}
+  AND levenshtein(a.nm, b.nm) <= {_ED_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Link prediction: common-neighbor / resource-allocation scoring
+# --------------------------------------------------------------------------
+
+_CN_CAP = 32  # per-node adjacency cap for wedge generation (deterministic,
+#               lowest-id neighbors; replayed verbatim by the oracle)
+_CN_TOP = 50
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-_CN_TOP predicted links in the part co-purchase graph: score
+    every NON-adjacent pair by common-neighbor count, tie-broken by the
+    resource-allocation index Σ 1000 DIV deg(z) over shared neighbors z
+    (Zhou et al. 2009 — the 1/deg form without transcendentals, integer
+    permille).
+
+    Scale shape: wedges come from the CAPPED adjacency (row_number <=
+    _CN_CAP per node, WindowGroupLimit map-side truncation — the same
+    hub-bound as the triangle counter's orientation), so per-node wedge
+    fan-out is <= C(cap, 2) regardless of hub degree. Degree and
+    symmetrized-edge relations are the graph family's shared memoized
+    artifacts; the frontier is orderBy+limit (TakeOrderedAndProject — a
+    per-partition top-k plus one singleton merge, no global sort) over a
+    fully deterministic (cn DESC, ra DESC, a, b) total order."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    sym = _copurchase_derived(spark, sf_dir, "sym")
+    deg = _copurchase_derived(spark, sf_dir, "deg")
+    cadj = (
+        sym.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+        )
+        .filter(F.col("rn") <= _CN_CAP)
+        .select(F.col("src").alias("z"), F.col("dst").alias("nbr"))
+    )
+    wedges = (
+        cadj.alias("a")
+        .join(
+            cadj.alias("b"),
+            (F.col("a.z") == F.col("b.z")) & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .select(
+            F.col("a.z").alias("z"),
+            F.col("a.nbr").alias("na"),
+            F.col("b.nbr").alias("nb"),
+        )
+    )
+    scored = (
+        wedges.join(deg.select(F.col("n").alias("z"), "d"), "z")
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.expr("CAST(SUM(1000 DIV d) AS BIGINT)").alias("ra_milli"),
+        )
+    )
+    nonedge = scored.join(
+        pairs,
+        (scored["na"] == pairs["u"]) & (scored["nb"] == pairs["v"]),
+        "left_anti",
+    )
+    return (
+        nonedge.select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            "common_neighbors",
+            "ra_milli",
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("ra_milli"), "node_a", "node_b"
+        )
+        .limit(_CN_TOP)
+    )
+
+
+COMMON_NEIGHBORS_ORACLE = f"""
+WITH {_CP_PAIRS_SQL},
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs),
+deg AS (SELECT src AS n, COUNT(*) AS d FROM sym GROUP BY 1),
+cadj AS (
+  SELECT src AS z, dst AS nbr FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM sym)
+  WHERE rn <= {_CN_CAP}),
+wedges AS (
+  SELECT a.z, a.nbr AS na, b.nbr AS nb
+  FROM cadj a JOIN cadj b ON a.z = b.z AND a.nbr < b.nbr),
+scored AS (
+  SELECT na, nb, COUNT(*) AS common_neighbors,
+         CAST(SUM(1000 // d) AS BIGINT) AS ra_milli
+  FROM wedges JOIN deg ON deg.n = wedges.z
+  GROUP BY 1, 2),
+nonedge AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN pairs p ON p.u = s.na AND p.v = s.nb
+  WHERE p.u IS NULL)
+SELECT na AS node_a, nb AS node_b, common_neighbors, ra_milli
+FROM nonedge
+ORDER BY common_neighbors DESC, ra_milli DESC, node_a, node_b
+LIMIT {_CN_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Behavioral diversity: Gini-Simpson index per user (integer permille)
+# --------------------------------------------------------------------------
+
+
+def events_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type diversity as the EXACT Gini-Simpson index in
+    permille: 1000 - (1000 * Σ c_i(c_i-1)) DIV (n(n-1)) — the probability
+    (permille, truncated) that two events drawn without replacement have
+    different types. The entropy-free diversity score: every step is
+    integer, so the oracle is exact (Shannon entropy needs log).
+
+    Scale shape: one map-side-combinable (user, type) count, then one
+    per-user combine — two shuffles total, output linear in users, the
+    same contract as the RFM aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per = ct.groupBy("user_id").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr("CAST(SUM(c * (c - 1)) AS BIGINT)").alias("ss"),
+    )
+    return per.filter(F.col("n_events") >= 2).select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(
+            "1000 - (1000 * ss) DIV (n_events * (n_events - 1))"
+        ).alias("diversity_permille"),
+    )
+
+
+GINI_DIVERSITY_ORACLE = """
+WITH ct AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+per AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         COUNT(*) AS n_types,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS ss
+  FROM ct GROUP BY 1)
+SELECT user_id, n_events, n_types,
+       1000 - (1000 * ss) // (n_events * (n_events - 1)) AS diversity_permille
+FROM per WHERE n_events >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance: delta-decomposed join refresh
+# --------------------------------------------------------------------------
+
+_IVM_CUTOFF = "1998-01-01"
+
+
+def ivm_delta_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join view: ΔV of V = A ⋈ B under
+    simultaneous inserts to both sides decomposes as
+    A_old⋈B_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — the classic IVM delta
+    algebra (Blakeley et al. 1986). Orders and lineitem are split into
+    base/delta by a cutoff date; the face computes the view (revenue per
+    order priority) FROM the four-way decomposition, and the oracle
+    computes it from the direct join — equality proves the decomposition
+    is an exact partition of A ⋈ B (disjoint and exhaustive).
+
+    Scale shape: in production the A_old⋈B_old term is the MATERIALIZED
+    view (never recomputed — a refresh shuffles only the delta rows,
+    |ΔA| + |ΔB| scale, not |A| + |B|); the face recomputes it because
+    proving the algebra IS the point. Each term is an equi-join on
+    o_orderkey followed by partial aggregation into <= 5 groups."""
+    cut = f"TIMESTAMP '{_IVM_CUTOFF} 00:00:00'"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").alias(
+            "rev_cents"
+        ),
+    )
+    a_old = orders.filter(F.expr(f"o_orderdate < {cut}"))
+    a_new = orders.filter(F.expr(f"o_orderdate >= {cut}"))
+    b_old = li.filter(F.expr(f"l_shipdate < {cut}"))
+    b_new = li.filter(F.expr(f"l_shipdate >= {cut}"))
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a["o_orderkey"] == b["l_orderkey"]).select(
+            "o_orderpriority", "rev_cents"
+        )
+
+    unioned = (
+        term(a_old, b_old)
+        .unionAll(term(a_new, b_old))
+        .unionAll(term(a_old, b_new))
+        .unionAll(term(a_new, b_new))
+    )
+    return unioned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("CAST(SUM(rev_cents) AS BIGINT)").alias("revenue_cents"),
+    )
+
+
+IVM_DELTA_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Equi-depth (quantile-bounded) histogram
+# --------------------------------------------------------------------------
+
+_EH_B = 8  # buckets
+
+
+def _eh_fractions() -> list[str]:
+    return [f"{i / _EH_B}" for i in range(1, _EH_B)]
+
+
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: _EH_B buckets bounded by the
+    exact interpolated i/8 percentiles — the optimizer-statistics /
+    data-skipping histogram where every bucket holds ~the same row count
+    (contrast agg_histogram_bins' fixed-width buckets).
+
+    Exactness: boundaries come from Spark's exact ``percentile`` (DuckDB
+    ``quantile_cont`` — same (n-1)p interpolation); on integer cents the
+    interpolated values are small dyadic fractions, bit-exact in both
+    engines (the agg_percentiles precedent). Bucket assignment is pure
+    comparison arithmetic, so the output carries only integers.
+
+    Scale shape: one pass for the 7-value boundary row (Spark's
+    percentile is a sort-based agg here; at extreme scale you'd swap in
+    approx_percentile and lose the oracle), broadcast to a map-side
+    bucket assignment + combinable count — no second sort."""
+    src = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("cents")
+    )
+    fr = ", ".join(_eh_fractions())
+    bounds = src.agg(F.expr(f"percentile(cents, array({fr}))").alias("q"))
+    bucket = " + ".join(
+        f"CAST(cents > element_at(q, {i}) AS INT)" for i in range(1, _EH_B)
+    )
+    return (
+        src.crossJoin(F.broadcast(bounds))
+        .select(F.expr(f"CAST(1 + {bucket} AS BIGINT)").alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+_EH_ORACLE_BUCKET = " + ".join(
+    f"CAST(cents > q[{i}] AS INT)" for i in range(1, _EH_B)
+)
+
+EQUIDEPTH_ORACLE = f"""
+WITH src AS (
+  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders),
+bounds AS (
+  SELECT quantile_cont(cents, [{", ".join(_eh_fractions())}]) AS q FROM src)
+SELECT CAST(1 + {_EH_ORACLE_BUCKET} AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM src, bounds GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Snapshot reconciliation: bucketed table diff (merkle-style)
+# --------------------------------------------------------------------------
+
+_TD_UPD_MOD = 997  # keys whose price drifts one cent in the snapshot
+_TD_DEL_MOD = 1009  # keys deleted from the snapshot
+_TD_CKS_MOD = 1_000_000_007  # checksum modulus: keeps SUM inside int64
+
+
+def diag_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH month-buckets of two table snapshots diverge — the
+    replication / backfill reconciliation primitive: per bucket, compare
+    (row count, order-insensitive md5 checksum) and emit only differing
+    buckets. The divergent snapshot is derived deterministically inside
+    the query (every _TD_DEL_MOD-th key deleted, every _TD_UPD_MOD-th
+    price drifted one cent) so the oracle replays both sides exactly.
+
+    Scale shape: each side is ONE map-side-combinable aggregate into
+    O(months) rows — no row-level join anywhere; the bucket join is over
+    the tiny digest tables. The checksum is Σ (60-bit md5 % p): order-
+    insensitive, mergeable, and any single-row change moves it (mod-p
+    collisions need ~p rows per bucket). This is how you find the 3
+    divergent partitions of a 100 TB replicated table without shipping
+    rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("cents"),
+    )
+    snap = orders.filter(
+        F.expr(f"o_orderkey % {_TD_DEL_MOD} != 0")
+    ).withColumn(
+        "cents",
+        F.expr(f"cents + IF(o_orderkey % {_TD_UPD_MOD} = 0, 1, 0)"),
+    )
+    h = md5_bigint_expr(
+        "concat(CAST(o_orderkey AS STRING), ':', CAST(cents AS STRING))"
+    )
+
+    def digest(df: DataFrame, n_name: str, ck_name: str) -> DataFrame:
+        return (
+            df.select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                F.expr(h).alias("h"),
+            )
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                F.expr(f"CAST(SUM(h % {_TD_CKS_MOD}) AS BIGINT)").alias(
+                    ck_name
+                ),
+            )
+        )
+
+    b = digest(orders, "n_base", "ck_base")
+    s = digest(snap, "n_snap", "ck_snap")
+    return (
+        b.join(s, "month", "full_outer")
+        .select(
+            "month",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_snap", F.lit(0)).alias("n_snap"),
+            F.coalesce("ck_base", F.lit(0)).alias("ck_base"),
+            F.coalesce("ck_snap", F.lit(0)).alias("ck_snap"),
+        )
+        .filter(
+            (F.col("n_base") != F.col("n_snap"))
+            | (F.col("ck_base") != F.col("ck_snap"))
+        )
+    )
+
+
+_TD_ORACLE_H = oracle_md5_bigint_expr(
+    "(CAST(o_orderkey AS VARCHAR) || ':' || CAST(cents AS VARCHAR))"
+)
+
+TABLE_DIFF_ORACLE = f"""
+WITH src AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+snap AS (
+  SELECT o_orderkey, o_orderdate,
+         cents + CASE WHEN o_orderkey % {_TD_UPD_MOD} = 0 THEN 1 ELSE 0 END
+           AS cents
+  FROM src WHERE o_orderkey % {_TD_DEL_MOD} != 0),
+db AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         COUNT(*) AS n_base,
+         CAST(SUM({_TD_ORACLE_H} % {_TD_CKS_MOD}) AS BIGINT) AS ck_base
+  FROM src GROUP BY 1),
+ds AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         COUNT(*) AS n_snap,
+         CAST(SUM({_TD_ORACLE_H} % {_TD_CKS_MOD}) AS BIGINT) AS ck_snap
+  FROM snap GROUP BY 1)
+SELECT COALESCE(db.month, ds.month) AS month,
+       COALESCE(n_base, 0) AS n_base,
+       COALESCE(n_snap, 0) AS n_snap,
+       COALESCE(ck_base, 0) AS ck_base,
+       COALESCE(ck_snap, 0) AS ck_snap
+FROM db FULL OUTER JOIN ds ON db.month = ds.month
+WHERE COALESCE(n_base, 0) != COALESCE(n_snap, 0)
+   OR COALESCE(ck_base, 0) != COALESCE(ck_snap, 0)
+"""
+
+
+QUERIES = {
+    "dedup_edit_distance_join": dedup_edit_distance_join,
+    "graph_common_neighbors": graph_common_neighbors,
+    "events_gini_diversity": events_gini_diversity,
+    "ivm_delta_join_maintenance": ivm_delta_join_maintenance,
+    "agg_equidepth_histogram": agg_equidepth_histogram,
+    "diag_table_diff": diag_table_diff,
+}
+
+ORACLES = {
+    "dedup_edit_distance_join": EDIT_DISTANCE_ORACLE,
+    "graph_common_neighbors": COMMON_NEIGHBORS_ORACLE,
+    "events_gini_diversity": GINI_DIVERSITY_ORACLE,
+    "ivm_delta_join_maintenance": IVM_DELTA_ORACLE,
+    "agg_equidepth_histogram": EQUIDEPTH_ORACLE,
+    "diag_table_diff": TABLE_DIFF_ORACLE,
+}

@@ -121,12 +121,172 @@ FROM events GROUP BY 1
 """
 
 
+# Constants shared with the oracle string (and the DataSource defaults).
+_PDS_N_ROWS = 10_000
+_PDS_PAGE = 1_250
+_PDS_LO = 2_600  # partial first page (page 2 starts at 2500)
+_PDS_HI = 8_999  # inclusive; page 7 ends at 9999 -> partial last page
+_PDS_MOD = 1_000_000_007  # keeps SUM(row_hash % m) inside int64 in Spark
+
+
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the registered Spark-4 PYTHON DATASOURCE
+    (sources/python_datasource.py) — the user-pluggable source-generator
+    slot the reference fills with ``taskfn`` (word-count-taskfile.lua:
+    82-88): partitions() plans the page list on the driver, read() runs
+    per page on the executors, rows cross to the JVM as Arrow batches.
+
+    The face filters a row_id range whose bounds cut pages partially on
+    both ends: ``pushFilters`` prunes the wholly-out-of-range pages at
+    PLAN time (pages 0-1 never even become tasks) while Spark re-applies
+    the exact predicate to the partial edge pages — both behaviors are
+    pinned by tests. The per-page aggregate (count, id frontier, hash
+    checksum) proves every surviving page produced exactly its rows; the
+    oracle replays the whole synthetic source from range() + md5, so the
+    external gate covers a source with no backing file at all. The source
+    is sf-independent by construction (a generator, not a table), like
+    the reference's taskfn."""
+    from lua_mapreduce_spark.sources.python_datasource import (
+        register_paged_rows,
+    )
+
+    register_paged_rows(spark)
+    df = (
+        spark.read.format("lmrs_paged_rows")
+        .option("n_rows", _PDS_N_ROWS)
+        .option("page_size", _PDS_PAGE)
+        .load()
+    )
+    return (
+        df.filter(
+            (F.col("row_id") >= _PDS_LO) & (F.col("row_id") <= _PDS_HI)
+        )
+        .groupBy("page")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_id").alias("first_id"),
+            F.max("row_id").alias("last_id"),
+            F.expr(f"CAST(SUM(row_hash % {_PDS_MOD}) AS BIGINT)").alias(
+                "hash_checksum"
+            ),
+        )
+    )
+
+
+PYTHON_DATASOURCE_ORACLE = f"""
+WITH rows AS (
+  SELECT CAST(r.range AS BIGINT) AS row_id,
+         CAST(r.range // {_PDS_PAGE} AS BIGINT) AS page,
+         CAST(('0x' || substr(md5('row-' || CAST(r.range AS VARCHAR)), 1, 15))
+              AS BIGINT) AS row_hash
+  FROM range({_PDS_N_ROWS}) r
+  WHERE r.range BETWEEN {_PDS_LO} AND {_PDS_HI})
+SELECT page,
+       COUNT(*) AS n_rows,
+       MIN(row_id) AS first_id,
+       MAX(row_id) AS last_id,
+       CAST(SUM(row_hash % {_PDS_MOD}) AS BIGINT) AS hash_checksum
+FROM rows GROUP BY page
+"""
+
+
+# Streaming face: a small fixed stream (3 pages) because every page costs
+# one checkpointed query restart (see docstring).
+_PDS_S_N_ROWS = 3_000
+_PDS_S_PAGE = 1_000
+
+
+def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the Python DataSource's STREAMING face — one page per
+    micro-batch — into a checkpointed exactly-once parquet sink, then
+    aggregate per page; the oracle replays the whole stream from
+    range() + md5, so equality proves no page was lost, duplicated, or
+    reordered across the restarts.
+
+    The drain is RESTART-DRIVEN: availableNow on a Python stream source
+    prefetches exactly one read() call, so each of the n_pages+1 rounds
+    starts a fresh query that must RECOVER from the shared checkpoint,
+    pick up the committed offset, and fetch the next page (the +1 round
+    proves quiescence: read() at end returns an empty batch and the
+    offset stops advancing). That makes this face simultaneously the
+    custom-source streaming test AND a checkpoint-recovery /
+    exactly-once-file-sink test, per restart. read(start) is a pure
+    function of the offset (deterministic rows), which is what makes the
+    replay protocol sound."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from lua_mapreduce_spark.sources.python_datasource import (
+        register_paged_rows,
+    )
+
+    register_paged_rows(spark)
+    n_pages = -(-_PDS_S_N_ROWS // _PDS_S_PAGE)
+    work = _tempfile.mkdtemp(prefix="lmrs_pds_stream_")
+    out = _os.path.join(work, "out")
+    ckpt = _os.path.join(work, "ckpt")
+    try:
+        for _round in range(n_pages + 1):
+            q = (
+                spark.readStream.format("lmrs_paged_rows")
+                .option("n_rows", _PDS_S_N_ROWS)
+                .option("page_size", _PDS_S_PAGE)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(120):
+                q.stop()
+                raise RuntimeError("stream drain round timed out")
+        drained = spark.read.schema(
+            "page BIGINT, row_id BIGINT, row_key STRING, row_hash BIGINT"
+        ).parquet(out)
+        return (
+            drained.groupBy("page")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("row_id").alias("first_id"),
+                F.max("row_id").alias("last_id"),
+                F.expr(f"CAST(SUM(row_hash % {_PDS_MOD}) AS BIGINT)").alias(
+                    "hash_checksum"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_PYTHON_DATASOURCE_ORACLE = f"""
+WITH rows AS (
+  SELECT CAST(r.range AS BIGINT) AS row_id,
+         CAST(r.range // {_PDS_S_PAGE} AS BIGINT) AS page,
+         CAST(('0x' || substr(md5('row-' || CAST(r.range AS VARCHAR)), 1, 15))
+              AS BIGINT) AS row_hash
+  FROM range({_PDS_S_N_ROWS}) r)
+SELECT page,
+       COUNT(*) AS n_rows,
+       MIN(row_id) AS first_id,
+       MAX(row_id) AS last_id,
+       CAST(SUM(row_hash % {_PDS_MOD}) AS BIGINT) AS hash_checksum
+FROM rows GROUP BY page
+"""
+
+
 QUERIES = {
     "source_xml_roundtrip": source_xml_roundtrip,
     "source_variant_extract": source_variant_extract,
+    "source_python_datasource": source_python_datasource,
+    "streaming_python_datasource": streaming_python_datasource,
 }
 
 ORACLES = {
     "source_xml_roundtrip": XML_ROUNDTRIP_ORACLE,
     "source_variant_extract": VARIANT_EXTRACT_ORACLE,
+    "source_python_datasource": PYTHON_DATASOURCE_ORACLE,
+    "streaming_python_datasource": STREAMING_PYTHON_DATASOURCE_ORACLE,
 }

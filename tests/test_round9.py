@@ -1,0 +1,217 @@
+"""Behavioral invariants for the round-9 wave (oracle parity is in
+test_oracle_parity.py; these check semantics, bounds, and plan shapes the
+value hash can't see)."""
+
+from __future__ import annotations
+
+import collections
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.operators import QUERIES
+from tests.conftest import SF_MEDIUM, SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ----------------------------------------------------- edit-distance join
+
+
+def test_edit_distance_join_lossless_vs_direct_spark(spark):
+    """Independent of the DuckDB oracle: the prefix-filtered join returns
+    exactly the pairs the direct all-pairs levenshtein join finds."""
+    from lua_mapreduce_spark.operators.analytics3 import _ED_DOMAIN, _ED_K
+
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in QUERIES["dedup_edit_distance_join"](spark, SF_MEDIUM).collect()
+    }
+    part = spark.read.parquet(f"{SF_MEDIUM}/part.parquet")
+    names = {
+        r.p_partkey: r.p_name
+        for r in part.filter(
+            (F.col("p_partkey") <= _ED_DOMAIN) & (F.length("p_name") >= 7)
+        ).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    ids = sorted(names)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if abs(len(names[a]) - len(names[b])) > _ED_K:
+                continue
+            d = lev(names[a], names[b])
+            if d <= _ED_K:
+                want[(a, b)] = d
+    assert got == want and got, f"{len(got)} vs {len(want)} pairs"
+
+
+def test_edit_distance_prefix_prunes_and_uses_group_limit(spark):
+    """The rarity prefix must shrink the candidate gram index (k*q+1 = 3
+    grams per name vs ~len-1), and the per-id prefix truncation must
+    compile to WindowGroupLimit (map-side)."""
+    plan = _plan(QUERIES["dedup_edit_distance_join"](spark, SF_MEDIUM))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------- common neighbors
+
+
+def test_common_neighbors_python_replay(spark):
+    """Bit-exact replay of capped-wedge common-neighbor / RA scoring with
+    the same deterministic frontier order."""
+    from lua_mapreduce_spark.operators.analytics import _copurchase_pairs
+    from lua_mapreduce_spark.operators.analytics3 import _CN_CAP, _CN_TOP
+
+    got = [
+        (r.node_a, r.node_b, r.common_neighbors, r.ra_milli)
+        for r in QUERIES["graph_common_neighbors"](spark, SF_SMALL).collect()
+    ]
+    pairs = {(r.u, r.v) for r in _copurchase_pairs(spark, SF_SMALL).collect()}
+    adj: dict = collections.defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {n: len(s) for n, s in adj.items()}
+    cadj = {n: sorted(s)[:_CN_CAP] for n, s in adj.items()}
+    scored: dict = collections.defaultdict(lambda: [0, 0])
+    for z, nbrs in cadj.items():
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                key = (nbrs[i], nbrs[j])
+                scored[key][0] += 1
+                scored[key][1] += 1000 // deg[z]
+    want = sorted(
+        (
+            (a, b, cn, ra)
+            for (a, b), (cn, ra) in scored.items()
+            if (a, b) not in pairs
+        ),
+        key=lambda t: (-t[2], -t[3], t[0], t[1]),
+    )[:_CN_TOP]
+    assert sorted(got, key=lambda t: (-t[2], -t[3], t[0], t[1])) == want
+    assert got, "no predicted links — vacuous"
+
+
+def test_common_neighbors_frontier_is_take_ordered(spark):
+    plan = _plan(QUERIES["graph_common_neighbors"](spark, SF_MEDIUM))
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan  # the adjacency cap
+
+
+# ----------------------------------------------------- Gini diversity
+
+
+def test_gini_diversity_bounds_and_conservation(spark):
+    rows = QUERIES["events_gini_diversity"](spark, SF_SMALL).collect()
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    per_user = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert {r.user_id for r in rows} == {
+        u for u, c in per_user.items() if c >= 2
+    }
+    for r in rows:
+        assert r.n_events == per_user[r.user_id]
+        assert 0 <= r.diversity_permille < 1000
+        if r.n_types == 1:
+            assert r.diversity_permille == 0
+        else:
+            assert r.diversity_permille > 0
+
+
+# ----------------------------------------------------- IVM delta join
+
+
+def test_ivm_terms_partition_the_direct_join(spark):
+    """The four delta terms must be DISJOINT and EXHAUSTIVE: their row
+    counts sum to the direct join's count (the aggregate equality is the
+    oracle's job; this pins the partition property itself)."""
+    from lua_mapreduce_spark.operators.analytics3 import _IVM_CUTOFF
+
+    cut = f"TIMESTAMP '{_IVM_CUTOFF} 00:00:00'"
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    direct = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+    parts = []
+    for ao in (f"o_orderdate < {cut}", f"o_orderdate >= {cut}"):
+        for bo in (f"l_shipdate < {cut}", f"l_shipdate >= {cut}"):
+            parts.append(
+                orders.filter(F.expr(ao))
+                .join(li.filter(F.expr(bo)), orders["o_orderkey"] == li["l_orderkey"])
+                .count()
+            )
+    assert sum(parts) == direct
+    assert all(p > 0 for p in parts), f"degenerate split {parts}: cutoff misses data"
+
+
+# ----------------------------------------------------- equi-depth histogram
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark):
+    from lua_mapreduce_spark.operators.analytics3 import _EH_B
+
+    rows = sorted(
+        QUERIES["agg_equidepth_histogram"](spark, SF_SMALL).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, _EH_B + 1))
+    total = sum(r.n_orders for r in rows)
+    assert total == spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    # equi-depth: every bucket within 25% of the ideal depth (ties and
+    # interpolation wobble the edges, never the bulk)
+    ideal = total / _EH_B
+    for r in rows:
+        assert 0.75 * ideal <= r.n_orders <= 1.25 * ideal, rows
+    # bucket value ranges are disjoint and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents <= b.min_cents
+
+
+# ----------------------------------------------------- table diff
+
+
+def test_table_diff_flags_exactly_the_planted_months(spark):
+    from lua_mapreduce_spark.operators.analytics3 import (
+        _TD_DEL_MOD,
+        _TD_UPD_MOD,
+    )
+
+    got = {r.month: r for r in QUERIES["diag_table_diff"](spark, SF_SMALL).collect()}
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    planted = {
+        r.month
+        for r in orders.filter(
+            F.expr(
+                f"o_orderkey % {_TD_DEL_MOD} = 0 OR o_orderkey % {_TD_UPD_MOD} = 0"
+            )
+        ).collect()
+    }
+    assert set(got) == planted and planted
+    # deleted keys show as count drift; updated-only months as checksum drift
+    for r in got.values():
+        assert r.n_base >= r.n_snap
+        assert (r.n_base, r.ck_base) != (r.n_snap, r.ck_snap)
