@@ -149,6 +149,11 @@ EXTENDED_MEDIAN = {
     "agg_cube_quantity",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    # Python DataSource: first execution spins up the Python planning
+    # worker + C2-JITs the Arrow path (measured 8.5 s cold vs 0.7 s
+    # steady-state) — a single-pass timing reports the spin-up, not the
+    # query.
+    "source_python_datasource",
 }
 
 

@@ -84,11 +84,11 @@ _MODULES = [
 # (events_sessionize_gap_method — same sessionize fix;
 # dedup_jaccard_prefix_join — PPJoin length filter; graph_triangle_count,
 # graph_kcore_peel, graph_label_propagation — shared derived-relation
-# cache changed their physical plans); the EIGHT r9-new queries; and
-# TWENTY-SEVEN third-confirmation fills drawn from the stalest pool
+# cache changed their physical plans); the NINE r9-new queries; and
+# TWENTY-SIX third-confirmation fills drawn from the stalest pool
 # (last driver-verified r6 or earlier), spread across every family —
 # including streaming_user_totals, r8's lone perf-weak suspect.
-# 2 + 8 + 5 + 8 + 27 = 50. After a green r9, every pre-r9 query is
+# 2 + 8 + 5 + 9 + 26 = 50. After a green r9, every pre-r9 query is
 # driver-confirmed at least twice and the r9 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -118,6 +118,7 @@ _DRIVER_WINDOW = [
     "ivm_delta_join_maintenance",
     "agg_equidepth_histogram",
     "diag_table_diff",
+    "text_bpe_learn_merges",
     # third-confirmation fills (stalest pool, family-spread)
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -128,7 +129,6 @@ _DRIVER_WINDOW = [
     "agg_argmax_orders",
     "agg_percentiles",
     "agg_null_semantics",
-    "agg_rollup_revenue",
     "window_topk_per_group",
     "window_gap_fill_ignore_nulls",
     "events_funnel_conversion",

@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.catalog import load_table, parallelize_scan
 from lua_mapreduce_spark.functions.texthash import (
     md5_bigint_expr,
     oracle_md5_bigint_expr,
+    oracle_words_expr,
+    words_expr,
 )
 from lua_mapreduce_spark.operators.analytics import (
     _copurchase_derived,
@@ -519,6 +521,144 @@ WHERE COALESCE(n_base, 0) != COALESCE(n_snap, 0)
 """
 
 
+# --------------------------------------------------------------------------
+# BPE merge learning (tokenizer training, fixed unrolled rounds)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+# Initial encoding: every character double-space-separated. The DOUBLE
+# delimiter is what makes naive string replace a correct BPE merge step:
+# the search pattern ' l  r ' carries ONE outer space on each side, so a
+# match consumes only half of each neighboring delimiter and consecutive
+# occurrences ('x y x y x') never share characters — leftmost
+# non-overlapping replace in both engines == the greedy left-to-right BPE
+# merge pass. A single-space delimiter would also let a pair match across
+# token boundaries (token 'xa' followed by 'b' contains 'a b').
+_BPE_ENC0 = "trim(regexp_replace(w, '(.)', '$1  '))"
+
+
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first _BPE_ROUNDS byte-pair-encoding merges from the
+    document corpus — the tokenizer-training reduce (Sennrich et al.
+    2016): per round, count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair corpus-wide, re-encode,
+    repeat. Output: (merge_round, l, r, merged, pair_count) — the merge
+    table a BPE tokenizer ships.
+
+    Deterministic ties (count DESC, l DESC, r DESC via one
+    max(struct(cnt, l, r)) aggregation — no sort) and pure string/integer
+    arithmetic make the whole training loop exactly replayable by an
+    unrolled-CTE DuckDB oracle, including the merge applications.
+
+    Scale shape: the ONLY corpus-sized work is the initial tokenize +
+    word-frequency count (one shuffle); every round after that operates
+    on the WORD-TYPE table, whose cardinality is bounded by the language
+    (~10^5-10^6 types), not the corpus — the standard BPE-training
+    factorization. Per round: one map-side pair explode over the vocab,
+    one map-combinable count, one 1-row argmax broadcast back into a
+    map-side replace; the vocab encoding is localCheckpoint'd per round
+    (each round references it twice: pair count + re-encode)."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(F.expr(words_expr("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    enc = vocab.select(
+        "w", "tf", F.expr(_BPE_ENC0).alias("enc")
+    ).localCheckpoint(eager=True)
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        toks = enc.select("tf", F.split("enc", "  ").alias("a")).filter(
+            F.size("a") >= 2
+        )
+        pairs = toks.select(
+            "tf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(a[i-1] AS l, a[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        cnt = pairs.groupBy("p.l", "p.r").agg(
+            F.expr("CAST(SUM(tf) AS BIGINT)").alias("cnt")
+        )
+        top = (
+            cnt.agg(F.max(F.struct("cnt", "l", "r")).alias("m"))
+            .select(
+                F.col("m.l").alias("l"),
+                F.col("m.r").alias("r"),
+                F.col("m.cnt").alias("cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(rnd).cast("bigint").alias("merge_round"),
+                "l",
+                "r",
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        enc = (
+            enc.crossJoin(F.broadcast(top))
+            .select(
+                "w",
+                "tf",
+                F.expr(
+                    "trim(replace(concat(' ', enc, ' '),"
+                    " concat(' ', l, '  ', r, ' '),"
+                    " concat(' ', l, r, ' ')))"
+                ).alias("enc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        f"""vocab AS MATERIALIZED (
+  SELECT t.word AS w, COUNT(*) AS tf
+  FROM (SELECT {oracle_words_expr("text")} AS lw FROM documents),
+       unnest(lw) AS t(word)
+  GROUP BY 1),
+e0 AS MATERIALIZED (
+  SELECT w, tf, trim(regexp_replace(w, '(.)', '\\1  ', 'g')) AS enc
+  FROM vocab)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT a[i] AS l, a[i + 1] AS r, CAST(SUM(tf) AS BIGINT) AS cnt
+  FROM (SELECT tf, string_split(enc, '  ') AS a FROM e{r - 1}) s,
+       unnest(range(1, len(a))) AS u(i)
+  GROUP BY 1, 2),
+t{r} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{r}
+  ORDER BY cnt DESC, l DESC, r DESC LIMIT 1),
+e{r} AS MATERIALIZED (
+  SELECT w, tf,
+         trim(replace(' ' || enc || ' ',
+                      ' ' || t.l || '  ' || t.r || ' ',
+                      ' ' || t.l || t.r || ' ')) AS enc
+  FROM e{r - 1}, t{r} t)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, l, r,"
+        f" l || r AS merged, cnt AS pair_count FROM t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+BPE_MERGES_ORACLE = _bpe_oracle()
+
+
 QUERIES = {
     "dedup_edit_distance_join": dedup_edit_distance_join,
     "graph_common_neighbors": graph_common_neighbors,
@@ -526,9 +666,11 @@ QUERIES = {
     "ivm_delta_join_maintenance": ivm_delta_join_maintenance,
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "diag_table_diff": diag_table_diff,
+    "text_bpe_learn_merges": text_bpe_learn_merges,
 }
 
 ORACLES = {
+    "text_bpe_learn_merges": BPE_MERGES_ORACLE,
     "dedup_edit_distance_join": EDIT_DISTANCE_ORACLE,
     "graph_common_neighbors": COMMON_NEIGHBORS_ORACLE,
     "events_gini_diversity": GINI_DIVERSITY_ORACLE,

@@ -192,6 +192,55 @@ def test_equidepth_buckets_are_balanced_and_ordered(spark):
 # ----------------------------------------------------- table diff
 
 
+# ----------------------------------------------------- BPE merge learning
+
+
+def test_bpe_merges_python_replay(spark):
+    """Bit-exact replay of the 3 unrolled BPE training rounds: same
+    tokenization, tf weighting, (cnt, l, r) argmax tie rule, and greedy
+    leftmost non-overlapping merge application."""
+    import collections
+    import re as _re
+
+    from lua_mapreduce_spark.operators.analytics3 import _BPE_ROUNDS
+
+    got = [
+        (r.merge_round, r.l, r.r, r.merged, r.pair_count)
+        for r in sorted(
+            QUERIES["text_bpe_learn_merges"](spark, SF_SMALL).collect(),
+            key=lambda r: r.merge_round,
+        )
+    ]
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    vocab: collections.Counter = collections.Counter()
+    for d in docs:
+        for w in _re.findall("[A-Za-z]+", d.text):
+            vocab[w.lower()] += 1
+    enc = {w: list(w) for w in vocab}
+    want = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        cnt: collections.Counter = collections.Counter()
+        for w, toks in enc.items():
+            for i in range(len(toks) - 1):
+                cnt[(toks[i], toks[i + 1])] += vocab[w]
+        (l, r), c = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+        want.append((rnd, l, r, l + r, c))
+        for w, toks in enc.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            enc[w] = out
+    assert got == want
+
+
+# ----------------------------------------------------- table diff
+
+
 def test_table_diff_flags_exactly_the_planted_months(spark):
     from lua_mapreduce_spark.operators.analytics3 import (
         _TD_DEL_MOD,

@@ -142,6 +142,7 @@ _NESTED_LOOP_OK = {
     "text_keyword_extraction", # 1-row N-scalar broadcast cross join
     "events_rfm_segments",    # 1-row max-day broadcast cross join
     "agg_equidepth_histogram", # 1-row percentile-bounds broadcast cross join
+    "text_bpe_learn_merges",   # 1-row top-pair broadcast cross join per round
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -214,6 +215,7 @@ _BROADCAST_OK = {
     ("analytics2.py", "n_docs"),      # single-row global doc count (keyword rarity N)
     ("analytics2.py", "maxd"),        # single-row global max day (RFM recency anchor)
     ("analytics3.py", "bounds"),      # single-row 7-value percentile boundary agg
+    ("analytics3.py", "top"),         # single-row argmax pair (BPE merge round)
 }
 
 
