@@ -154,6 +154,9 @@ EXTENDED_MEDIAN = {
     # steady-state) — a single-pass timing reports the spin-up, not the
     # query.
     "source_python_datasource",
+    # Same cold/warm asymmetry (7.5 s cold vs 1.5 s steady-state: the
+    # first run JITs the tokenize + per-round checkpoint chain).
+    "text_bpe_learn_merges",
 }
 
 

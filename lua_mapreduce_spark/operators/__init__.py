@@ -84,11 +84,11 @@ _MODULES = [
 # (events_sessionize_gap_method — same sessionize fix;
 # dedup_jaccard_prefix_join — PPJoin length filter; graph_triangle_count,
 # graph_kcore_peel, graph_label_propagation — shared derived-relation
-# cache changed their physical plans); the NINE r9-new queries; and
-# TWENTY-SIX third-confirmation fills drawn from the stalest pool
+# cache changed their physical plans); the ELEVEN r9-new queries; and
+# TWENTY-FOUR third-confirmation fills drawn from the stalest pool
 # (last driver-verified r6 or earlier), spread across every family —
 # including streaming_user_totals, r8's lone perf-weak suspect.
-# 2 + 8 + 5 + 9 + 26 = 50. After a green r9, every pre-r9 query is
+# 2 + 8 + 5 + 11 + 24 = 50. After a green r9, every pre-r9 query is
 # driver-confirmed at least twice and the r9 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -119,14 +119,14 @@ _DRIVER_WINDOW = [
     "agg_equidepth_histogram",
     "diag_table_diff",
     "text_bpe_learn_merges",
+    "diag_join_cardinality",
+    "cdc_apply_changelog",
     # third-confirmation fills (stalest pool, family-spread)
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q18_large_orders",
-    "join_inner_basic",
     "join_skew_salted",
     "pivot_qty_by_linestatus",
-    "agg_argmax_orders",
     "agg_percentiles",
     "agg_null_semantics",
     "window_topk_per_group",

@@ -659,6 +659,145 @@ e{r} AS MATERIALIZED (
 BPE_MERGES_ORACLE = _bpe_oracle()
 
 
+# --------------------------------------------------------------------------
+# Join-cardinality profiler (pre-flight diagnostics)
+# --------------------------------------------------------------------------
+
+
+def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pre-flight join-size profile for orders ⋈ lineitem on
+    o_orderkey, WITHOUT running the join: |A ⋈ B| = Σ_k cA(k)·cB(k) over
+    per-key counts — plus the key count, the hottest key and its output
+    contribution, and the p-largest per-key product. These are the
+    numbers that pick the strategy for a 100 TB join (broadcast? salt?
+    AQE skew split?) at the cost of two map-side-combinable counts and a
+    join of the COUNT tables (|keys| rows, not |rows|), never the join
+    itself. Counterpart of diag_key_skew_profile (which profiles one
+    table's groupBy keys; this profiles a join's output).
+
+    All integer; the hot-key argmax is one max(struct) — no sort."""
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    prod = a.join(b, "k").select(
+        "k", F.expr("CAST(ca * cb AS BIGINT)").alias("rows_k")
+    )
+    return prod.agg(
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.expr("CAST(SUM(rows_k) AS BIGINT)").alias("join_rows"),
+        F.expr("CAST(MAX(rows_k) AS BIGINT)").alias("max_key_rows"),
+        F.expr("max_by(k, named_struct('r', rows_k, 'k', k))").alias("hot_key"),
+    )
+
+
+JOIN_CARDINALITY_ORACLE = """
+WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+b AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+prod AS (SELECT a.k, CAST(ca * cb AS BIGINT) AS rows_k FROM a JOIN b ON a.k = b.k)
+SELECT COUNT(*) AS n_join_keys,
+       CAST(SUM(rows_k) AS BIGINT) AS join_rows,
+       CAST(MAX(rows_k) AS BIGINT) AS max_key_rows,
+       (SELECT k FROM prod ORDER BY rows_k DESC, k DESC LIMIT 1) AS hot_key
+FROM prod
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC changelog apply (log compaction with deletes)
+# --------------------------------------------------------------------------
+
+_CDC_UPD_MOD = 5  # keys receiving an UPDATE (cents + 7)
+_CDC_DEL_MOD = 7  # keys receiving a DELETE
+_CDC_INS_MOD = 11  # base keys spawning an INSERT clone (key + 10^7)
+_CDC_INS_OFFSET = 10_000_000
+
+
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered insert/update/delete changelog to a base
+    snapshot — the CDC log-compaction primitive behind every lakehouse
+    MERGE: union base rows (seq 0) with the change ops (seq 1..3), take
+    the LAST op per key with ONE window (key, seq DESC), drop tombstones.
+    A key can carry several ops (an updated key can later be deleted);
+    the seq order resolves them exactly like a Debezium/Kafka compacted
+    topic. The changelog is derived deterministically in-query (every
+    5th key updated, every 7th deleted, every 11th cloned as an insert
+    under key+10^7) so the oracle replays it bit-for-bit.
+
+    Scale shape: one unionAll (no shuffle) + one hash shuffle on the key
+    for the window; rn = 1 compiles to WindowGroupLimit so each map task
+    truncates its per-key run before the exchange. Output is the final
+    state aggregated per order priority (bounded)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("cents"),
+    )
+    ops = [base.select("k", "o_orderpriority", "cents", F.lit(0).alias("seq"))]
+    ins = base.filter(F.expr(f"k % {_CDC_INS_MOD} = 0")).select(
+        F.expr(f"k + {_CDC_INS_OFFSET}").alias("k"),
+        "o_orderpriority",
+        F.expr("cents + 13").alias("cents"),
+        F.lit(1).alias("seq"),
+    )
+    upd = base.filter(F.expr(f"k % {_CDC_UPD_MOD} = 0")).select(
+        "k",
+        "o_orderpriority",
+        F.expr("cents + 7").alias("cents"),
+        F.lit(2).alias("seq"),
+    )
+    dele = base.filter(F.expr(f"k % {_CDC_DEL_MOD} = 0")).select(
+        "k",
+        "o_orderpriority",
+        F.lit(None).cast("bigint").alias("cents"),
+        F.lit(3).alias("seq"),
+    )
+    log = ops[0].unionAll(ins).unionAll(upd).unionAll(dele)
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("seq") != 3))
+        .drop("rn", "seq")
+    )
+    return final.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("sum_cents"),
+    )
+
+
+CDC_APPLY_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+log AS (
+  SELECT k, o_orderpriority, cents, 0 AS seq FROM base
+  UNION ALL
+  SELECT k + {_CDC_INS_OFFSET}, o_orderpriority, cents + 13, 1
+  FROM base WHERE k % {_CDC_INS_MOD} = 0
+  UNION ALL
+  SELECT k, o_orderpriority, cents + 7, 2
+  FROM base WHERE k % {_CDC_UPD_MOD} = 0
+  UNION ALL
+  SELECT k, o_orderpriority, CAST(NULL AS BIGINT), 3
+  FROM base WHERE k % {_CDC_DEL_MOD} = 0),
+final AS (
+  SELECT k, o_orderpriority, cents FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM log)
+  WHERE rn = 1 AND seq != 3)
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_edit_distance_join": dedup_edit_distance_join,
     "graph_common_neighbors": graph_common_neighbors,
@@ -667,10 +806,14 @@ QUERIES = {
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "diag_table_diff": diag_table_diff,
     "text_bpe_learn_merges": text_bpe_learn_merges,
+    "diag_join_cardinality": diag_join_cardinality,
+    "cdc_apply_changelog": cdc_apply_changelog,
 }
 
 ORACLES = {
     "text_bpe_learn_merges": BPE_MERGES_ORACLE,
+    "diag_join_cardinality": JOIN_CARDINALITY_ORACLE,
+    "cdc_apply_changelog": CDC_APPLY_ORACLE,
     "dedup_edit_distance_join": EDIT_DISTANCE_ORACLE,
     "graph_common_neighbors": COMMON_NEIGHBORS_ORACLE,
     "events_gini_diversity": GINI_DIVERSITY_ORACLE,

@@ -238,6 +238,75 @@ def test_bpe_merges_python_replay(spark):
     assert got == want
 
 
+# ----------------------------------------------------- join cardinality
+
+
+def test_join_cardinality_predicts_the_real_join(spark):
+    """The count-table product must equal the actually-executed join's
+    row count — the whole point of the pre-flight profile."""
+    row = QUERIES["diag_join_cardinality"](spark, SF_SMALL).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    real = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+    assert row.join_rows == real
+    hot = (
+        li.groupBy("l_orderkey").count()
+        .orderBy(F.desc("count"), F.desc("l_orderkey"))
+        .first()
+    )
+    assert (row.hot_key, row.max_key_rows) == (hot.l_orderkey, hot["count"])
+
+
+# ----------------------------------------------------- CDC changelog apply
+
+
+def test_cdc_apply_python_replay(spark):
+    """Replay the changelog application row-by-row in Python: upserts,
+    tombstone-wins ordering, and synthetic inserts."""
+    from lua_mapreduce_spark.operators.analytics3 import (
+        _CDC_DEL_MOD,
+        _CDC_INS_MOD,
+        _CDC_INS_OFFSET,
+        _CDC_UPD_MOD,
+    )
+
+    got = {
+        r.o_orderpriority: (r.n_rows, r.sum_cents)
+        for r in QUERIES["cdc_apply_changelog"](spark, SF_SMALL).collect()
+    }
+    base = {
+        r.o_orderkey: (r.o_orderpriority, round(r.o_totalprice * 100))
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    }
+    state = dict(base)
+    for k, (pr, c) in base.items():  # seq 1: inserts
+        if k % _CDC_INS_MOD == 0:
+            state[k + _CDC_INS_OFFSET] = (pr, c + 13)
+    for k, (pr, c) in base.items():  # seq 2: updates
+        if k % _CDC_UPD_MOD == 0:
+            state[k] = (pr, c + 7)
+    for k in list(base):  # seq 3: deletes (win over updates)
+        if k % _CDC_DEL_MOD == 0:
+            del state[k]
+    want: dict = {}
+    for pr, c in state.values():
+        n, s = want.get(pr, (0, 0))
+        want[pr] = (n + 1, s + c)
+    assert got == want
+    # every op class actually fired (non-vacuous fixture)
+    assert any(k >= _CDC_INS_OFFSET for k in state)
+    assert len(state) < len(base) + sum(
+        1 for k in base if k % _CDC_INS_MOD == 0
+    )
+
+
+def test_cdc_apply_compacts_map_side(spark):
+    """rn = 1 over (key, seq DESC) must compile to WindowGroupLimit —
+    per-key runs truncate before the exchange."""
+    plan = _plan(QUERIES["cdc_apply_changelog"](spark, SF_MEDIUM))
+    assert "WindowGroupLimit" in plan
+
+
 # ----------------------------------------------------- table diff
 
 
