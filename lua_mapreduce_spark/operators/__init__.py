@@ -121,7 +121,14 @@ _DRIVER_WINDOW = [
     "text_bpe_learn_merges",
     "diag_join_cardinality",
     "cdc_apply_changelog",
-    # third-confirmation fills (stalest pool, family-spread)
+    "join_scd2_point_in_time",
+    "graph_bfs_distances",
+    "diag_constraint_audit",
+    "curation_group_split",
+    # third-confirmation fills (stalest pool, family-spread; 4 slots
+    # ceded to the late-r9 newcomers above — the displaced fills
+    # (window_gap_fill_ignore_nulls, events_anomaly_hours,
+    # streaming_dedup_count, dedup_exact_keep_first) move to the r10 pool)
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q18_large_orders",
@@ -130,17 +137,13 @@ _DRIVER_WINDOW = [
     "agg_percentiles",
     "agg_null_semantics",
     "window_topk_per_group",
-    "window_gap_fill_ignore_nulls",
     "events_funnel_conversion",
     "events_cohort_retention",
-    "events_anomaly_hours",
     "streaming_user_totals",
     "streaming_upsert_merge",
     "streaming_stream_stream_join",
-    "streaming_dedup_count",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
-    "dedup_exact_keep_first",
     "sim_cosine_topk",
     "sim_ann_multitable",
     "multimodal_audio_features",

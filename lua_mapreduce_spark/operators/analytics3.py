@@ -798,6 +798,405 @@ FROM final GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join (slowly-changing-dimension Type 2 lookup)
+# --------------------------------------------------------------------------
+
+_SCD2_MOD = 3  # customers whose balance has a second version
+_SCD2_CUTOFF = "1998-07-01"  # v2 effective date (mid order-date range)
+_SCD2_START = "1992-01-01"
+_SCD2_END = "2002-12-31"
+_SCD2_BUMP = 1000  # v2 balance delta, cents
+
+
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact lookup against an SCD Type 2 dimension — the
+    versioned-dimension join every warehouse runs: each order joins the
+    customer VERSION whose [valid_from, valid_to) window contains the
+    order date, not the current row. The versioned dim is derived
+    deterministically in-query (every 3rd customer's balance gains a
+    +10.00 version effective 1998-07-01; validity windows tile the full
+    order-date range) so the oracle replays the history build exactly.
+
+    Scale shape: the join keeps its EQUI key (custkey) so it stays a
+    hash join — the validity-range predicate is a residual filter
+    evaluated per matched pair, and with <= 2 versions per key the
+    residual work is O(1) per fact row. The dim side is |customer| * <=2
+    rows, the classic broadcast candidate (AQE picks it up at test SF).
+    Never turn an SCD2 lookup into a pure range join — losing the equi
+    key is what makes it quadratic. Output is bounded: per-segment
+    counts and balance sums, all integer cents."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr("CAST(round(c_acctbal * 100.0) AS BIGINT)").alias("bal_cents"),
+    )
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_cents",
+        F.lit(_SCD2_START).cast("date").alias("valid_from"),
+        F.expr(
+            f"CASE WHEN c_custkey % {_SCD2_MOD} = 0 THEN DATE'{_SCD2_CUTOFF}' "
+            f"ELSE DATE'{_SCD2_END}' END"
+        ).alias("valid_to"),
+    )
+    v2 = cust.filter(F.expr(f"c_custkey % {_SCD2_MOD} = 0")).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr(f"bal_cents + {_SCD2_BUMP}").alias("bal_cents"),
+        F.lit(_SCD2_CUTOFF).cast("date").alias("valid_from"),
+        F.lit(_SCD2_END).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("CAST(o_orderdate AS DATE)").alias("od")
+    )
+    j = orders.join(
+        dim,
+        (orders["o_custkey"] == dim["c_custkey"])
+        & (F.col("od") >= dim["valid_from"])
+        & (F.col("od") < dim["valid_to"]),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(bal_cents) AS BIGINT)").alias("sum_bal_cents"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN valid_from = DATE'{_SCD2_CUTOFF}' "
+            "THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_v2_hits"),
+    )
+
+
+SCD2_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+  FROM customer),
+dim AS (
+  SELECT c_custkey, c_mktsegment, bal_cents,
+         DATE '{_SCD2_START}' AS valid_from,
+         CASE WHEN c_custkey % {_SCD2_MOD} = 0 THEN DATE '{_SCD2_CUTOFF}'
+              ELSE DATE '{_SCD2_END}' END AS valid_to
+  FROM cust
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, bal_cents + {_SCD2_BUMP},
+         DATE '{_SCD2_CUTOFF}', DATE '{_SCD2_END}'
+  FROM cust WHERE c_custkey % {_SCD2_MOD} = 0)
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents,
+       CAST(SUM(CASE WHEN valid_from = DATE '{_SCD2_CUTOFF}'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_v2_hits
+FROM orders JOIN dim
+  ON o_custkey = c_custkey
+ AND CAST(o_orderdate AS DATE) >= valid_from
+ AND CAST(o_orderdate AS DATE) < valid_to
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Bounded BFS over the co-purchase graph (frontier iteration)
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 4  # hop bound — both engines cut the expansion here
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS distances (<= _BFS_HOPS hops) from the minimum
+    node of the part co-purchase graph — the Pregel iteration pattern in
+    DataFrame form: per round, join the CURRENT FRONTIER (only the nodes
+    discovered last round, not the whole visited set) against the shared
+    symmetrized edge list, anti-join away already-visited nodes, and
+    localCheckpoint to cut the growing lineage. The frontier join is the
+    scale point: work per round is O(edges touched by the frontier), and
+    the visited set is only re-read by the (hash, bounded) anti-join.
+    Early exit when a frontier drains. The oracle is a bounded recursive
+    CTE (DuckDB WITH RECURSIVE, d < hops) + MIN(d) per node — equal to
+    frontier BFS for every node within the bound.
+
+    Output: one bounded row per BFS level (count, min/max node, id
+    checksum)."""
+    sym = _copurchase_derived(spark, sf_dir, "sym")
+    src = sym.agg(F.min("src").alias("node"))
+    dist = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("CAST(MIN(node) AS BIGINT)").alias("min_node"),
+        F.expr("CAST(MAX(node) AS BIGINT)").alias("max_node"),
+        F.expr("CAST(SUM(node) AS BIGINT)").alias("id_checksum"),
+    )
+
+
+BFS_ORACLE = f"""
+WITH RECURSIVE {_CP_PAIRS_SQL},
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs),
+root AS (SELECT MIN(src) AS node FROM sym),
+walk(node, d) AS (
+  SELECT node, 0 FROM root
+  UNION
+  SELECT sym.dst, walk.d + 1
+  FROM walk JOIN sym ON sym.src = walk.node
+  WHERE walk.d < {_BFS_HOPS}),
+bfs AS (SELECT node, MIN(d) AS dist FROM walk GROUP BY 1)
+SELECT dist, COUNT(*) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node,
+       CAST(SUM(node) AS BIGINT) AS id_checksum
+FROM bfs GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Declarative constraint audit (data-quality expectations, Deequ-style)
+# --------------------------------------------------------------------------
+
+_AUDIT_FRESH = "1996-01-01"  # freshness expectation on order dates
+
+
+def diag_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: evaluate a declared constraint suite (range,
+    sign, freshness, and referential-integrity checks over customer /
+    orders / lineitem) and emit one (check_name, n_checked,
+    n_violations) row per constraint — the Deequ/expectations pattern.
+
+    Scale shape: ONE aggregate pass per fact table, never one scan per
+    constraint — every predicate check is a SUM(CASE ...) folded into
+    the same aggregate, and the FK checks ride along: customer→nation is
+    a broadcast left join (25 rows), orders→customer a key left join,
+    and lineitem→orders the COUNT-TABLE form (pre-aggregate per
+    l_orderkey, join |keys| rows — never ship |rows| into the RI join).
+    The per-pass result is ONE row explode()d into constraint rows, so
+    at 100 TB the audit costs three scans + two key joins total."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    nation = F.broadcast(nation)  # constant 25 rows
+    cust = load_table(spark, sf_dir, "customer")
+    cust_row = (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v_bal"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("v_fk"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("customer_acctbal_nonnegative").alias("check_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v_bal").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("customer_nation_fk").alias("check_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v_fk").alias("n_violations"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+    )
+    ckeys = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ord_row = (
+        orders.join(ckeys, orders["o_custkey"] == ckeys["ck"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("v_price"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < "
+                f"DATE'{_AUDIT_FRESH}' THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v_fresh"),
+            F.expr(
+                "CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v_fk"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("orders_totalprice_positive").alias("check_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v_price").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("orders_fresh_since_1996").alias("check_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v_fresh").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("orders_custkey_fk").alias("check_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v_fk").alias("n_violations"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+    )
+    okeys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok")
+    )
+    li_perkey = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr(
+                "CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v_qty"),
+            F.expr(
+                "CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v_disc"),
+        )
+    )
+    li_row = (
+        li_perkey.join(okeys, li_perkey["l_orderkey"] == okeys["ok"], "left")
+        .agg(
+            F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
+            F.expr("CAST(SUM(v_qty) AS BIGINT)").alias("v_qty"),
+            F.expr("CAST(SUM(v_disc) AS BIGINT)").alias("v_disc"),
+            F.expr(
+                "CAST(SUM(CASE WHEN ok IS NULL THEN cnt ELSE 0 END) AS BIGINT)"
+            ).alias("v_fk"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lineitem_quantity_range").alias("check_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v_qty").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem_discount_range").alias("check_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v_disc").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem_order_fk").alias("check_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v_fk").alias("n_violations"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+    )
+    return cust_row.unionAll(ord_row).unionAll(li_row)
+
+
+CONSTRAINT_AUDIT_ORACLE = f"""
+SELECT 'customer_acctbal_nonnegative' AS check_name,
+       (SELECT COUNT(*) FROM customer) AS n_checked,
+       CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal < 0) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'customer_nation_fk', (SELECT COUNT(*) FROM customer),
+       CAST((SELECT COUNT(*) FROM customer LEFT JOIN nation
+             ON c_nationkey = n_nationkey WHERE n_nationkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'orders_totalprice_positive', (SELECT COUNT(*) FROM orders),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+UNION ALL
+SELECT 'orders_fresh_since_1996', (SELECT COUNT(*) FROM orders),
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE CAST(o_orderdate AS DATE) < DATE '{_AUDIT_FRESH}') AS BIGINT)
+UNION ALL
+SELECT 'orders_custkey_fk', (SELECT COUNT(*) FROM orders),
+       CAST((SELECT COUNT(*) FROM orders LEFT JOIN customer
+             ON o_custkey = c_custkey WHERE c_custkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_quantity_range', (SELECT COUNT(*) FROM lineitem),
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_range', (SELECT COUNT(*) FROM lineitem),
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_order_fk', (SELECT COUNT(*) FROM lineitem),
+       CAST((SELECT COUNT(*) FROM lineitem LEFT JOIN orders
+             ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL) AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------------
+# Group-aware train/val/test split (leakage-free partitioning)
+# --------------------------------------------------------------------------
+
+_SPLIT_MOD = 5  # md5(source) % 5: 0-2 train, 3 val, 4 test
+
+
+def curation_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment for the documents corpus:
+    ALL documents of a source land in the same split (hash the GROUP
+    key, not the row), the standard guard against near-duplicate leakage
+    across splits when a crawl source repeats content. The split is a
+    pure map-side expression — portable md5 60-bit hash of the source,
+    mod {_SPLIT_MOD} (0-2 train / 3 val / 4 test) — so assignment needs
+    no shuffle, no split table, and replays identically on any engine
+    or at any scale (a document's split never changes as the corpus
+    grows, which is what makes held-out sets stable across crawls).
+
+    Output: per split, group count, doc count, and char volume."""
+    h = md5_bigint_expr("source")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.expr(
+            f"CASE WHEN {h} % {_SPLIT_MOD} <= 2 THEN 'train' "
+            f"WHEN {h} % {_SPLIT_MOD} = 3 THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+    )
+    return docs.groupBy("split").agg(
+        F.countDistinct("source").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+    )
+
+
+_SPLIT_ORACLE_H = oracle_md5_bigint_expr("source")
+
+GROUP_SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_SPLIT_ORACLE_H} % {_SPLIT_MOD} <= 2 THEN 'train'
+            WHEN {_SPLIT_ORACLE_H} % {_SPLIT_MOD} = 3 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(DISTINCT source) AS n_groups,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_edit_distance_join": dedup_edit_distance_join,
     "graph_common_neighbors": graph_common_neighbors,
@@ -808,9 +1207,17 @@ QUERIES = {
     "text_bpe_learn_merges": text_bpe_learn_merges,
     "diag_join_cardinality": diag_join_cardinality,
     "cdc_apply_changelog": cdc_apply_changelog,
+    "join_scd2_point_in_time": join_scd2_point_in_time,
+    "graph_bfs_distances": graph_bfs_distances,
+    "diag_constraint_audit": diag_constraint_audit,
+    "curation_group_split": curation_group_split,
 }
 
 ORACLES = {
+    "join_scd2_point_in_time": SCD2_ORACLE,
+    "graph_bfs_distances": BFS_ORACLE,
+    "diag_constraint_audit": CONSTRAINT_AUDIT_ORACLE,
+    "curation_group_split": GROUP_SPLIT_ORACLE,
     "text_bpe_learn_merges": BPE_MERGES_ORACLE,
     "diag_join_cardinality": JOIN_CARDINALITY_ORACLE,
     "cdc_apply_changelog": CDC_APPLY_ORACLE,

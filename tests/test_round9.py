@@ -333,3 +333,172 @@ def test_table_diff_flags_exactly_the_planted_months(spark):
     for r in got.values():
         assert r.n_base >= r.n_snap
         assert (r.n_base, r.ck_base) != (r.n_snap, r.ck_snap)
+
+
+# ----------------------------------------------------- SCD2 point-in-time
+
+
+def test_scd2_every_order_matches_exactly_one_version(spark):
+    """The validity windows tile the order-date range, so the join is
+    lossless and duplicate-free: per-segment order counts must equal the
+    plain orders-per-segment counts, and v2 hits must be exactly the
+    post-cutoff orders of versioned customers."""
+    from lua_mapreduce_spark.operators.analytics3 import (
+        _SCD2_BUMP,
+        _SCD2_CUTOFF,
+        _SCD2_MOD,
+    )
+
+    got = {
+        r.c_mktsegment: r
+        for r in QUERIES["join_scd2_point_in_time"](spark, SF_SMALL).collect()
+    }
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    base = {
+        r.c_mktsegment: (r.n, r.cents, r.v2)
+        for r in joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(round(c_acctbal * 100.0)) AS BIGINT)").alias("cents"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN c_custkey % {_SCD2_MOD} = 0 AND "
+                f"CAST(o_orderdate AS DATE) >= DATE'{_SCD2_CUTOFF}' "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v2"),
+        )
+        .collect()
+    }
+    assert set(got) == set(base)
+    for seg, (n, cents, v2) in base.items():
+        assert got[seg].n_orders == n
+        assert got[seg].n_v2_hits == v2
+        assert got[seg].sum_bal_cents == cents + _SCD2_BUMP * v2
+    assert sum(r.n_v2_hits for r in got.values()) > 0
+
+
+def test_scd2_keeps_the_equi_key(spark):
+    """The SCD2 lookup must stay a hash join on custkey — the range
+    predicate is a residual, never the join key."""
+    plan = _plan(QUERIES["join_scd2_point_in_time"](spark, SF_MEDIUM))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------- bounded BFS
+
+
+def test_bfs_python_replay(spark):
+    """Frontier BFS must equal a literal Python BFS over the same edge
+    list, level histogram and per-level id checksums included."""
+    from lua_mapreduce_spark.operators.analytics import _copurchase_pairs
+    from lua_mapreduce_spark.operators.analytics3 import _BFS_HOPS
+
+    got = {
+        r.dist: (r.n_nodes, r.min_node, r.max_node, r.id_checksum)
+        for r in QUERIES["graph_bfs_distances"](spark, SF_SMALL).collect()
+    }
+    adj: dict = {}
+    for r in _copurchase_pairs(spark, SF_SMALL).collect():
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    root = min(adj)
+    dist = {root: 0}
+    frontier = [root]
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = sorted(
+            {m for n in frontier for m in adj[n] if m not in dist}
+        )
+        for m in nxt:
+            dist[m] = hop
+        if not nxt:
+            break
+        frontier = nxt
+    want: dict = {}
+    for n, d in dist.items():
+        c, lo, hi, s = want.get(d, (0, None, None, 0))
+        want[d] = (
+            c + 1,
+            n if lo is None else min(lo, n),
+            n if hi is None else max(hi, n),
+            s + n,
+        )
+    assert got == want
+    assert len(got) >= 3  # non-vacuous: at least levels 0, 1, 2
+
+
+# ----------------------------------------------------- constraint audit
+
+
+def test_constraint_audit_counts_and_nonvacuity(spark):
+    """FK checks must hold (clean synthetic data), predicate checks must
+    report the independently-recounted violation totals, and at least
+    two constraints must have nonzero violations (the audit is not a
+    wall of zeros)."""
+    got = {
+        r.check_name: (r.n_checked, r.n_violations)
+        for r in QUERIES["diag_constraint_audit"](spark, SF_MEDIUM).collect()
+    }
+    assert len(got) == 8
+    cust = spark.read.parquet(f"{SF_MEDIUM}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_MEDIUM}/orders.parquet")
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet")
+    assert got["customer_acctbal_nonnegative"] == (
+        cust.count(),
+        cust.filter("c_acctbal < 0").count(),
+    )
+    assert got["orders_fresh_since_1996"] == (
+        orders.count(),
+        orders.filter("CAST(o_orderdate AS DATE) < DATE'1996-01-01'").count(),
+    )
+    for fk in ("customer_nation_fk", "orders_custkey_fk", "lineitem_order_fk"):
+        assert got[fk][1] == 0, fk
+    assert got["lineitem_quantity_range"][0] == li.count()
+    assert sum(1 for _, v in got.values() if v > 0) >= 2
+
+
+def test_constraint_audit_is_three_scans(spark):
+    """The suite folds into one aggregate pass per table: exactly three
+    parquet scans of customer/orders/lineitem (plus nation + the two
+    key-side scans for the FK joins), never one scan per constraint."""
+    plan = _plan(QUERIES["diag_constraint_audit"](spark, SF_MEDIUM))
+    import re as _re
+
+    scans = _re.findall(r"Scan parquet\s+\(\d+\)", plan)
+    # 6 scans total: customer x2 (facts + orders-FK keys), orders x2
+    # (facts + lineitem-FK keys), lineitem, nation — NOT 8+ (one per check)
+    assert len(scans) <= 6, scans
+
+
+# ----------------------------------------------------- group-aware split
+
+
+def test_group_split_is_leakage_free_and_total(spark):
+    """Every document lands in exactly one split, every source's docs
+    land in a single split, and all three splits are populated."""
+    from lua_mapreduce_spark.operators.analytics3 import _SPLIT_MOD
+    import hashlib
+
+    got = {
+        r.split: (r.n_groups, r.n_docs, r.sum_chars)
+        for r in QUERIES["curation_group_split"](spark, SF_MEDIUM).collect()
+    }
+    assert set(got) == {"train", "val", "test"}
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").collect()
+    assign: dict = {}
+    for r in docs:
+        h = int(hashlib.md5(r.source.encode()).hexdigest()[:15], 16) % _SPLIT_MOD
+        assign.setdefault(
+            "train" if h <= 2 else "val" if h == 3 else "test", []
+        ).append(r)
+    want = {
+        s: (len({r.source for r in rs}), len(rs), sum(r.n_chars for r in rs))
+        for s, rs in assign.items()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) == len(docs)
+    # group-awareness: a source appears in exactly one split
+    seen: dict = {}
+    for s, rs in assign.items():
+        for r in rs:
+            assert seen.setdefault(r.source, s) == s

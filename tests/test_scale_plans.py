@@ -216,6 +216,7 @@ _BROADCAST_OK = {
     ("analytics2.py", "maxd"),        # single-row global max day (RFM recency anchor)
     ("analytics3.py", "bounds"),      # single-row 7-value percentile boundary agg
     ("analytics3.py", "top"),         # single-row argmax pair (BPE merge round)
+    ("analytics3.py", "nation"),      # constant 25 rows (constraint audit FK)
 }
 
 
