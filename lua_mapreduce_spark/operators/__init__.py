@@ -17,6 +17,7 @@ from lua_mapreduce_spark.operators import (
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     curation,
     dedup,
     events,
@@ -61,6 +62,7 @@ _MODULES = [
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     pq,
     sources_ops,
 ]
@@ -84,11 +86,11 @@ _MODULES = [
 # (events_sessionize_gap_method — same sessionize fix;
 # dedup_jaccard_prefix_join — PPJoin length filter; graph_triangle_count,
 # graph_kcore_peel, graph_label_propagation — shared derived-relation
-# cache changed their physical plans); the ELEVEN r9-new queries; and
-# TWENTY-FOUR third-confirmation fills drawn from the stalest pool
+# cache changed their physical plans); the NINETEEN r9-new queries; and
+# SIXTEEN third-confirmation fills drawn from the stalest pool
 # (last driver-verified r6 or earlier), spread across every family —
 # including streaming_user_totals, r8's lone perf-weak suspect.
-# 2 + 8 + 5 + 11 + 24 = 50. After a green r9, every pre-r9 query is
+# 2 + 8 + 5 + 19 + 16 = 50. After a green r9, every pre-r9 query is
 # driver-confirmed at least twice and the r9 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -125,20 +127,22 @@ _DRIVER_WINDOW = [
     "graph_bfs_distances",
     "diag_constraint_audit",
     "curation_group_split",
-    # third-confirmation fills (stalest pool, family-spread; 4 slots
+    "layout_compaction_bins",
+    "events_mad_outliers",
+    "agg_chisquare_contingency",
+    "curation_impute_group_median",
+    # third-confirmation fills (stalest pool, family-spread; 8 slots
     # ceded to the late-r9 newcomers above — the displaced fills
     # (window_gap_fill_ignore_nulls, events_anomaly_hours,
-    # streaming_dedup_count, dedup_exact_keep_first) move to the r10 pool)
+    # streaming_dedup_count, dedup_exact_keep_first, q18_large_orders,
+    # pivot_qty_by_linestatus, window_topk_per_group,
+    # events_cohort_retention) move to the r10 pool)
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q18_large_orders",
     "join_skew_salted",
-    "pivot_qty_by_linestatus",
     "agg_percentiles",
     "agg_null_semantics",
-    "window_topk_per_group",
     "events_funnel_conversion",
-    "events_cohort_retention",
     "streaming_user_totals",
     "streaming_upsert_merge",
     "streaming_stream_stream_join",

@@ -502,3 +502,165 @@ def test_group_split_is_leakage_free_and_total(spark):
     for s, rs in assign.items():
         for r in rs:
             assert seen.setdefault(r.source, s) == s
+
+
+# ----------------------------------------------------- compaction planner
+
+
+def test_compaction_bins_python_replay_and_invariants(spark):
+    """The plan must equal a literal cumulative-offset replay, assign
+    every file exactly once, genuinely pack (multi-file bins exist), and
+    never overflow a bin past target + one file."""
+    from lua_mapreduce_spark.operators.analytics4 import _COMPACT_TARGET
+
+    got = {
+        (r.lang, r.bin): r
+        for r in QUERIES["layout_compaction_bins"](spark, SF_MEDIUM).collect()
+    }
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").collect()
+    per_lang: dict = {}
+    for r in docs:
+        per_lang.setdefault(r.lang, []).append(r)
+    want: dict = {}
+    for lang, rs in per_lang.items():
+        off = 0
+        for r in sorted(rs, key=lambda x: (x.source, x.doc_id)):
+            b = off // _COMPACT_TARGET
+            n, tot, lo, hi = want.get((lang, b), (0, 0, r.source, r.source))
+            want[(lang, b)] = (
+                n + 1,
+                tot + r.n_chars,
+                min(lo, r.source),
+                max(hi, r.source),
+            )
+            off += r.n_chars
+    assert {
+        k: (v.n_files, v.bin_bytes, v.first_source, v.last_source)
+        for k, v in got.items()
+    } == want
+    assert sum(v.n_files for v in got.values()) == len(docs)
+    assert sum(1 for v in got.values() if v.n_files > 1) >= 2
+    max_file = max(r.n_chars for r in docs)
+    for v in got.values():
+        assert v.bin_bytes < _COMPACT_TARGET + max_file
+
+
+# ----------------------------------------------------- MAD outliers
+
+
+def test_mad_outliers_python_replay(spark):
+    """Median/MAD in quarter-cents must be exactly integer, and outlier
+    counts must equal a literal statistics.median replay."""
+    import statistics
+
+    from lua_mapreduce_spark.operators.analytics4 import _MAD_K
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_mad_outliers"](spark, SF_MEDIUM).collect()
+    }
+    ev = spark.read.parquet(f"{SF_MEDIUM}/events.parquet").collect()
+    per_type: dict = {}
+    for r in ev:
+        per_type.setdefault(r.event_type, []).append(round(r.value * 100) * 4)
+    assert set(got) == set(per_type)
+    for t, vals in per_type.items():
+        med = statistics.median(vals)
+        assert med == int(med)  # quarter-cent scaling keeps it integral
+        devs = [abs(v - int(med)) for v in vals]
+        mad = statistics.median(devs)
+        assert mad == int(mad)
+        n_out = sum(1 for d in devs if d > _MAD_K * int(mad))
+        r = got[t]
+        assert (r.n_events, r.med_qc, r.mad_qc, r.n_outliers) == (
+            len(vals),
+            int(med),
+            int(mad),
+            n_out,
+        )
+        assert r.n_outliers > 0  # non-vacuous on the synthetic data
+
+
+def test_mad_outliers_broadcasts_the_bounded_stats(spark):
+    """The per-type median/MAD relations are bounded (one row per type)
+    and must come back as broadcast joins — never a window-over-type
+    shuffle of the raw events (5-partition skew at scale)."""
+    plan = _plan(QUERIES["events_mad_outliers"](spark, SF_MEDIUM))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+# ----------------------------------------------------- chi-square
+
+
+def test_chisquare_python_replay(spark):
+    """Per-segment chi-square contributions must equal a literal
+    integer replay of the truncating formula over the contingency
+    table."""
+    got = {
+        r.c_mktsegment: (r.n_orders, r.chi2_centi)
+        for r in QUERIES["agg_chisquare_contingency"](spark, SF_MEDIUM).collect()
+    }
+    orders = spark.read.parquet(f"{SF_MEDIUM}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_MEDIUM}/customer.parquet")
+    cells: dict = {}
+    for r in (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .count()
+        .collect()
+    ):
+        cells[(r.c_mktsegment, r.o_orderpriority)] = r["count"]
+    segs = {s for s, _ in cells}
+    pris = {p for _, p in cells}
+    grand = sum(cells.values())
+    want: dict = {}
+    for s in segs:
+        r_tot = sum(v for (cs, _), v in cells.items() if cs == s)
+        chi = 0
+        for p in pris:
+            n = cells.get((s, p), 0)
+            c_tot = sum(v for (_, cp), v in cells.items() if cp == p)
+            exp_c = (100 * r_tot * c_tot) // grand
+            dev = 100 * n - exp_c
+            chi += (dev * dev) // max(exp_c, 1)
+        want[s] = (r_tot, chi)
+    assert got == want
+    assert sum(chi for _, chi in got.values()) > 0
+
+
+# ----------------------------------------------------- group-median impute
+
+
+def test_impute_group_median_python_replay(spark):
+    """Fill values must be the exact per-type median of PRESENT values
+    (half-cent integral), and post-imputation sums must reconcile."""
+    import statistics
+
+    from lua_mapreduce_spark.operators.analytics4 import _IMPUTE_MOD
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["curation_impute_group_median"](spark, SF_MEDIUM).collect()
+    }
+    ev = spark.read.parquet(f"{SF_MEDIUM}/events.parquet").collect()
+    per_type: dict = {}
+    for r in ev:
+        per_type.setdefault(r.event_type, []).append(
+            (r.event_id % _IMPUTE_MOD == 0, round(r.value * 100) * 2)
+        )
+    assert set(got) == set(per_type)
+    for t, rows in per_type.items():
+        present = [v for m, v in rows if not m]
+        fill = statistics.median(present)
+        assert fill == int(fill)  # half-cent scaling keeps it integral
+        n_missing = sum(1 for m, _ in rows if m)
+        want_sum = sum(present) + n_missing * int(fill)
+        r = got[t]
+        assert (r.n_rows, r.n_imputed, r.fill_halfcents, r.sum_halfcents) == (
+            len(rows),
+            n_missing,
+            int(fill),
+            want_sum,
+        )
+        assert n_missing > 0  # the mask is non-vacuous

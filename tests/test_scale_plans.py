@@ -217,6 +217,8 @@ _BROADCAST_OK = {
     ("analytics3.py", "bounds"),      # single-row 7-value percentile boundary agg
     ("analytics3.py", "top"),         # single-row argmax pair (BPE merge round)
     ("analytics3.py", "nation"),      # constant 25 rows (constraint audit FK)
+    ("analytics4.py", "med"),         # one row per event type (bounded enum)
+    ("analytics4.py", "mad"),         # one row per event type (bounded enum)
 }
 
 
