@@ -664,3 +664,64 @@ def test_impute_group_median_python_replay(spark):
             want_sum,
         )
         assert n_missing > 0  # the mask is non-vacuous
+
+
+# -------------------------------------------- integer-median scaling proofs
+
+
+def test_quarter_cent_scaling_keeps_median_and_mad_integral():
+    """Property proof of the events_mad_outliers exactness trick: for ANY
+    multiset of integer cents, 4x scaling makes the interpolated median
+    integral, deviations even, and the MAD integral — so the whole MAD
+    pipeline is exact in BIGINT on both engines, at any group size or
+    parity."""
+    import statistics
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1))
+    def check(cents):
+        v4 = [c * 4 for c in cents]
+        med = statistics.median(v4)
+        assert med == int(med)
+        devs = [abs(v - int(med)) for v in v4]
+        assert all(d % 2 == 0 for d in devs)
+        mad = statistics.median(devs)
+        assert mad == int(mad)
+
+    check()
+
+
+def test_half_cent_scaling_keeps_median_integral():
+    """Same proof for curation_impute_group_median's 2x scaling: the
+    interpolated median of even numbers is always integral."""
+    import statistics
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1))
+    def check(cents):
+        med = statistics.median([c * 2 for c in cents])
+        assert med == int(med)
+
+    check()
+
+
+# -------------------------------------------- analytics4 column pruning
+
+
+def test_compaction_scan_reads_only_needed_columns(spark):
+    """The manifest scan must prune to the four columns the plan uses —
+    a compaction planner that drags `text` through the window defeats
+    the run-over-metadata design."""
+    import re as _re
+
+    plan = _plan(QUERIES["layout_compaction_bins"](spark, SF_MEDIUM))
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"lang", "source", "doc_id", "n_chars"}, cols
