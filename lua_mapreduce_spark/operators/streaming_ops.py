@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.catalog import load_table
 from lua_mapreduce_spark.streaming.stateful import (
+    STREAM_STATE_PARTITIONS,
     drain_stream,
     stream_dedup_events,
     stream_sliding_counts,
@@ -107,6 +108,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_user_totals_stateful(_events_stream(spark, sf_dir)),
         "stateful_user_totals",
         output_mode="update",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     return (
         sink.groupBy("user_id")
@@ -181,7 +183,10 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = SnapshotStore(os.path.join(work, "snapshots"))
         run_merge_stream(
-            _events_stream(spark, sf_dir), store, os.path.join(work, "ckpt")
+            _events_stream(spark, sf_dir),
+            store,
+            os.path.join(work, "ckpt"),
+            state_partitions=STREAM_STATE_PARTITIONS,
         )
         final = store.read_latest(spark)
         if final is None:
@@ -273,6 +278,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_attribution(_events_stream(spark, sf_dir)),
         "stream_ssjoin",
         output_mode="append",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     return joined.groupBy("p_user").agg(F.count(F.lit(1)).alias("n_attributed"))
 

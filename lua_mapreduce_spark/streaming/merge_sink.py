@@ -155,18 +155,28 @@ def make_merge_sink(store: SnapshotStore):
 
 def run_merge_stream(
     stream_df: DataFrame, store: SnapshotStore, checkpoint_dir: str,
-    timeout_sec: int = 120,
+    timeout_sec: int = 120, state_partitions: int | None = None,
 ) -> None:
-    """Drain ``stream_df`` through the MERGE sink with availableNow."""
-    query = (
-        stream_df.writeStream.foreachBatch(make_merge_sink(store))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(timeout_sec):
-        query.stop()
-        raise TimeoutError(f"merge stream did not drain within {timeout_sec}s")
+    """Drain ``stream_df`` through the MERGE sink with availableNow.
+    ``state_partitions`` sizes the shuffle/state partitioning of the
+    per-micro-batch MERGE joins (see stateful.STREAM_STATE_PARTITIONS);
+    the session default is restored after the drain."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        query = (
+            stream_df.writeStream.foreachBatch(make_merge_sink(store))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(timeout_sec):
+            query.stop()
+            raise TimeoutError(f"merge stream did not drain within {timeout_sec}s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def snapshot_result(snapshot: DataFrame) -> DataFrame:
