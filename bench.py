@@ -133,6 +133,19 @@ HEADLINE = [
     "events_seasonal_decompose",
     "events_path_analysis",
     "dedup_embedding_cosine",
+    # Round 9 additions — representative slice of the r8/r9 waves
+    # (fuzzy joins, SCD2, robust stats, data-quality audit, compaction
+    # planning), so the newest surface gets 3-run-median series too.
+    "text_keyword_extraction",
+    "events_rfm_segments",
+    "dedup_simhash_pairs",
+    "dedup_edit_distance_join",
+    "join_scd2_point_in_time",
+    "graph_bfs_distances",
+    "diag_constraint_audit",
+    "agg_chisquare_contingency",
+    "events_mad_outliers",
+    "layout_compaction_bins",
 ]
 
 N_RUNS = 3
