@@ -725,3 +725,20 @@ def test_compaction_scan_reads_only_needed_columns(spark):
     assert m, "no ReadSchema in plan"
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"lang", "source", "doc_id", "n_chars"}, cols
+
+
+# -------------------------------------------- streaming state sizing
+
+
+def test_drain_restores_session_shuffle_partitions(spark):
+    """The state_partitions knob must be drain-scoped: the session's
+    shuffle partitioning is restored afterwards (even though the drain
+    itself ran with the state-sized value), and the sized drain still
+    executes >= 3 micro-batches."""
+    from lua_mapreduce_spark.streaming import stateful
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = QUERIES["streaming_stream_stream_join"](spark, SF_MEDIUM).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert stateful.LAST_DRAIN_NUM_BATCHES >= 3
+    assert len(rows) > 0
