@@ -279,12 +279,23 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("s") - F.expr(f"({_PJ_T} * s + 999) DIV 1000") + 1
-    ).select("doc_id", "s", "shingle")
+    ).select("doc_id", "s", "shingle", "rk")
     # PPJoin length filter (Xiao et al. 2008): J(A,B) <= min(|A|,|B|) /
     # max(|A|,|B|), so J >= t forces 1000*min >= t*max — a LOSSLESS
     # residual predicate on the prefix equi-join that drops size-skewed
     # collisions before the distinct and the array-intersect verify join
     # (integer arithmetic, no division).
+    #
+    # PPJoin positional filter (same paper, lossless): a matched prefix
+    # token at 1-based ranks (rk_a, rk_b) bounds the overlap by
+    # ubound = 1 + min(s_a - rk_a, s_b - rk_b), and J >= t requires
+    # O*(1000+t) >= t*(s_a+s_b); so prune when
+    # ubound*(1000+t) < t*(s_a+s_b). Lossless for the OR-over-tokens
+    # candidate set: a qualifying pair's SMALLEST common shingle is in
+    # both prefixes (anything common-and-in-both-prefixes sorts at or
+    # after it), and at that token every other common shingle lies
+    # strictly after rk in BOTH sets, so the bound holds there and the
+    # pair survives the distinct.
     cand = (
         prefix.alias("a")
         .join(
@@ -294,6 +305,17 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least(F.col("a.s"), F.col("b.s")) * 1000
                 >= _PJ_T * F.greatest(F.col("a.s"), F.col("b.s"))
+            )
+            & (
+                (
+                    1
+                    + F.least(
+                        F.col("a.s") - F.col("a.rk"),
+                        F.col("b.s") - F.col("b.rk"),
+                    )
+                )
+                * (1000 + _PJ_T)
+                >= _PJ_T * (F.col("a.s") + F.col("b.s"))
             ),
         )
         .select(
