@@ -270,8 +270,10 @@ def _copurchase_derived(spark: SparkSession, sf_dir: str, kind: str) -> DataFram
       outputPartitioning/outputOrdering in the LogicalRDD, so every
       per-round sort-merge join reuses the layout and only the small
       (<= |nodes|) label/frontier side shuffles — the classic
-      pre-partitioned-build-side pattern for iterated joins (measured
-      at sf0.1: LPA 5.8 -> 3.0 s, BFS 3.9 -> 2.6 s, identical results).
+      pre-partitioned-build-side pattern for iterated joins
+      (order-controlled A/B at sf0.1 — layout-change side measured
+      FIRST so page-cache warmth favors the baseline: LPA 2.30 vs
+      3.09 s, BFS 1.70 vs 2.33 s; identical results both ways).
 
     Both are bounded (<= |parts| rows resp. 2x edges), so the checkpoint
     cost is small next to the shuffles it removes."""
