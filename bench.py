@@ -170,6 +170,14 @@ EXTENDED_MEDIAN = {
     # Same cold/warm asymmetry (7.5 s cold vs 1.5 s steady-state: the
     # first run JITs the tokenize + per-round checkpoint chain).
     "text_bpe_learn_merges",
+    # Single runs of these occasionally catch a transient straggler
+    # (Python-worker pool respawn after the streaming drains / a state
+    # cleanup pause): observed 1.0 s -> 12.3 s and 1.4 s -> 8.1 s
+    # run-to-run swings with zero code change. Medians, not single
+    # passes, are the honest record.
+    "text_normalize_pandas_udf",
+    "udaf_group_median_pandas",
+    "range_join_monthly",
 }
 
 
