@@ -21,12 +21,26 @@ sessionization.
 Since round 7 the line also carries "queries_extended": a timed pass over
 EVERY other registered query (streaming drains, multimodal decodes,
 window_*/scalar_*, MapReduce layer) — a whole-registry regression radar.
-It is excluded from "value" so the headline total stays comparable across
-rounds, and a per-query failure records -1.0 instead of aborting the
-bench. Since round 9 the slowest extended queries (every streaming_*
-drain plus EXTENDED_MEDIAN) report 3-run medians — a single contended
-run was indistinguishable from a plan regression — while the cheap bulk
-stays single-pass.
+It is excluded from "value", and a per-query failure records -1.0 instead
+of aborting the bench. Since round 9 the slowest extended queries (every
+streaming_* drain plus EXTENDED_MEDIAN) report 3-run medians — a single
+contended run was indistinguishable from a plan regression — while the
+cheap bulk stays single-pass.
+
+COMPARABILITY (round 10): HEADLINE has GROWN round-over-round (21 names
+in r1 → 80+ now), so "value" (sum of current headline medians) is NOT a
+cross-round series — it re-baselines whenever the set grows. The numbers
+that ARE comparable across rounds:
+  - "value_r1": the sum over HEADLINE_R1, the frozen 21-query round-1
+    headline set. This is the round-trend row.
+  - "calibration": a fixed, never-changing probe query timed at bench
+    start and end (3-run medians each). Dividing any query's median by
+    the probe median separates host drift from plan changes mechanically
+    — round 9's graph-family scare (recorded 1.7-2.1× r8, re-measured at
+    or below r8 on a quiet host) is exactly the failure mode this line
+    removes.
+Per-query medians remain comparable individually whenever the query's
+code didn't change.
 
 The tail also carries "skew_join_events": the same genuinely-skewed join
 (events fact joined to a per-event_type dim — 5 hot keys, so hash
@@ -148,8 +162,52 @@ HEADLINE = [
     "layout_compaction_bins",
 ]
 
+# The FROZEN round-1 headline set (the 21 queries BENCH_r01.json timed).
+# Its subtotal is printed as "value_r1" — the only headline total that is
+# comparable across every round, since HEADLINE itself grows.
+HEADLINE_R1 = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "window_topk_per_group",
+    "sort_topk_orders",
+    "asof_join_attribution",
+    "join_skew_salted",
+    "text_wordcount",
+    "text_bigrams",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "events_session_windows",
+    "events_tumbling_hourly",
+    "events_funnel_conversion",
+]
+
 N_RUNS = 3
 _SKEW_SALT = 8
+
+
+def _calibration_probe(spark) -> None:
+    """Fixed host-speed probe — NEVER change this query: its round-over-
+    round ratio is the mechanical host-drift normalizer for every other
+    timing in this file. Shape chosen to touch the three cost centers the
+    registry exercises (codegen'd agg over a shuffle, string building,
+    sort) without reading any table, so it is identical at every sf."""
+    from pyspark.sql import functions as F
+
+    spark.range(2_000_000).selectExpr(
+        "CAST(id % 4096 AS STRING) AS k",
+        "id % 97 AS v",
+    ).groupBy("k").agg(
+        F.expr("CAST(SUM(v) AS BIGINT)").alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("k").collect()
 
 # Extended-tier queries promoted to 3-run medians (round 9): the slowest
 # members of the single-pass radar, where one contended run is
@@ -160,7 +218,6 @@ EXTENDED_MEDIAN = {
     "mr_grep_count",
     "dedup_cluster_components",
     "agg_cube_quantity",
-    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     # Python DataSource: first execution spins up the Python planning
     # worker + C2-JITs the Arrow path (measured 8.5 s cold vs 0.7 s
@@ -179,6 +236,13 @@ EXTENDED_MEDIAN = {
     "udaf_group_median_pandas",
     "range_join_monthly",
 }
+
+# EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is
+# dead (the extended loop skips headline names) and misleading about which
+# queries get promoted medians — keep the sets disjoint by construction.
+_dead = EXTENDED_MEDIAN & set(HEADLINE)
+if _dead:
+    raise RuntimeError(f"EXTENDED_MEDIAN names are in HEADLINE: {sorted(_dead)}")
 
 
 def _extended_runs_for(name: str) -> int:
@@ -367,6 +431,12 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    # Host-speed calibration, START sample: one untimed JIT pass, then
+    # N_RUNS timed. Re-sampled at bench END; the pair brackets the run so
+    # cross-round normalization (and within-run drift) is mechanical.
+    _calibration_probe(spark)
+    calib_start = _median_time(lambda: _calibration_probe(spark))
+
     from lua_mapreduce_spark.operators.dedup import (
         _minhash_signatures,
         clear_signature_cache,
@@ -421,8 +491,14 @@ def main() -> None:
                 # co-purchase edge list is built once and shared by the
                 # triangle / k-core / label-propagation queries, so its
                 # build cost gets its own line and the query lines are
-                # steady-state.
+                # steady-state. The DERIVED relations (degrees and the
+                # src-partitioned symmetrized layout) are ALSO shared,
+                # ALSO wiped by clear_copurchase_cache(), and previously
+                # got silently charged to whichever graph query touched
+                # them first (~1.6 s misattributed to the r9 graph-family
+                # "regression") — so they get their own build lines too.
                 from lua_mapreduce_spark.operators.analytics import (
+                    _copurchase_derived,
                     _copurchase_pairs,
                     clear_copurchase_cache,
                 )
@@ -431,6 +507,16 @@ def main() -> None:
                 t0 = time.perf_counter()
                 _copurchase_pairs(spark, sf_dir).count()
                 raw.setdefault("copurchase_edges_build", []).append(
+                    time.perf_counter() - t0
+                )
+                t0 = time.perf_counter()
+                _copurchase_derived(spark, sf_dir, "deg").count()
+                raw.setdefault("copurchase_deg_build", []).append(
+                    time.perf_counter() - t0
+                )
+                t0 = time.perf_counter()
+                _copurchase_derived(spark, sf_dir, "sym").count()
+                raw.setdefault("copurchase_sym_build", []).append(
                     time.perf_counter() - t0
                 )
             if name == "events_market_basket":
@@ -497,6 +583,23 @@ def main() -> None:
             print(f"extended bench {name} failed: {exc!r}", file=sys.stderr)
             extended[name] = -1.0
 
+    # Host-speed calibration, END sample.
+    calib_end = _median_time(lambda: _calibration_probe(spark))
+    calibration = {
+        "start_sec": round(statistics.median(calib_start), 3),
+        "end_sec": round(statistics.median(calib_end), 3),
+        "start_runs": [round(t, 3) for t in calib_start],
+        "end_runs": [round(t, 3) for t in calib_end],
+    }
+
+    # Restart-harness split for the streaming Python DataSource drain: its
+    # bench line is dominated by n_pages+1 checkpoint-recovery restarts
+    # (the POINT of the face — exactly-once across restarts), not read
+    # cost; record both so nobody mistakes harness cost for a plan flaw.
+    from lua_mapreduce_spark.operators import sources_ops as _sops
+
+    pds_drain = dict(getattr(_sops, "LAST_DRAIN_STATS", {}))
+
     skew = _skew_bench(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -518,6 +621,11 @@ def main() -> None:
                 "extended_single_run": extended,
                 "extended_runs_detail": extended_runs_detail,
                 "skew_join_events": skew,
+                "calibration": calibration,
+                "value_r1": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE_R1), 3
+                ),
+                "streaming_python_datasource_drain": pds_drain,
             },
             fh,
             indent=1,
@@ -527,6 +635,18 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wall_sec",
                 "value": round(sum(timings.values()), 3),
+                # The cross-round comparable subtotal: the frozen 21-query
+                # round-1 headline set (see module docstring). "value"
+                # re-baselines whenever HEADLINE grows; this doesn't.
+                "value_r1": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE_R1), 3
+                ),
+                # Fixed-probe host-speed sample at bench start and end —
+                # divide by this to separate host drift from plan changes.
+                "calibration_sec": {
+                    "start": calibration["start_sec"],
+                    "end": calibration["end_sec"],
+                },
                 "unit": "sec",
                 "sf": sf_val,
                 "runs_per_query": N_RUNS,

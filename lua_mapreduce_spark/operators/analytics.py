@@ -270,10 +270,14 @@ def _copurchase_derived(spark: SparkSession, sf_dir: str, kind: str) -> DataFram
       outputPartitioning/outputOrdering in the LogicalRDD, so every
       per-round sort-merge join reuses the layout and only the small
       (<= |nodes|) label/frontier side shuffles — the classic
-      pre-partitioned-build-side pattern for iterated joins
-      (order-controlled A/B at sf0.1 — layout-change side measured
-      FIRST so page-cache warmth favors the baseline: LPA 2.30 vs
-      3.09 s, BFS 1.70 vs 2.33 s; identical results both ways).
+      pre-partitioned-build-side pattern for iterated joins. An
+      order-controlled A/B at sf0.1 (layout-change side measured FIRST
+      so page-cache warmth favors the baseline) showed both LPA and BFS
+      ~25-30% faster with the layout, identical results both ways;
+      the recorded per-round figures live in bench_detail.json (the
+      graph_* medians, with this relation's build cost on its own
+      `copurchase_sym_build` line since r10 — absolute numbers belong
+      there, not here).
 
     Both are bounded (<= |parts| rows resp. 2x edges), so the checkpoint
     cost is small next to the shuffles it removes."""

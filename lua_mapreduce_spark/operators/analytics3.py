@@ -715,8 +715,7 @@ FROM prod
 
 _CDC_UPD_MOD = 5  # keys receiving an UPDATE (cents + 7)
 _CDC_DEL_MOD = 7  # keys receiving a DELETE
-_CDC_INS_MOD = 11  # base keys spawning an INSERT clone (key + 10^7)
-_CDC_INS_OFFSET = 10_000_000
+_CDC_INS_MOD = 11  # base keys spawning an INSERT clone (key + max(k)+1)
 
 
 def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,7 +727,12 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seq order resolves them exactly like a Debezium/Kafka compacted
     topic. The changelog is derived deterministically in-query (every
     5th key updated, every 7th deleted, every 11th cloned as an insert
-    under key+10^7) so the oracle replays it bit-for-bit.
+    under key + max(k)+1) so the oracle replays it bit-for-bit. The
+    insert offset is DERIVED from the base (1-row max aggregate,
+    broadcast) rather than a constant: a fixed 10^7 offset collides
+    with live o_orderkey values at SF >= 10, silently turning "inserts"
+    into upserts; max(k)+1 keeps insert keys disjoint from the base at
+    every scale factor.
 
     Scale shape: one unionAll (no shuffle) + one hash shuffle on the key
     for the window; rn = 1 compiles to WindowGroupLimit so each map task
@@ -740,11 +744,16 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("cents"),
     )
     ops = [base.select("k", "o_orderpriority", "cents", F.lit(0).alias("seq"))]
-    ins = base.filter(F.expr(f"k % {_CDC_INS_MOD} = 0")).select(
-        F.expr(f"k + {_CDC_INS_OFFSET}").alias("k"),
-        "o_orderpriority",
-        F.expr("cents + 13").alias("cents"),
-        F.lit(1).alias("seq"),
+    off = base.agg(F.expr("CAST(MAX(k) + 1 AS BIGINT)").alias("ins_off"))
+    ins = (
+        base.filter(F.expr(f"k % {_CDC_INS_MOD} = 0"))
+        .crossJoin(F.broadcast(off))
+        .select(
+            F.expr("k + ins_off").alias("k"),
+            "o_orderpriority",
+            F.expr("cents + 13").alias("cents"),
+            F.lit(1).alias("seq"),
+        )
     )
     upd = base.filter(F.expr(f"k % {_CDC_UPD_MOD} = 0")).select(
         "k",
@@ -779,7 +788,8 @@ WITH base AS (
 log AS (
   SELECT k, o_orderpriority, cents, 0 AS seq FROM base
   UNION ALL
-  SELECT k + {_CDC_INS_OFFSET}, o_orderpriority, cents + 13, 1
+  SELECT k + (SELECT CAST(MAX(k) + 1 AS BIGINT) FROM base),
+         o_orderpriority, cents + 13, 1
   FROM base WHERE k % {_CDC_INS_MOD} = 0
   UNION ALL
   SELECT k, o_orderpriority, cents + 7, 2

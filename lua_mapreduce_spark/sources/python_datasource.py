@@ -197,6 +197,15 @@ def register_paged_rows(spark) -> None:
     """Idempotent registration (the driver contract calls query functions
     on a session this module never saw). Python-source filter pushdown is
     off by default (Spark 4.1) and a reader implementing pushFilters hard
-    fails without it, so enable the runtime conf alongside."""
+    fails without it, so enable the runtime conf alongside.
+
+    The conf is DELIBERATELY sticky (session-wide, not save/restored
+    here): query functions return LAZY DataFrames, and the pushFilters
+    call happens at plan time — i.e. when the caller collects, after this
+    function has long returned — so a scoped restore would re-break the
+    very plan it was set for. The change is visible to any OTHER Python
+    data source used later on the same session; that is additive for
+    sources without pushFilters (the conf only gates whether Spark calls
+    it) and a documented behavior change for sources that implement it."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedRowsDataSource)

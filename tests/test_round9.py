@@ -266,7 +266,6 @@ def test_cdc_apply_python_replay(spark):
     from lua_mapreduce_spark.operators.analytics3 import (
         _CDC_DEL_MOD,
         _CDC_INS_MOD,
-        _CDC_INS_OFFSET,
         _CDC_UPD_MOD,
     )
 
@@ -278,10 +277,13 @@ def test_cdc_apply_python_replay(spark):
         r.o_orderkey: (r.o_orderpriority, round(r.o_totalprice * 100))
         for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
     }
+    # r10: insert offset derived from the base (max key + 1), so synthetic
+    # insert keys are disjoint from live keys at EVERY scale factor.
+    ins_offset = max(base) + 1
     state = dict(base)
     for k, (pr, c) in base.items():  # seq 1: inserts
         if k % _CDC_INS_MOD == 0:
-            state[k + _CDC_INS_OFFSET] = (pr, c + 13)
+            state[k + ins_offset] = (pr, c + 13)
     for k, (pr, c) in base.items():  # seq 2: updates
         if k % _CDC_UPD_MOD == 0:
             state[k] = (pr, c + 7)
@@ -293,8 +295,10 @@ def test_cdc_apply_python_replay(spark):
         n, s = want.get(pr, (0, 0))
         want[pr] = (n + 1, s + c)
     assert got == want
-    # every op class actually fired (non-vacuous fixture)
-    assert any(k >= _CDC_INS_OFFSET for k in state)
+    # every op class actually fired (non-vacuous fixture), and insert keys
+    # are provably disjoint from the base key range
+    assert any(k >= ins_offset for k in state)
+    assert all(k < ins_offset for k in base)
     assert len(state) < len(base) + sum(
         1 for k in base if k % _CDC_INS_MOD == 0
     )

@@ -143,6 +143,7 @@ _NESTED_LOOP_OK = {
     "events_rfm_segments",    # 1-row max-day broadcast cross join
     "agg_equidepth_histogram", # 1-row percentile-bounds broadcast cross join
     "text_bpe_learn_merges",   # 1-row top-pair broadcast cross join per round
+    "cdc_apply_changelog",     # 1-row insert-offset (max key) broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -216,6 +217,7 @@ _BROADCAST_OK = {
     ("analytics2.py", "maxd"),        # single-row global max day (RFM recency anchor)
     ("analytics3.py", "bounds"),      # single-row 7-value percentile boundary agg
     ("analytics3.py", "top"),         # single-row argmax pair (BPE merge round)
+    ("analytics3.py", "off"),         # single-row max-key insert offset (CDC)
     ("analytics3.py", "nation"),      # constant 25 rows (constraint audit FK)
     ("analytics4.py", "med"),         # one row per event type (bounded enum)
     ("analytics4.py", "mad"),         # one row per event type (bounded enum)
