@@ -222,8 +222,12 @@ EXTENDED_MEDIAN = {
     # Python DataSource: first execution spins up the Python planning
     # worker + C2-JITs the Arrow path (measured 8.5 s cold vs 0.7 s
     # steady-state) — a single-pass timing reports the spin-up, not the
-    # query.
+    # query. The r10 writer face has the same cold/warm asymmetry (plus
+    # an eager in-query write), as does the recursive-CTE BFS (UnionLoop
+    # JIT + per-level materialization).
     "source_python_datasource",
+    "sink_python_datasource",
+    "graph_bfs_recursive_cte",
     # Same cold/warm asymmetry (7.5 s cold vs 1.5 s steady-state: the
     # first run JITs the tokenize + per-round checkpoint chain).
     "text_bpe_learn_merges",

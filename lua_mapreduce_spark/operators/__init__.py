@@ -18,6 +18,7 @@ from lua_mapreduce_spark.operators import (
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     curation,
     dedup,
     events,
@@ -63,6 +64,7 @@ _MODULES = [
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     pq,
     sources_ops,
 ]
@@ -79,39 +81,28 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-9 window (the committed SURVEY §2.6 r9 plan): the two pins; the
-# EIGHT r8-new queries owing their second confirmation (one of them,
-# interval_overlap_join_binned, also changed in r9 — the microsecond-
-# exact interval sessionize); the FIVE r9-changed pre-existing queries
-# (events_sessionize_gap_method — same sessionize fix;
-# dedup_jaccard_prefix_join — PPJoin length filter; graph_triangle_count,
-# graph_kcore_peel, graph_label_propagation — shared derived-relation
-# cache changed their physical plans); the NINETEEN r9-new queries; and
-# SIXTEEN third-confirmation fills drawn from the stalest pool
-# (last driver-verified r6 or earlier), spread across every family —
-# including streaming_user_totals, r8's lone perf-weak suspect.
-# 2 + 8 + 5 + 19 + 16 = 50. After a green r9, every pre-r9 query is
-# driver-confirmed at least twice and the r9 newcomers once.
+# Round-10 window (executes the committed SURVEY §2.6 r10 pre-plan): the
+# two pins; the NINETEEN r9-new queries owing their second confirmation
+# (one of them, cdc_apply_changelog, also changed in r10 — the insert
+# offset is now derived from max(o_orderkey)+1 per the r9 ADVICE, so
+# synthetic insert keys stay disjoint from live keys at every SF); the
+# FIVE r10-new queries (the Python DataSource WRITER faces —
+# sink_python_datasource with the manifest two-phase commit and
+# streaming_sink_python_datasource composing custom source into custom
+# sink; graph_bfs_recursive_cte — the Spark-4 WITH RECURSIVE twin of the
+# frontier-loop BFS, sharing its oracle; curation_weighted_sample_aes —
+# deterministic Efraimidis-Spirakis weighted reservoir;
+# dedup_crawl_frontier — URL canonicalize + keep-latest); the EIGHT
+# fills the late-r9 newcomers displaced from the r9 window; and SIXTEEN
+# third-confirmation fills from the stalest pool (last driver-verified
+# r4 or earlier), spread across every family.
+# 2 + 19 + 5 + 8 + 16 = 50. After a green r10, every pre-r10 query is
+# driver-confirmed at least twice and the r10 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r8-new queries (second confirmation); interval_overlap_join_binned
-    # also r9-changed
-    "asof_join_tolerance",
-    "text_keyword_extraction",
-    "events_rfm_segments",
-    "dedup_simhash_pairs",
-    "interval_overlap_join_binned",
-    "curation_shard_manifest",
-    "source_xml_roundtrip",
-    "source_variant_extract",
-    # r9-changed pre-existing queries
-    "events_sessionize_gap_method",
-    "dedup_jaccard_prefix_join",
-    "graph_triangle_count",
-    "graph_kcore_peel",
-    "graph_label_propagation",
-    # r9-new queries
+    # r9-new queries (second confirmation); cdc_apply_changelog also
+    # r10-changed
     "source_python_datasource",
     "streaming_python_datasource",
     "dedup_edit_distance_join",
@@ -131,28 +122,40 @@ _DRIVER_WINDOW = [
     "events_mad_outliers",
     "agg_chisquare_contingency",
     "curation_impute_group_median",
-    # third-confirmation fills (stalest pool, family-spread; 8 slots
-    # ceded to the late-r9 newcomers above — the displaced fills
-    # (window_gap_fill_ignore_nulls, events_anomaly_hours,
-    # streaming_dedup_count, dedup_exact_keep_first, q18_large_orders,
-    # pivot_qty_by_linestatus, window_topk_per_group,
-    # events_cohort_retention) move to the r10 pool)
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "join_skew_salted",
-    "agg_percentiles",
-    "agg_null_semantics",
-    "events_funnel_conversion",
-    "streaming_user_totals",
-    "streaming_upsert_merge",
-    "streaming_stream_stream_join",
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    "sim_cosine_topk",
-    "sim_ann_multitable",
-    "multimodal_audio_features",
-    "text_tfidf",
-    "text_decontaminate_fuzzy",
+    # r10-new queries
+    "sink_python_datasource",
+    "streaming_sink_python_datasource",
+    "graph_bfs_recursive_cte",
+    "curation_weighted_sample_aes",
+    "dedup_crawl_frontier",
+    # the 8 fills displaced from the r9 window by the late-r9 newcomers
+    "window_gap_fill_ignore_nulls",
+    "events_anomaly_hours",
+    "streaming_dedup_count",
+    "dedup_exact_keep_first",
+    "q18_large_orders",
+    "pivot_qty_by_linestatus",
+    "window_topk_per_group",
+    "events_cohort_retention",
+    # third-confirmation fills (stalest pool — last driver-verified r4
+    # or earlier — family-spread: join/TPC-H, dedup, events, MapReduce
+    # layer, multimodal, scalar, similarity, streaming, window, text)
+    "join_anti_customers_without_orders",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "dedup_latest_per_key",
+    "events_json_extract",
+    "events_session_windows",
+    "mr_grep_count",
+    "multimodal_decode_features",
+    "multimodal_metadata",
+    "q15_top_supplier",
+    "q22_dormant_rich_customers",
+    "scalar_string_predicates",
+    "sim_ann_lsh_buckets",
+    "streaming_static_enrich_counts",
+    "window_lag_lead",
+    "text_corpus_curation",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -973,6 +973,50 @@ FROM bfs GROUP BY 1
 """
 
 
+def graph_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWIN of graph_bfs_distances through Spark 4.1's ``WITH RECURSIVE``
+    (SPARK-24497): the same bounded single-source BFS declared as a
+    recursive CTE instead of a driver-side frontier loop, over the same
+    shared symmetrized edge relation. Both faces share one oracle — the
+    driver gate proves the declarative and iterative forms identical.
+
+    Spark 4.1 supports only UNION ALL recursion (UNION dedup raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — verified r10), and a naive
+    UNION ALL walk ENUMERATES WALKS: measured 214M/258M length-<=4 walks
+    at sf0.01/sf0.1 on this graph — it blows the 1M
+    RECURSION_ROW_LIMIT_EXCEEDED guard and would be a genuine scale
+    anti-pattern (hub degree grows with the data, so walk counts grow
+    super-linearly). The fix that keeps the CTE scale-correct: DISTINCT
+    in the recursive term (supported) collapses each level to node
+    granularity — level k holds the distinct nodes reachable in exactly
+    k steps, <= |nodes| rows per level, revisits resolved by the outer
+    MIN(d) exactly as in the oracle's UNION walk. The iterative form
+    (graph_bfs_distances) additionally anti-joins the visited set so its
+    frontier SHRINKS; the CTE re-derives reachable sets per level — the
+    remaining cost of declarativeness until UNION-dedup recursion
+    lands."""
+    sym = _copurchase_derived(spark, sf_dir, "sym")
+    sym.createOrReplaceTempView("lmrs_bfs_sym_v")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(node, d) AS (
+          SELECT CAST(MIN(src) AS BIGINT), 0 FROM lmrs_bfs_sym_v
+          UNION ALL
+          SELECT DISTINCT s.dst, walk.d + 1
+          FROM walk JOIN lmrs_bfs_sym_v s ON s.src = walk.node
+          WHERE walk.d < {_BFS_HOPS}
+        ),
+        bfs AS (SELECT node, MIN(d) AS dist FROM walk GROUP BY node)
+        SELECT dist,
+               COUNT(*) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node,
+               CAST(SUM(node) AS BIGINT) AS id_checksum
+        FROM bfs GROUP BY dist
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Declarative constraint audit (data-quality expectations, Deequ-style)
 # --------------------------------------------------------------------------
@@ -1219,6 +1263,7 @@ QUERIES = {
     "cdc_apply_changelog": cdc_apply_changelog,
     "join_scd2_point_in_time": join_scd2_point_in_time,
     "graph_bfs_distances": graph_bfs_distances,
+    "graph_bfs_recursive_cte": graph_bfs_recursive_cte,
     "diag_constraint_audit": diag_constraint_audit,
     "curation_group_split": curation_group_split,
 }
@@ -1226,6 +1271,7 @@ QUERIES = {
 ORACLES = {
     "join_scd2_point_in_time": SCD2_ORACLE,
     "graph_bfs_distances": BFS_ORACLE,
+    "graph_bfs_recursive_cte": BFS_ORACLE,
     "diag_constraint_audit": CONSTRAINT_AUDIT_ORACLE,
     "curation_group_split": GROUP_SPLIT_ORACLE,
     "text_bpe_learn_merges": BPE_MERGES_ORACLE,

@@ -296,11 +296,184 @@ FROM rows GROUP BY page
 """
 
 
+# --------------------------------------------------------------------------
+# Python DataSource WRITER faces (round 10): the sink counterpart of the
+# round-9 reader — the reference's ``finalfn`` slot
+# (word-count-taskfile.lua:91-97) in modern, distributed form.
+# --------------------------------------------------------------------------
+
+_SINK_SHARDS = 4  # fixed round-robin shard count -> deterministic n_shards
+
+
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders through the manifest-committed Python DataSource SINK
+    (sources/python_datasink.py), read back ONLY what the manifest
+    committed, and aggregate: equality with the oracle (which aggregates
+    the parquet directly) proves the write -> two-phase commit -> manifest
+    -> read cycle lossless. ``n_shards`` pins the manifest's committed
+    file count — repartition(_SINK_SHARDS) round-robin guarantees 4
+    non-empty shards at every sf, so a duplicated or dropped shard
+    changes the column and fails the gate. The commit/abort protocol
+    itself (failed task publishes nothing, abort leaves no visible
+    output, epoch-retry idempotence) is pinned by
+    tests/test_python_datasink.py."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from lua_mapreduce_spark.sources.python_datasink import (
+        committed_files,
+        read_sharded_sink,
+        register_sharded_sink,
+    )
+
+    register_sharded_sink(spark)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("cents"),
+    )
+    work = _tempfile.mkdtemp(prefix="lmrs_pds_sink_")
+    try:
+        (
+            src.repartition(_SINK_SHARDS)
+            .write.format("lmrs_sharded_sink")
+            .mode("overwrite")
+            .save(work)
+        )
+        n_files = len(committed_files(work))
+        back = read_sharded_sink(
+            spark,
+            work,
+            "o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT",
+        )
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("CAST(SUM(cents) AS BIGINT)").alias("sum_cents"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .withColumn("n_shards", F.lit(_SINK_SHARDS).cast("bigint"))
+            .withColumn(
+                "n_committed", F.lit(n_files).cast("bigint")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+SINK_PYTHON_DATASOURCE_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST({_SINK_SHARDS} AS BIGINT) AS n_shards,
+       CAST({_SINK_SHARDS} AS BIGINT) AS n_committed
+FROM orders GROUP BY 1
+"""
+
+
+# Small fixed stream (2 pages): every page costs one checkpointed restart.
+_SINK_S_N_ROWS = 2_000
+_SINK_S_PAGE = 1_000
+
+
+def streaming_sink_python_datasource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSTOM streaming source into CUSTOM streaming sink: the paged-rows
+    Python stream reader drains through the sharded sink's
+    DataSourceStreamWriter under availableNow restarts (same
+    restart-driven protocol as streaming_python_datasource — each round
+    recovers the committed offset from the checkpoint), committing one
+    manifest per epoch. Read-back resolves ONLY manifest-committed files;
+    the oracle replays the stream from range() + md5, so equality proves
+    no page was lost, duplicated, or reordered across restarts on EITHER
+    side of the pipe — exactly-once offsets (source) and exactly-once
+    epoch manifests (sink) verified in one face."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from lua_mapreduce_spark.sources.python_datasink import (
+        read_sharded_sink,
+        register_sharded_sink,
+    )
+    from lua_mapreduce_spark.sources.python_datasource import (
+        register_paged_rows,
+    )
+
+    register_paged_rows(spark)
+    register_sharded_sink(spark)
+    n_pages = -(-_SINK_S_N_ROWS // _SINK_S_PAGE)
+    work = _tempfile.mkdtemp(prefix="lmrs_pds_stream_sink_")
+    out = _os.path.join(work, "out")
+    ckpt = _os.path.join(work, "ckpt")
+    _os.makedirs(out, exist_ok=True)
+    try:
+        for _round in range(n_pages + 1):
+            q = (
+                spark.readStream.format("lmrs_paged_rows")
+                .option("n_rows", _SINK_S_N_ROWS)
+                .option("page_size", _SINK_S_PAGE)
+                .load()
+                .writeStream.format("lmrs_sharded_sink")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(120):
+                q.stop()
+                raise RuntimeError("stream sink drain round timed out")
+        drained = read_sharded_sink(
+            spark,
+            out,
+            "page BIGINT, row_id BIGINT, row_key STRING, row_hash BIGINT",
+        )
+        return (
+            drained.groupBy("page")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("row_id").alias("first_id"),
+                F.max("row_id").alias("last_id"),
+                F.expr(f"CAST(SUM(row_hash % {_PDS_MOD}) AS BIGINT)").alias(
+                    "hash_checksum"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_SINK_PYTHON_DATASOURCE_ORACLE = f"""
+WITH rows AS (
+  SELECT CAST(r.range AS BIGINT) AS row_id,
+         CAST(r.range // {_SINK_S_PAGE} AS BIGINT) AS page,
+         CAST(('0x' || substr(md5('row-' || CAST(r.range AS VARCHAR)), 1, 15))
+              AS BIGINT) AS row_hash
+  FROM range({_SINK_S_N_ROWS}) r)
+SELECT page,
+       COUNT(*) AS n_rows,
+       MIN(row_id) AS first_id,
+       MAX(row_id) AS last_id,
+       CAST(SUM(row_hash % {_PDS_MOD}) AS BIGINT) AS hash_checksum
+FROM rows GROUP BY page
+"""
+
+
 QUERIES = {
     "source_xml_roundtrip": source_xml_roundtrip,
     "source_variant_extract": source_variant_extract,
     "source_python_datasource": source_python_datasource,
     "streaming_python_datasource": streaming_python_datasource,
+    "sink_python_datasource": sink_python_datasource,
+    "streaming_sink_python_datasource": streaming_sink_python_datasource,
 }
 
 ORACLES = {
@@ -308,4 +481,6 @@ ORACLES = {
     "source_variant_extract": VARIANT_EXTRACT_ORACLE,
     "source_python_datasource": PYTHON_DATASOURCE_ORACLE,
     "streaming_python_datasource": STREAMING_PYTHON_DATASOURCE_ORACLE,
+    "sink_python_datasource": SINK_PYTHON_DATASOURCE_ORACLE,
+    "streaming_sink_python_datasource": STREAMING_SINK_PYTHON_DATASOURCE_ORACLE,
 }

@@ -1,0 +1,221 @@
+"""Spark 4 Python DataSource WRITER: a manifest-committed sharded sink.
+
+This is the modern PySpark analogue of the reference's ``finalfn`` sink
+slot — the user-supplied consumer of the job's final results
+(word-count-taskfile.lua:91-97; wired at lua-mapreduce-server.lua:325-327).
+The reference's finalfn runs ON THE DRIVER over the whole result table;
+the Python DataSource writer API is the same user-pluggable slot done the
+distributed way: ``write(batches)`` runs ON THE EXECUTORS (one task per
+partition, rows arriving as Arrow RecordBatches), and only the tiny
+commit/abort protocol runs on the driver. Together with the reader half
+(python_datasource.py, round 9) this closes the LAST user-pluggable
+Spark-4 source/sink surface.
+
+Commit protocol (the part the face exists to exercise):
+
+1. Each task writes its shard to ``<path>/_staged/`` under a name unique
+   to the (partition, attempt) — a RETRIED or SPECULATIVE attempt writes
+   a DIFFERENT staged file. The shard is written to a ``.tmp`` name and
+   atomically renamed into ``_staged/`` only after a successful flush, so
+   a task that dies mid-write leaves no *staged* file at all.
+2. The task returns a ``ShardCommit`` message naming its staged file.
+3. ``commit(messages)`` — driver-side, only after EVERY task succeeded —
+   publishes a ``_MANIFEST.json`` listing exactly the committed files.
+   Readers resolve the manifest first and read ONLY files it names:
+   orphaned shards from failed/duplicate attempts are invisible without
+   any cleanup having to run.
+4. ``abort(messages)`` deletes the staged files of the tasks that DID
+   succeed; the manifest is never written, so the sink stays empty.
+
+Scale design: this is the Iceberg/Delta-style METADATA commit — O(tasks)
+driver work, zero data renames (rename-per-file commit is O(files) driver
+RPC on HDFS and non-atomic copy on object stores). The manifest is the
+atomic unit: a reader either sees the whole write or none of it. The
+streaming face writes one ``_manifest-batch-<id>.json`` per epoch,
+OVERWRITTEN idempotently if Spark retries the epoch — replayed batches
+supersede their failed attempt's files, which is exactly-once for readers
+without any sink-side dedup state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+class ShardCommit(WriterCommitMessage):
+    """One successful task's contribution: staged file name (None for an
+    empty partition — empty shards publish no file) + its row count."""
+
+    def __init__(self, file: str | None, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+def _task_shard_name() -> str:
+    """Unique per task ATTEMPT: partition id + attempt number when a
+    TaskContext is live (normal executor path), a uuid otherwise. Attempt
+    uniqueness is what makes speculative/retried tasks safe — two
+    attempts of one partition never contend for the same staged name."""
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            return f"part-{ctx.partitionId():05d}-a{ctx.attemptNumber()}-{ctx.taskAttemptId()}"
+    except Exception:  # pragma: no cover - TaskContext is present on executors
+        pass
+    return f"part-{uuid.uuid4().hex}"
+
+
+def _write_staged(path: str, batches) -> ShardCommit:
+    """Executor-side shard write: Arrow batches -> one parquet file staged
+    under ``<path>/_staged/`` via write-to-tmp + atomic rename. Returns
+    the commit message; never publishes anything by itself."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        return ShardCommit(None, 0)
+    table = pa.Table.from_batches(batches)
+    staged_dir = os.path.join(path, "_staged")
+    os.makedirs(staged_dir, exist_ok=True)
+    name = f"{_task_shard_name()}.parquet"
+    tmp = os.path.join(staged_dir, name + ".tmp")
+    pq.write_table(table, tmp)
+    # Atomic on POSIX; on an object store the multipart-upload *complete*
+    # call plays this role (no partially-visible shard either way).
+    os.replace(tmp, os.path.join(staged_dir, name))
+    return ShardCommit(os.path.join("_staged", name), table.num_rows)
+
+
+def _delete_staged(path: str, messages) -> None:
+    for m in messages:
+        if m is not None and getattr(m, "file", None):
+            try:
+                os.remove(os.path.join(path, m.file))
+            except FileNotFoundError:
+                pass
+
+
+class ShardedSinkWriter(DataSourceArrowWriter):
+    """Batch face. ``overwrite`` (mode("overwrite")) replaces the
+    manifest; append merges with an existing one. Either way the switch
+    happens atomically at manifest-publish time."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lmrs_sharded_sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> ShardCommit:
+        return _write_staged(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        files = [
+            {"file": m.file, "rows": m.rows}
+            for m in messages
+            if m is not None and m.file
+        ]
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                files = json.load(fh)["files"] + files
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"files": files, "total_rows": sum(f["rows"] for f in files)},
+                fh,
+            )
+        os.replace(tmp, manifest_path)  # the atomic publish
+
+    def abort(self, messages) -> None:
+        _delete_staged(self.path, messages)
+
+
+class ShardedStreamSinkWriter(DataSourceStreamArrowWriter):
+    """Streaming face: one manifest per epoch, overwritten idempotently on
+    epoch retry — the committed manifest set IS the exactly-once ledger."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lmrs_sharded_sink requires a path")
+
+    def write(self, iterator) -> ShardCommit:
+        return _write_staged(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = [
+            {"file": m.file, "rows": m.rows}
+            for m in messages
+            if m is not None and m.file
+        ]
+        manifest_path = os.path.join(self.path, f"_manifest-batch-{batchId}.json")
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batchId, "files": files}, fh)
+        os.replace(tmp, manifest_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        _delete_staged(self.path, messages)
+
+
+class ShardedSinkDataSource(DataSource):
+    """``df.write.format("lmrs_sharded_sink").mode(...).save(path)`` and
+    ``df.writeStream.format("lmrs_sharded_sink").option("path", p)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lmrs_sharded_sink"
+
+    def writer(self, schema, overwrite: bool) -> ShardedSinkWriter:
+        return ShardedSinkWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> ShardedStreamSinkWriter:
+        return ShardedStreamSinkWriter(self.options)
+
+
+def register_sharded_sink(spark) -> None:
+    """Idempotent registration (driver contract: query functions run on a
+    session this module never saw)."""
+    spark.dataSource.register(ShardedSinkDataSource)
+
+
+def committed_files(path: str) -> list[str]:
+    """Resolve the sink's committed file set: the batch manifest plus
+    every per-epoch streaming manifest, in epoch order. Files never named
+    by a manifest (aborted/superseded attempts) do not exist to readers."""
+    out: list[str] = []
+    batch = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(batch):
+        with open(batch) as fh:
+            out.extend(f["file"] for f in json.load(fh)["files"])
+    epochs = sorted(
+        (f for f in os.listdir(path) if f.startswith("_manifest-batch-")),
+        key=lambda f: int(f.rsplit("-", 1)[1].split(".")[0]),
+    ) if os.path.isdir(path) else []
+    for name in epochs:
+        with open(os.path.join(path, name)) as fh:
+            out.extend(f["file"] for f in json.load(fh)["files"])
+    return [os.path.join(path, f) for f in out]
+
+
+def read_sharded_sink(spark, path: str, schema: str):
+    """Manifest-resolved read-back: ONLY committed files, explicit schema
+    (the manifest is metadata, not a schema registry). An uncommitted /
+    aborted sink reads as an empty relation, which is the point."""
+    files = committed_files(path)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
