@@ -11,8 +11,10 @@ reported as the per-query MEDIAN — BASELINE.md documents ±30% host noise
 on single runs, and medians make round-over-round deltas reflect plan
 changes, not scheduler jitter. Per-run detail (spread + raw timings, the
 stall-vs-regression triage data) is written to bench_detail.json beside
-this script; the printed line carries medians only, last in key order,
-because the round harness keeps just the tail of stdout.
+this script; the printed line carries medians only, with the headline
+SCALARS (metric/value/value_r1/calibration) LAST in key order because
+the round harness keeps just the TAIL of stdout — r8/r9's recorded
+tails were head-truncated mid-line and lost the scalars when they led.
 Results are small aggregates so collect cost is negligible. The headline
 set spans the engine's operator families: scan+agg, multi-join, window,
 text, dedup (MinHash-LSH), similarity (cosine top-k), event-time
@@ -634,38 +636,44 @@ def main() -> None:
             fh,
             indent=1,
         )
+    # KEY ORDER MATTERS: the round harness keeps only the TAIL of stdout
+    # (r8/r9 proved it: their recorded BENCH tails are head-truncated
+    # mid-line, losing "metric"/"value" entirely because the scalars led
+    # an ~8 KB line). The big per-query dicts therefore go FIRST and the
+    # headline scalars LAST, so a tail capture of any reasonable size
+    # always retains metric/value/value_r1/calibration/skew. Full
+    # per-query data is in bench_detail.json regardless.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                # The cross-round comparable subtotal: the frozen 21-query
-                # round-1 headline set (see module docstring). "value"
-                # re-baselines whenever HEADLINE grows; this doesn't.
-                "value_r1": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE_R1), 3
+                "queries": timings,
+                # single-pass radar over the rest of the registry; NOT part
+                # of "value". The promoted slow set (streaming_* +
+                # EXTENDED_MEDIAN) reports 3-run medians instead.
+                "queries_extended": extended,
+                "extended_median_promoted": sorted(
+                    n for n in extended if _extended_runs_for(n) > 1
                 ),
+                "n_benched": len(timings) + len(extended),
+                "runs_per_query": N_RUNS,
+                "extended_runs_per_query": 1,
+                "skew_join_events": skew,
                 # Fixed-probe host-speed sample at bench start and end —
                 # divide by this to separate host drift from plan changes.
                 "calibration_sec": {
                     "start": calibration["start_sec"],
                     "end": calibration["end_sec"],
                 },
-                "unit": "sec",
-                "sf": sf_val,
-                "runs_per_query": N_RUNS,
-                # single-pass radar over the rest of the registry; NOT part
-                # of "value" (which stays comparable to prior rounds). The
-                # promoted slow set (streaming_* + EXTENDED_MEDIAN) reports
-                # 3-run medians instead of a single pass.
-                "extended_runs_per_query": 1,
-                "extended_median_promoted": sorted(
-                    n for n in extended if _extended_runs_for(n) > 1
+                # The cross-round comparable subtotal: the frozen 21-query
+                # round-1 headline set (see module docstring). "value"
+                # re-baselines whenever HEADLINE grows; this doesn't.
+                "value_r1": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE_R1), 3
                 ),
-                "n_benched": len(timings) + len(extended),
-                "skew_join_events": skew,
-                "queries": timings,
-                "queries_extended": extended,
+                "sf": sf_val,
+                "unit": "sec",
+                "value": round(sum(timings.values()), 3),
+                "metric": "headline_queries_total_wall_sec",
             }
         )
     )
