@@ -614,6 +614,37 @@ def main() -> None:
     # line stays compact (medians only, and LAST in key order — a
     # head-truncated capture still retains them); per-run detail goes to
     # bench_detail.json beside this script for stall-vs-regression triage.
+    # Durable cross-round series: bench_detail.json is gitignored (a
+    # per-run artifact) and the harness's stdout capture is
+    # tail-truncated, so r8/r9's per-query numbers were effectively
+    # lost. bench_history.jsonl is APPEND-ONLY and git-TRACKED: one
+    # compact line per bench run (timestamp, sf, calibration pair,
+    # value/value_r1, all medians), committed with the round, so any
+    # future round can diff per-query series without archaeology.
+    history_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+    )
+    with open(history_path, "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "sf": sf_val,
+                    "calibration_sec": {
+                        "start": calibration["start_sec"],
+                        "end": calibration["end_sec"],
+                    },
+                    "value": round(sum(timings.values()), 3),
+                    "value_r1": round(
+                        sum(timings.get(n, 0.0) for n in HEADLINE_R1), 3
+                    ),
+                    "medians": timings,
+                    "extended": extended,
+                }
+            )
+            + "\n"
+        )
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
