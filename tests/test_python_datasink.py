@@ -121,6 +121,45 @@ def test_stream_manifests_resolve_in_epoch_order(tmp_path):
     assert got == ["b2.parquet", "b10.parquet"]  # numeric, not lexical
 
 
+def test_stream_failed_epoch_publishes_nothing(spark, tmp_path):
+    """A real streaming write whose batch FAILS mid-epoch (UDF bomb on
+    the stream side) must leave NO epoch manifest: the sink read-back
+    stays empty no matter what was staged before the failure."""
+    register_sharded_sink(spark)
+    path = str(tmp_path / "stream_fail")
+    os.makedirs(path)
+
+    # Bomb on value 0 — the FIRST row the rate source ever emits — so
+    # every non-empty batch fails deterministically; no batch can commit
+    # a non-empty manifest before the failure.
+    @F.udf("long")
+    def boom(v):
+        if v == 0:
+            raise ValueError("synthetic stream failure")
+        return v
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select(boom(F.col("value")).alias("k"))
+    )
+    q = (
+        src.writeStream.format("lmrs_sharded_sink")
+        .option("path", path)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fail"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(60)
+    # Epochs that committed BEFORE the bomb may exist but only as empty
+    # manifests (the rate stream ramps up); the failed epoch itself must
+    # have published nothing — no committed files, empty read-back.
+    for m in glob.glob(os.path.join(path, "_manifest-batch-*.json")):
+        assert json.load(open(m))["files"] == []
+    assert committed_files(path) == []
+    assert read_sharded_sink(spark, path, "k BIGINT").count() == 0
+
+
 def test_stream_abort_deletes_staged(tmp_path):
     path = str(tmp_path / "stream_abort")
     staged = os.path.join(path, "_staged")
