@@ -994,7 +994,11 @@ def graph_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph_bfs_distances) additionally anti-joins the visited set so its
     frontier SHRINKS; the CTE re-derives reachable sets per level — the
     remaining cost of declarativeness until UNION-dedup recursion
-    lands."""
+    lands. Scale knob: cumulative walk rows are bounded by
+    (hops+1) x |reachable nodes|, which clears the default
+    spark.sql.cteRecursionRowLimit (1,000,000) up to ~200k-node graphs;
+    beyond that, raise the conf — the per-level DISTINCT keeps the
+    actual work linear in nodes regardless."""
     sym = _copurchase_derived(spark, sf_dir, "sym")
     sym.createOrReplaceTempView("lmrs_bfs_sym_v")
     return spark.sql(
