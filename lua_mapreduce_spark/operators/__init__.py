@@ -31,6 +31,7 @@ from lua_mapreduce_spark.operators import (
     relational2,
     relational3,
     relational4,
+    relational5,
     scale_ops,
     scale_ops2,
     similarity,
@@ -47,6 +48,7 @@ _MODULES = [
     relational2,
     relational3,
     relational4,
+    relational5,
     windows,
     text,
     events,
@@ -86,17 +88,24 @@ _MODULES = [
 # (one of them, cdc_apply_changelog, also changed in r10 — the insert
 # offset is now derived from max(o_orderkey)+1 per the r9 ADVICE, so
 # synthetic insert keys stay disjoint from live keys at every SF); the
-# FIVE r10-new queries (the Python DataSource WRITER faces —
+# FIVE early-r10-new queries (the Python DataSource WRITER faces —
 # sink_python_datasource with the manifest two-phase commit and
 # streaming_sink_python_datasource composing custom source into custom
 # sink; graph_bfs_recursive_cte — the Spark-4 WITH RECURSIVE twin of the
 # frontier-loop BFS, sharing its oracle; curation_weighted_sample_aes —
 # deterministic Efraimidis-Spirakis weighted reservoir;
-# dedup_crawl_frontier — URL canonicalize + keep-latest); the EIGHT
-# fills the late-r9 newcomers displaced from the r9 window; and SIXTEEN
-# third-confirmation fills from the stalest pool (last driver-verified
-# r4 or earlier), spread across every family.
-# 2 + 19 + 5 + 8 + 16 = 50. After a green r10, every pre-r10 query is
+# dedup_crawl_frontier — URL canonicalize + keep-latest); the SEVEN
+# late-r10 TPC-H completion queries (relational5.py — q2/q9/q11/q12/
+# q16/q20/q21, previously data-blocked, unblocked by deterministic
+# in-query synthesis of partsupp and the lineitem shipping columns —
+# SURVEY §7.4.1 pulled forward); the EIGHT fills the late-r9 newcomers
+# displaced from the r9 window; and NINE third-confirmation fills from
+# the stalest pool (last driver-verified r4 or earlier, family-spread;
+# the seven displaced by the TPC-H wave — q5_local_supplier_volume,
+# dedup_latest_per_key, events_json_extract, multimodal_decode_features,
+# q15_top_supplier, q22_dormant_rich_customers, text_corpus_curation —
+# go to the FRONT of the r11 fill pool, SURVEY §2.6).
+# 2 + 19 + 5 + 7 + 8 + 9 = 50. After a green r10, every pre-r10 query is
 # driver-confirmed at least twice and the r10 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -122,12 +131,20 @@ _DRIVER_WINDOW = [
     "events_mad_outliers",
     "agg_chisquare_contingency",
     "curation_impute_group_median",
-    # r10-new queries
+    # r10-new queries (early wave)
     "sink_python_datasource",
     "streaming_sink_python_datasource",
     "graph_bfs_recursive_cte",
     "curation_weighted_sample_aes",
     "dedup_crawl_frontier",
+    # r10-new queries (late wave: TPC-H completion, relational5.py)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_supplier_part_counts",
+    "q20_part_promotion",
+    "q21_suppliers_kept_waiting",
     # the 8 fills displaced from the r9 window by the late-r9 newcomers
     "window_gap_fill_ignore_nulls",
     "events_anomaly_hours",
@@ -138,24 +155,17 @@ _DRIVER_WINDOW = [
     "window_topk_per_group",
     "events_cohort_retention",
     # third-confirmation fills (stalest pool — last driver-verified r4
-    # or earlier — family-spread: join/TPC-H, dedup, events, MapReduce
-    # layer, multimodal, scalar, similarity, streaming, window, text)
+    # or earlier — family-spread: join, dedup, events, MapReduce layer,
+    # multimodal, scalar, similarity, streaming, window)
     "join_anti_customers_without_orders",
-    "q5_local_supplier_volume",
     "dedup_exact",
-    "dedup_latest_per_key",
-    "events_json_extract",
     "events_session_windows",
     "mr_grep_count",
-    "multimodal_decode_features",
     "multimodal_metadata",
-    "q15_top_supplier",
-    "q22_dormant_rich_customers",
     "scalar_string_predicates",
     "sim_ann_lsh_buckets",
     "streaming_static_enrich_counts",
     "window_lag_lead",
-    "text_corpus_curation",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

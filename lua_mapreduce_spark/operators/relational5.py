@@ -1,0 +1,666 @@
+"""TPC-H completion wave: the seven query shapes (Q2/Q9/Q11/Q12/Q16/Q20/
+Q21) that were data-blocked through round 9 — the driver's testdata ships
+no ``partsupp`` table and no ``l_shipmode``/``l_commitdate``/
+``l_receiptdate`` lineitem columns.
+
+Unblocked here by DETERMINISTIC IN-QUERY SYNTHESIS (the
+``cdc_apply_changelog`` / ``dedup_crawl_frontier`` pattern, SURVEY.md
+§7.4.1): both engines derive the missing inputs from the SAME
+integer/md5 arithmetic, so the correctness gate checks the OPERATOR
+semantics over identical inputs, not data luck.
+
+Synthesized relations:
+
+* ``partsupp`` — 4 suppliers per part, rotation-assigned the way TPC-H's
+  dbgen does (spec 4.2.3: supplier k of part p is a fixed arithmetic
+  rotation over the supplier keyspace), adapted to this dataset's 0-based
+  keys as ``ps_suppkey = (p_partkey + i*(S DIV 4)) % S`` for i in 0..3 —
+  for any supplier count S >= 4 the four offsets ``i*(S DIV 4)`` are
+  strictly below S, so the 4 keys per part are always distinct (verified
+  by test + the PK audit in tests/test_round10_tpch.py).
+  ``ps_availqty`` (1..9999) and ``ps_supplycost_cents`` (100..100000 =
+  $1.00..$1000.00, integer cents) come from 60-bit md5 grids
+  (functions/texthash.py) — exact in both engines, no floats anywhere.
+* lineitem shipping columns — ``l_shipmode`` (7-value enum),
+  ``l_commitdate`` (ship date -30..+30 days), ``l_receiptdate`` (ship
+  date +1..+30 days), each md5-keyed on (l_orderkey, l_linenumber).
+  Timestamp arithmetic stays in the raw-timestamp INTERVAL domain on
+  both sides (the round-9 rule: never compare via epoch-seconds diffs).
+
+Semantics note: lineitem's REAL ``l_suppkey`` column is kept — lines
+shipped by a supplier outside a part's 4 official catalog suppliers have
+no supply cost and drop out of Q9/Q20's inner joins (in spec data every
+shipped pair exists in partsupp; here the catalog is synthetic, so the
+join is selective: ~4/S of lines). The SHAPES — multi-join profit
+rollup, correlated min-cost subquery, HAVING over a global scalar,
+distinct-count exclusion join, semi/anti EXISTS rewrites — are exactly
+the spec's, and both engines see the same rows.
+
+Reference context: the reference engine (lua-mapreduce, 2012) has no
+relational surface at all — its one dataflow is word count over text
+shards (example/word-count-taskfile.lua:73-159, server shuffle
+lua-mapreduce-server.lua:269-327). These queries extend SURVEY.md §2.4's
+"TPC-H shapes" row from 15/22 (data-blocked) to 22/22.
+
+Scale notes (100 TB): partsupp is built from `part` (linear in SF) with
+a 1-row broadcast supplier count — 4 rows out per part, no shuffle; the
+synthesis adds no scan of its own. Q9/Q20/Q21 shuffle on their join
+keys exactly like their spec forms; Q2's min-cost subquery decorrelates
+into one partkey-keyed aggregate + join-back (the Catalyst
+RewriteCorrelatedScalarSubquery shape, written out); Q11/Q16's HAVING
+thresholds are integer cross-multiplications against 1-row broadcast
+totals — no doubles, no second scan of the grouped relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table
+from lua_mapreduce_spark.functions.exact import REVENUE, dsum_expr, dsum_sql
+from lua_mapreduce_spark.functions.texthash import (
+    md5_bigint_expr,
+    oracle_md5_bigint_expr,
+)
+
+# --------------------------------------------------------------------------
+# Synthesized partsupp (engine pair)
+# --------------------------------------------------------------------------
+
+
+def _ps_hash(tag: str, spark_side: bool) -> str:
+    cast = "STRING" if spark_side else "VARCHAR"
+    h = md5_bigint_expr if spark_side else oracle_md5_bigint_expr
+    return h(
+        f"concat('{tag}|', CAST(ps_partkey AS {cast}), "
+        f"'|', CAST(ps_suppkey AS {cast}))"
+    )
+
+
+def partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized partsupp relation (see module docstring).
+
+    ONE pass over `part`: cross join with the 1-row supplier count
+    (broadcast by construction), explode the 4 rotation slots, then two
+    md5 grid columns. Never shuffles, never collects.
+    """
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    scount = supplier.agg(F.count(F.lit(1)).alias("s_count"))
+    return (
+        part.crossJoin(F.broadcast(scount))
+        .select(
+            "p_partkey",
+            "s_count",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr("(p_partkey + i * (s_count DIV 4)) % s_count").alias(
+                "ps_suppkey"
+            ),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            F.expr(f"1 + {_ps_hash('psaq', True)} % 9999").alias("ps_availqty"),
+            F.expr(f"100 + {_ps_hash('pscost', True)} % 99901").alias(
+                "ps_supplycost_cents"
+            ),
+        )
+    )
+
+
+# DuckDB CTE bodies (composed into each oracle's WITH clause; DuckDB has
+# no DIV keyword, so the oracle uses its integer-division `//` — both
+# operands are non-negative, so truncation == floor == Spark's DIV).
+PARTSUPP_CTES = f"""
+supcnt AS (SELECT COUNT(*) AS s_count FROM supplier),
+ps_keys AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + i.i * (s_count // 4)) % s_count AS ps_suppkey
+  FROM part, supcnt, (VALUES (0),(1),(2),(3)) AS i(i)),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         1 + {_ps_hash("psaq", False)} % 9999 AS ps_availqty,
+         100 + {_ps_hash("pscost", False)} % 99901 AS ps_supplycost_cents
+  FROM ps_keys)"""
+
+
+# --------------------------------------------------------------------------
+# Synthesized lineitem shipping columns (engine pair)
+# --------------------------------------------------------------------------
+
+
+def _li_hash(tag: str, spark_side: bool) -> str:
+    cast = "STRING" if spark_side else "VARCHAR"
+    h = md5_bigint_expr if spark_side else oracle_md5_bigint_expr
+    return h(
+        f"concat('{tag}|', CAST(l_orderkey AS {cast}), "
+        f"'|', CAST(l_linenumber AS {cast}))"
+    )
+
+
+# Engine-shared CASE text (only the hash expression differs).
+_SHIPMODE_CASE = (
+    "CASE {h} % 7 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'"
+    " WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'RAIL' WHEN 5 THEN 'REG AIR'"
+    " ELSE 'FOB' END"
+)
+
+
+def lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem plus synthesized l_shipmode/l_commitdate/l_receiptdate.
+
+    Pure map-side column derivations over the scan — filters on the real
+    columns still push down; the synthesized ones evaluate in the same
+    WholeStageCodegen stage as the scan's projection.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.withColumns(
+        {
+            "l_shipmode": F.expr(_SHIPMODE_CASE.format(h=_li_hash("lsm", True))),
+            "l_commitdate": F.expr(
+                f"timestampadd(DAY, CAST({_li_hash('lcd', True)} % 61 - 30"
+                " AS INT), l_shipdate)"
+            ),
+            "l_receiptdate": F.expr(
+                f"timestampadd(DAY, CAST(1 + {_li_hash('lrd', True)} % 30"
+                " AS INT), l_shipdate)"
+            ),
+        }
+    )
+
+
+LINEITEM_EXT_CTE = f"""
+lineitem_ext AS (
+  SELECT *,
+         {_SHIPMODE_CASE.format(h=_li_hash("lsm", False))} AS l_shipmode,
+         l_shipdate + to_days(CAST({_li_hash("lcd", False)} % 61 - 30 AS INT))
+           AS l_commitdate,
+         l_shipdate + to_days(CAST(1 + {_li_hash("lrd", False)} % 30 AS INT))
+           AS l_receiptdate
+  FROM lineitem)"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2: min-cost supplier per part within a region. The correlated
+# MIN subquery decorrelates into a per-part aggregate over the SAME
+# region-filtered relation + equi-join back on (partkey, cost) — one
+# partkey shuffle, then TakeOrderedAndProject for the top-k.
+# --------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = partsupp_df(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    # Regional supplier costs for every part (region/nation constant-size
+    # -> broadcast; supplier grows with SF -> AQE decides).
+    regional = (
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = regional.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost_cents").alias("min_cost_cents")
+    )
+    return (
+        regional.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cost_cents")),
+        )
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey"),
+            F.col("ps_suppkey"),
+            F.col("ps_supplycost_cents").alias("supplycost_cents"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "ps_suppkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_ORACLE = f"""
+WITH {PARTSUPP_CTES},
+regional AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+         s_acctbal, s_name, n_name
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+min_cost AS (
+  SELECT ps_partkey AS mc_partkey, MIN(ps_supplycost_cents) AS min_cost_cents
+  FROM regional GROUP BY ps_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_suppkey,
+       ps_supplycost_cents AS supplycost_cents
+FROM regional
+JOIN min_cost
+  ON ps_partkey = mc_partkey AND ps_supplycost_cents = min_cost_cents
+JOIN part ON ps_partkey = p_partkey
+WHERE p_type = 'ECONOMY' AND p_size <= 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9: product-type profit by nation and order year. Revenue stays
+# in the exact decimal domain (functions/exact.py); supply cost stays in
+# integer cents; the final profit is ONE double subtraction of the two
+# exact aggregates — identical in both engines.
+# --------------------------------------------------------------------------
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = partsupp_df(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year"),
+        )
+        .agg(
+            dsum_expr(REVENUE, "sum_revenue"),
+            F.expr(
+                "SUM(ps_supplycost_cents * CAST(l_quantity AS BIGINT))"
+            ).alias("sum_cost_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            "sum_revenue",
+            "sum_cost_cents",
+            F.expr(
+                "sum_revenue - CAST(sum_cost_cents AS DOUBLE) / 100.0"
+            ).alias("profit"),
+            "n_lines",
+        )
+    )
+
+
+Q9_ORACLE = f"""
+WITH {PARTSUPP_CTES},
+joined AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {dsum_sql(REVENUE, "sum_revenue")},
+         CAST(SUM(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS sum_cost_cents,
+         COUNT(*) AS n_lines
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%gear%'
+  GROUP BY 1, 2)
+SELECT nation, o_year, sum_revenue, sum_cost_cents,
+       sum_revenue - CAST(sum_cost_cents AS DOUBLE) / 100.0 AS profit,
+       n_lines
+FROM joined
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11: important stock. The spec's `HAVING value > fraction *
+# total` uses an SF-scaled fraction; the SF-robust integer form here is
+# `value * n_parts > 2 * total` ("more than twice the nation's average
+# part value") — pure BIGINT cross-multiplication against a 1-row
+# broadcast (total, n_parts) aggregate, exact at every SF.
+# --------------------------------------------------------------------------
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Supplier geography filter is a REGION, not the spec's single nation:
+    # this dataset's supplier counts start at 10 (sf0.001), where many of
+    # the 25 nations have zero suppliers and a nation filter goes vacuous.
+    # A region is a constant 1/5 of suppliers at every SF — same shape.
+    ps = partsupp_df(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    grouped = (
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.expr("SUM(ps_supplycost_cents * ps_availqty)").alias(
+                "stock_value_cents"
+            )
+        )
+    )
+    tot = grouped.agg(
+        F.sum("stock_value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        grouped.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("stock_value_cents") * F.col("n_parts")
+            > F.lit(2) * F.col("total_cents")
+        )
+        .select("ps_partkey", "stock_value_cents")
+        .orderBy(F.col("stock_value_cents").desc(), "ps_partkey")
+        .limit(100)
+    )
+
+
+Q11_ORACLE = f"""
+WITH {PARTSUPP_CTES},
+grouped AS (
+  SELECT ps_partkey,
+         CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+           AS stock_value_cents
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY ps_partkey),
+tot AS (
+  SELECT CAST(SUM(stock_value_cents) AS BIGINT) AS total_cents,
+         COUNT(*) AS n_parts
+  FROM grouped)
+SELECT ps_partkey, stock_value_cents
+FROM grouped, tot
+WHERE stock_value_cents * n_parts > 2 * total_cents
+ORDER BY stock_value_cents DESC, ps_partkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12: shipmode priority. Pure synthesized-column predicates over
+# one lineitem scan (commit/receipt/ship interval logic in the raw
+# timestamp domain), one orderkey join, 2-row output.
+# --------------------------------------------------------------------------
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = lineitem_ext(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END)"
+            ).alias("high_line_count"),
+            F.expr(
+                "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END)"
+            ).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+Q12_ORACLE = f"""
+WITH {LINEITEM_EXT_CTE}
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem_ext
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND l_shipdate < l_commitdate
+  AND l_receiptdate >= TIMESTAMP '1996-01-01'
+  AND l_receiptdate < TIMESTAMP '1997-01-01'
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16: supplier counts per part attribute triple, excluding a
+# supplier blocklist. The spec's comment-LIKE complaint filter has no
+# comment column here; the deterministic stand-in is s_acctbal < 0
+# (same shape: anti join against a filtered supplier set, then
+# COUNT(DISTINCT) over the surviving partsupp rows).
+# --------------------------------------------------------------------------
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = partsupp_df(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = f"""
+WITH {PARTSUPP_CTES}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#12'
+  AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20: suppliers with excess stock of promoted parts. The
+# correlated `availqty > 0.5 * SUM(shipped)` subquery decorrelates into
+# a (partkey, suppkey) aggregate + equi-join; the half comparison is the
+# integer cross-multiplication 2*availqty > shipped_qty. Only shipped
+# catalog pairs qualify (see module docstring on synthetic-join
+# selectivity).
+# --------------------------------------------------------------------------
+
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = partsupp_df(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    # Region filter, not the spec's nation — see q11_important_stock.
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sq_partkey"),
+            F.col("l_suppkey").alias("sq_suppkey"),
+        )
+        .agg(F.expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias("shipped_qty"))
+    )
+    candidates = (
+        ps.join(
+            part.select("p_partkey"), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("sq_partkey"))
+            & (F.col("ps_suppkey") == F.col("sq_suppkey")),
+        )
+        .filter(F.lit(2) * F.col("ps_availqty") > F.col("shipped_qty"))
+    )
+    return (
+        supplier.join(
+            candidates, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE = f"""
+WITH {PARTSUPP_CTES},
+shipped AS (
+  SELECT l_partkey AS sq_partkey, l_suppkey AS sq_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS shipped_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT ps_suppkey
+    FROM partsupp
+    JOIN shipped ON ps_partkey = sq_partkey AND ps_suppkey = sq_suppkey
+    WHERE 2 * ps_availqty > shipped_qty
+      AND ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21: suppliers who kept orders waiting. The spec's
+# EXISTS/NOT-EXISTS pair over lineitem self-joins rewrites into ONE
+# orderkey-grouped aggregate: a late line of supplier s qualifies iff
+# its order has >= 2 distinct suppliers (EXISTS other-supplier line)
+# and exactly 1 distinct LATE supplier (NOT EXISTS other late supplier
+# — s itself is late, so the late set must be exactly {s}). One shuffle
+# on orderkey instead of two self-joins; the oracle keeps the literal
+# EXISTS form, so the rewrite is value-verified, not assumed.
+# --------------------------------------------------------------------------
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = lineitem_ext(spark, sf_dir).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    flagged = li.join(
+        orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        flagged.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_ORACLE = f"""
+WITH {LINEITEM_EXT_CTE}
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem_ext l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_3'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND EXISTS (
+    SELECT 1 FROM lineitem_ext l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem_ext l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_receiptdate > l3.l_commitdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_part_promotion": q20_part_promotion,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+}
+
+ORACLES = {
+    "q2_min_cost_supplier": Q2_ORACLE,
+    "q9_product_type_profit": Q9_ORACLE,
+    "q11_important_stock": Q11_ORACLE,
+    "q12_shipmode_priority": Q12_ORACLE,
+    "q16_supplier_part_counts": Q16_ORACLE,
+    "q20_part_promotion": Q20_ORACLE,
+    "q21_suppliers_kept_waiting": Q21_ORACLE,
+}

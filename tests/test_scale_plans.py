@@ -144,6 +144,14 @@ _NESTED_LOOP_OK = {
     "agg_equidepth_histogram", # 1-row percentile-bounds broadcast cross join
     "text_bpe_learn_merges",   # 1-row top-pair broadcast cross join per round
     "cdc_apply_changelog",     # 1-row insert-offset (max key) broadcast cross join
+    # TPC-H completion wave: partsupp synthesis cross-joins the 1-row
+    # supplier count (relational5.partsupp_df); q11 additionally
+    # cross-joins its 1-row (total, n_parts) aggregate.
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_part_promotion",
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -221,6 +229,10 @@ _BROADCAST_OK = {
     ("analytics3.py", "nation"),      # constant 25 rows (constraint audit FK)
     ("analytics4.py", "med"),         # one row per event type (bounded enum)
     ("analytics4.py", "mad"),         # one row per event type (bounded enum)
+    ("relational5.py", "scount"),     # single-row supplier count (partsupp rotation)
+    ("relational5.py", "nation"),     # constant 25 rows
+    ("relational5.py", "region"),     # constant 5 rows
+    ("relational5.py", "tot"),        # single-row (total, n_parts) aggregate (Q11)
 }
 
 
