@@ -98,15 +98,23 @@ _MODULES = [
 # late-r10 TPC-H completion queries (relational5.py — q2/q9/q11/q12/
 # q16/q20/q21, previously data-blocked, unblocked by deterministic
 # in-query synthesis of partsupp and the lineitem shipping columns —
-# SURVEY §7.4.1 pulled forward); the EIGHT fills the late-r9 newcomers
-# displaced from the r9 window; and NINE third-confirmation fills from
-# the stalest pool (last driver-verified r4 or earlier, family-spread;
-# the seven displaced by the TPC-H wave — q5_local_supplier_volume,
-# dedup_latest_per_key, events_json_extract, multimodal_decode_features,
-# q15_top_supplier, q22_dormant_rich_customers, text_corpus_curation —
-# go to the FRONT of the r11 fill pool, SURVEY §2.6).
-# 2 + 19 + 5 + 7 + 8 + 9 = 50. After a green r10, every pre-r10 query is
-# driver-confirmed at least twice and the r10 newcomers once.
+# SURVEY §7.4.1 pulled forward); the TWO last-wave r10 queries
+# (curation_stratified_weighted_sample — per-stratum A-ES, §7.4.2;
+# graph_trade_closure_recursive_cte — cyclic-graph transitive
+# closure as a second WITH RECURSIVE face, §7.4.3; and
+# layout_compaction_rewrite — the OPTIMIZE cycle end-to-end:
+# small-files write -> distributed input_file_name manifest -> binning
+# plan -> broadcast-routed rewrite -> verified read-back, §7.4.4); the
+# EIGHT fills the late-r9 newcomers displaced from the r9 window; and
+# SIX third-confirmation fills from the stalest pool (last
+# driver-verified r4 or earlier, family-spread; the TEN displaced by
+# the late waves — q5_local_supplier_volume, dedup_latest_per_key,
+# events_json_extract, multimodal_decode_features, q15_top_supplier,
+# q22_dormant_rich_customers, text_corpus_curation, dedup_exact,
+# window_lag_lead, events_session_windows — go to the FRONT of the
+# r11 fill pool, SURVEY §2.6).
+# 2 + 19 + 5 + 7 + 3 + 8 + 6 = 50. After a green r10, every pre-r10
+# query is driver-confirmed at least twice and the r10 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
@@ -145,6 +153,11 @@ _DRIVER_WINDOW = [
     "q16_supplier_part_counts",
     "q20_part_promotion",
     "q21_suppliers_kept_waiting",
+    # r10-new queries (last wave: stratified A-ES, trade closure,
+    # end-to-end compaction rewrite)
+    "curation_stratified_weighted_sample",
+    "graph_trade_closure_recursive_cte",
+    "layout_compaction_rewrite",
     # the 8 fills displaced from the r9 window by the late-r9 newcomers
     "window_gap_fill_ignore_nulls",
     "events_anomaly_hours",
@@ -155,17 +168,18 @@ _DRIVER_WINDOW = [
     "window_topk_per_group",
     "events_cohort_retention",
     # third-confirmation fills (stalest pool — last driver-verified r4
-    # or earlier — family-spread: join, dedup, events, MapReduce layer,
-    # multimodal, scalar, similarity, streaming, window)
+    # or earlier — family-spread: join, MapReduce layer, multimodal,
+    # scalar, similarity, streaming; the dedup/window/events families
+    # keep window coverage via the r9-displaced fills
+    # dedup_exact_keep_first / window_gap_fill_ignore_nulls /
+    # window_topk_per_group / events_anomaly_hours /
+    # events_cohort_retention above)
     "join_anti_customers_without_orders",
-    "dedup_exact",
-    "events_session_windows",
     "mr_grep_count",
     "multimodal_metadata",
     "scalar_string_predicates",
     "sim_ann_lsh_buckets",
     "streaming_static_enrich_counts",
-    "window_lag_lead",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

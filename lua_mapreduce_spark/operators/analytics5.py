@@ -190,12 +190,301 @@ FROM kept GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Stratified weighted sample (A-ES per stratum, late-r10 — SURVEY §7.4.2)
+# --------------------------------------------------------------------------
+
+_SAES_K = 20  # per-stratum sample size
+
+
+def curation_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Efraimidis-Spirakis A-ES: within every language, the
+    _SAES_K documents minimizing the deterministic exponential race key
+    -ln(u)/w with w = n_chars — the quality-weighted PER-BUCKET corpus
+    subsample (e.g. "k docs per language, long docs favored"), composing
+    curation_weighted_sample_aes's race-key construction with the
+    stratified-quota machinery. doc_id is the total-order tiebreak, so
+    the selection is deterministic even under (impossible-in-practice)
+    race-key ties.
+
+    Scale shape: ONE scan; the per-stratum top-k is row_number over
+    (PARTITION BY lang ORDER BY race) <= k, which Spark compiles to
+    WindowGroupLimit — per-partition per-stratum heaps truncate map-side
+    BEFORE the exchange, so the shuffle carries at most
+    n_partitions * n_strata * k rows, never the corpus. Same double-
+    arithmetic discipline as the global A-ES face (explicit doubles
+    everywhere; the only float-order sensitivity is the rank-k/k+1
+    boundary, margin-tested in tests/test_round10_tpch.py)."""
+    from pyspark.sql import Window
+
+    h = md5_bigint_expr("concat('doc-', CAST(doc_id AS STRING))")
+    race = (
+        f"-ln((CAST({h} AS DOUBLE) + 0.5d) / CAST({_AES_TWO60} AS DOUBLE))"
+        " / CAST(n_chars AS DOUBLE)"
+    )
+    w = Window.partitionBy("lang").orderBy(F.expr(race).asc(), F.col("doc_id"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _SAES_K)
+    )
+
+
+_SAES_ORACLE_H = oracle_md5_bigint_expr("concat('doc-', CAST(doc_id AS VARCHAR))")
+_SAES_ORACLE_RACE = (
+    f"-ln((CAST({_SAES_ORACLE_H} AS DOUBLE) + 0.5)"
+    f" / CAST({_AES_TWO60} AS DOUBLE))"
+    " / CAST(n_chars AS DOUBLE)"
+)
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars, sample_rank
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY {_SAES_ORACLE_RACE}, doc_id)
+              AS INT) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {_SAES_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Trade-graph transitive closure via recursive CTE (late-r10 — §7.4.3)
+# --------------------------------------------------------------------------
+
+_TC_FANOUT = 3  # top trade partners kept per nation (edge sparsifier)
+_TC_HOPS = 8  # recursion depth bound (25-node graph: diameter << 8)
+
+
+def graph_trade_closure_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability over the nation trade graph as a second
+    ``WITH RECURSIVE`` face (SPARK-24497), exercising multi-CTE
+    composition + cycle handling where graph_bfs_recursive_cte exercised
+    single-source BFS. Edges: for each customer nation, its top
+    _TC_FANOUT supplier nations by lineitem count (count DESC, name ASC
+    — exact-integer deterministic), a Q7-shaped 5-way join sparsified by
+    a WindowGroupLimit rank. Closure: UNION ALL recursion with DISTINCT
+    in the recursive term (Spark 4.1 rejects UNION-dedup recursion:
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) and a d < _TC_HOPS guard — the
+    graph is CYCLIC, so per-level DISTINCT + outer MIN(d) is what makes
+    the walk terminate at <= 625 rows/level instead of enumerating
+    infinitely many walks. hops = MIN(d) is the shortest-path distance,
+    identical in both engines.
+
+    Scale shape: the edge build aggregates the fact join down to <= 25*25
+    pairs BEFORE the window rank (nation dims broadcast; the lineitem⋈
+    orders⋈customer joins shuffle on their keys exactly like q7); the
+    recursion then runs on a <= 25*_TC_FANOUT-row relation — constant-
+    bounded by SCHEMA (25 nations), not by data volume, which is what
+    makes an iterated self-join safe to declare recursively here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst")
+    )
+    from pyspark.sql import Window
+
+    trade = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("n_lines").desc(), F.col("dst"))
+    edges = (
+        trade.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _TC_FANOUT)
+        .select("src", "dst")
+    )
+    edges.createOrReplaceTempView("lmrs_trade_edges_v")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE r(src, dst, d) AS (
+          SELECT src, dst, 1 FROM lmrs_trade_edges_v
+          UNION ALL
+          SELECT DISTINCT r.src, e.dst, r.d + 1
+          FROM r JOIN lmrs_trade_edges_v e ON r.dst = e.src
+          WHERE r.d < {_TC_HOPS} AND r.src <> e.dst
+        )
+        SELECT src, dst, CAST(MIN(d) AS BIGINT) AS hops
+        FROM r GROUP BY src, dst
+        """
+    )
+
+
+TRADE_CLOSURE_ORACLE = f"""
+WITH trade AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS n_lines
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_name <> sn.n_name
+  GROUP BY 1, 2),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                 ORDER BY n_lines DESC, dst) AS rn
+    FROM trade)
+  WHERE rn <= {_TC_FANOUT}),
+reach AS (
+  WITH RECURSIVE r(src, dst, d) AS (
+    SELECT src, dst, 1 FROM edges
+    UNION ALL
+    SELECT DISTINCT r.src, e.dst, r.d + 1
+    FROM r JOIN edges e ON r.dst = e.src
+    WHERE r.d < {_TC_HOPS} AND r.src <> e.dst
+  )
+  SELECT src, dst, CAST(MIN(d) AS BIGINT) AS hops FROM r GROUP BY 1, 2)
+SELECT src, dst, hops FROM reach
+"""
+
+
+# --------------------------------------------------------------------------
+# End-to-end sink compaction (OPTIMIZE rewrite, late-r10 — SURVEY §7.4.4)
+# --------------------------------------------------------------------------
+
+_CRW_TARGET = 16384  # bin target, logical chars (stand-in for bytes)
+
+
+def layout_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse OPTIMIZE cycle END-TO-END, composing the r9
+    compaction planner's binning algebra (layout_compaction_bins) with a
+    real small-files write and rewrite: (1) write documents as one
+    parquet file per (lang, source) partition directory — the small-file
+    layout an hourly ingest leaves behind; (2) build the file manifest
+    DISTRIBUTED, from input_file_name() over the written files (never a
+    driver-side listing loop — a 100 TB table's manifest is millions of
+    rows and must itself be a table); (3) plan target-sized bins with
+    the cumulative-offset window over per-group LOGICAL sizes (sum of
+    n_chars — deterministic, so the oracle replays the plan; physical
+    parquet bytes differ per encoder and can never be oracle'd);
+    (4) rewrite: route rows to bins through a broadcast of the
+    (schema-bounded, strata x sources) plan and ONE bin-partitioned
+    shuffle, writing the compacted layout; (5) read the COMPACTED files
+    back and aggregate. The oracle replays (3)+(5) from the raw table,
+    and its per-bin ``n_files_in`` counts one file per source group — so
+    the gate itself verifies the one-file-per-partition-dir write
+    contract: if the small write ever splits a group across files, the
+    Spark-side SUM(n_files) diverges and the query goes red.
+
+    Scale shape: the plan runs over the MANIFEST (one row per file),
+    never the data; the rewrite is one broadcast-routed shuffle
+    partitioned exactly like the output layout; nothing driver-side
+    except the bounded localCheckpoint that pins results before the
+    temp directory is removed (the sink-face convention,
+    sources_ops.sink_python_datasource)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("CAST(n_chars AS BIGINT)").alias("bytes"),
+    )
+    work = _tempfile.mkdtemp(prefix="lmrs_compact_")
+    small, compact = f"{work}/small", f"{work}/compact"
+    try:
+        (
+            docs.repartition(F.col("lang"), F.col("source"))
+            .write.mode("overwrite")
+            .partitionBy("lang", "source")
+            .parquet(small)
+        )
+        back = spark.read.parquet(small)
+        manifest = (
+            back.select("lang", "source", F.input_file_name().alias("f"))
+            .groupBy("lang", "source")
+            .agg(F.countDistinct("f").alias("n_files"))
+        )
+        groups = docs.groupBy("lang", "source").agg(
+            F.expr("CAST(SUM(bytes) AS BIGINT)").alias("grp_bytes")
+        )
+        planned = groups.withColumn(
+            "bin",
+            F.expr(
+                "CAST((SUM(grp_bytes) OVER (PARTITION BY lang ORDER BY source"
+                f" ROWS UNBOUNDED PRECEDING) - grp_bytes) DIV {_CRW_TARGET}"
+                " AS BIGINT)"
+            ),
+        )
+        plan = planned.join(manifest, ["lang", "source"])
+        route = plan.select("lang", "source", "bin")
+        (
+            back.join(F.broadcast(route), ["lang", "source"])
+            .repartition(F.col("lang"), F.col("bin"))
+            .write.mode("overwrite")
+            .partitionBy("lang", "bin")
+            .parquet(compact)
+        )
+        comp = spark.read.parquet(compact)
+        out = (
+            comp.select(
+                "lang", F.col("bin").cast("bigint").alias("bin"), "doc_id", "bytes"
+            )
+            .groupBy("lang", "bin")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.expr("CAST(SUM(bytes) AS BIGINT)").alias("bin_bytes"),
+                F.expr("CAST(SUM(doc_id) AS BIGINT)").alias("doc_checksum"),
+            )
+        )
+        files_in = plan.groupBy("lang", "bin").agg(
+            F.expr("CAST(SUM(n_files) AS BIGINT)").alias("n_files_in")
+        )
+        return out.join(files_in, ["lang", "bin"]).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+COMPACTION_REWRITE_ORACLE = f"""
+WITH groups AS (
+  SELECT lang, source,
+         CAST(SUM(n_chars) AS BIGINT) AS grp_bytes,
+         COUNT(*) AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS checksum
+  FROM documents GROUP BY 1, 2),
+planned AS (
+  SELECT lang, source, grp_bytes, n_docs, checksum,
+         CAST((SUM(grp_bytes) OVER (PARTITION BY lang ORDER BY source
+               ROWS UNBOUNDED PRECEDING) - grp_bytes) // {_CRW_TARGET}
+              AS BIGINT) AS bin
+  FROM groups)
+SELECT lang, bin,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(grp_bytes) AS BIGINT) AS bin_bytes,
+       CAST(SUM(checksum) AS BIGINT) AS doc_checksum,
+       COUNT(*) AS n_files_in
+FROM planned GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "curation_weighted_sample_aes": curation_weighted_sample_aes,
     "dedup_crawl_frontier": dedup_crawl_frontier,
+    "curation_stratified_weighted_sample": curation_stratified_weighted_sample,
+    "graph_trade_closure_recursive_cte": graph_trade_closure_recursive_cte,
+    "layout_compaction_rewrite": layout_compaction_rewrite,
 }
 
 ORACLES = {
     "curation_weighted_sample_aes": WEIGHTED_SAMPLE_AES_ORACLE,
     "dedup_crawl_frontier": CRAWL_FRONTIER_ORACLE,
+    "curation_stratified_weighted_sample": STRATIFIED_SAMPLE_ORACLE,
+    "graph_trade_closure_recursive_cte": TRADE_CLOSURE_ORACLE,
+    "layout_compaction_rewrite": COMPACTION_REWRITE_ORACLE,
 }

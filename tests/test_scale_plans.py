@@ -233,6 +233,9 @@ _BROADCAST_OK = {
     ("relational5.py", "nation"),     # constant 25 rows
     ("relational5.py", "region"),     # constant 5 rows
     ("relational5.py", "tot"),        # single-row (total, n_parts) aggregate (Q11)
+    ("analytics5.py", "nation_c"),    # constant 25 rows (trade closure)
+    ("analytics5.py", "nation_s"),    # constant 25 rows (trade closure)
+    ("analytics5.py", "route"),       # compaction plan: <= strata x sources rows
 }
 
 
