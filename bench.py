@@ -241,6 +241,17 @@ EXTENDED_MEDIAN = {
     "text_normalize_pandas_udf",
     "udaf_group_median_pandas",
     "range_join_monthly",
+    # Late-r10 waves: the heavier newcomers (multi-join TPC-H completion
+    # shapes, the materialize-then-recurse trade closure, and the
+    # write-plan-rewrite compaction cycle with its in-query parquet
+    # writes) all sit in the 2-4 s band where one straggler doubles a
+    # single-pass reading — start their series as medians.
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q12_shipmode_priority",
+    "q21_suppliers_kept_waiting",
+    "graph_trade_closure_recursive_cte",
+    "layout_compaction_rewrite",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

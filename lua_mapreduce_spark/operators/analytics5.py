@@ -306,6 +306,13 @@ def graph_trade_closure_recursive_cte(spark: SparkSession, sf_dir: str) -> DataF
         trade.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _TC_FANOUT)
         .select("src", "dst")
+        # Materialize BEFORE the recursion: the recursive CTE scans its
+        # edge relation once per level, and an unmaterialized view would
+        # re-run the 5-way fact join _TC_HOPS times (measured 8.7 s vs
+        # 2 s at sf0.1). The checkpointed relation is <= 25 * _TC_FANOUT
+        # rows — the same bounded-iteration discipline as the
+        # localCheckpoint-per-round graph loops (analytics.py).
+        .localCheckpoint(eager=True)
     )
     edges.createOrReplaceTempView("lmrs_trade_edges_v")
     return spark.sql(

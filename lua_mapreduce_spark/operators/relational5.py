@@ -155,33 +155,42 @@ def lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure map-side column derivations over the scan — filters on the real
     columns still push down; the synthesized ones evaluate in the same
-    WholeStageCodegen stage as the scan's projection.
+    WholeStageCodegen stage as the scan's projection. All three columns
+    derive from ONE md5 per row (disjoint quotient slices: mod 7, then
+    DIV 7 mod 61, then DIV 7 DIV 61 mod 30 — independent digits of the
+    uniform 60-bit hash in a mixed-radix expansion): md5 is the only
+    non-trivial per-row cost of the synthesis, and three hashes per row
+    measured 4.6 s vs 2 s on the q12 scan at sf0.1.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.withColumns(
-        {
-            "l_shipmode": F.expr(_SHIPMODE_CASE.format(h=_li_hash("lsm", True))),
-            "l_commitdate": F.expr(
-                f"timestampadd(DAY, CAST({_li_hash('lcd', True)} % 61 - 30"
-                " AS INT), l_shipdate)"
-            ),
-            "l_receiptdate": F.expr(
-                f"timestampadd(DAY, CAST(1 + {_li_hash('lrd', True)} % 30"
-                " AS INT), l_shipdate)"
-            ),
-        }
+    return (
+        li.withColumn("_h", F.expr(_li_hash("lsx", True)))
+        .withColumns(
+            {
+                "l_shipmode": F.expr(_SHIPMODE_CASE.format(h="_h")),
+                "l_commitdate": F.expr(
+                    "timestampadd(DAY, CAST((_h DIV 7) % 61 - 30 AS INT),"
+                    " l_shipdate)"
+                ),
+                "l_receiptdate": F.expr(
+                    "timestampadd(DAY, CAST(1 + ((_h DIV 7) DIV 61) % 30"
+                    " AS INT), l_shipdate)"
+                ),
+            }
+        )
+        .drop("_h")
     )
 
 
 LINEITEM_EXT_CTE = f"""
 lineitem_ext AS (
-  SELECT *,
-         {_SHIPMODE_CASE.format(h=_li_hash("lsm", False))} AS l_shipmode,
-         l_shipdate + to_days(CAST({_li_hash("lcd", False)} % 61 - 30 AS INT))
+  SELECT * EXCLUDE (_h),
+         {_SHIPMODE_CASE.format(h="_h")} AS l_shipmode,
+         l_shipdate + to_days(CAST((_h // 7) % 61 - 30 AS INT))
            AS l_commitdate,
-         l_shipdate + to_days(CAST(1 + {_li_hash("lrd", False)} % 30 AS INT))
+         l_shipdate + to_days(CAST(1 + ((_h // 7) // 61) % 30 AS INT))
            AS l_receiptdate
-  FROM lineitem)"""
+  FROM (SELECT *, {_li_hash("lsx", False)} AS _h FROM lineitem))"""
 
 
 # --------------------------------------------------------------------------
@@ -410,7 +419,17 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         li.filter(
-            F.col("l_shipmode").isin("MAIL", "SHIP")
+            # Redundant-but-pushable ship-date window IMPLIED by the
+            # receipt-date predicates below (receipt in [ship+1, ship+30]
+            # => ship in [1996-01-01 - 30d, 1997-01-01)): predicates on
+            # the SYNTHESIZED columns can never reach the parquet scan,
+            # so without this the md5 derivation evaluates over every
+            # year of lineitem — measured 4.6 -> ~1 s at sf0.1, and at
+            # 100 TB it is the difference between scanning one year and
+            # scanning all of them.
+            (F.col("l_shipdate") >= F.lit("1995-12-02").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_shipmode").isin("MAIL", "SHIP")
             & (F.col("l_commitdate") < F.col("l_receiptdate"))
             & (F.col("l_shipdate") < F.col("l_commitdate"))
             & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("timestamp"))

@@ -124,6 +124,17 @@ def test_q20_pushdown_and_broadcast_shape(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q12_implied_shipdate_window_pushes_down(spark):
+    """Predicates on the SYNTHESIZED shipping columns can never reach the
+    scan; q12 therefore carries the redundant ship-date window they imply
+    (receipt in [ship+1, ship+30]). If that implied window is ever
+    dropped, the md5 derivation re-runs over every year of lineitem —
+    this pins the pushdown."""
+    plan = _plan(r5.q12_shipmode_priority(spark, SF_SMALL))
+    assert "GreaterThanOrEqual(l_shipdate,1995-12-02" in plan, plan
+    assert "LessThan(l_shipdate,1997-01-01" in plan, plan
+
+
 def test_q9_joins_stay_hash_joins(spark):
     """Q9's five equi-joins must all be hash joins (broadcast or
     sort-merge); the only nested-loop NODE in the tree is the 1-row
