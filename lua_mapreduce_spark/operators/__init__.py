@@ -104,16 +104,19 @@ _MODULES = [
 # closure as a second WITH RECURSIVE face, §7.4.3; and
 # layout_compaction_rewrite — the OPTIMIZE cycle end-to-end:
 # small-files write -> distributed input_file_name manifest -> binning
-# plan -> broadcast-routed rewrite -> verified read-back, §7.4.4); the
-# EIGHT fills the late-r9 newcomers displaced from the r9 window; and
-# SIX third-confirmation fills from the stalest pool (last
-# driver-verified r4 or earlier, family-spread; the TEN displaced by
-# the late waves — q5_local_supplier_volume, dedup_latest_per_key,
-# events_json_extract, multimodal_decode_features, q15_top_supplier,
+# plan -> broadcast-routed rewrite -> verified read-back, §7.4.4; and
+# text_bpe_encode — tokenizer APPLICATION of the learned BPE merges,
+# the r11 candidate-1 pulled forward); the EIGHT fills the late-r9
+# newcomers displaced from the r9 window; and FIVE third-confirmation
+# fills from the stalest pool (last driver-verified r4 or earlier,
+# family-spread; the ELEVEN displaced by the late waves —
+# q5_local_supplier_volume, dedup_latest_per_key, events_json_extract,
+# multimodal_decode_features, q15_top_supplier,
 # q22_dormant_rich_customers, text_corpus_curation, dedup_exact,
-# window_lag_lead, events_session_windows — go to the FRONT of the
+# window_lag_lead, events_session_windows, mr_grep_count (MR family
+# stays covered by the mr_wordcount pin) — go to the FRONT of the
 # r11 fill pool, SURVEY §2.6).
-# 2 + 19 + 5 + 7 + 3 + 8 + 6 = 50. After a green r10, every pre-r10
+# 2 + 19 + 5 + 7 + 4 + 8 + 5 = 50. After a green r10, every pre-r10
 # query is driver-confirmed at least twice and the r10 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -158,6 +161,7 @@ _DRIVER_WINDOW = [
     "curation_stratified_weighted_sample",
     "graph_trade_closure_recursive_cte",
     "layout_compaction_rewrite",
+    "text_bpe_encode",
     # the 8 fills displaced from the r9 window by the late-r9 newcomers
     "window_gap_fill_ignore_nulls",
     "events_anomaly_hours",
@@ -175,7 +179,6 @@ _DRIVER_WINDOW = [
     # window_topk_per_group / events_anomaly_hours /
     # events_cohort_retention above)
     "join_anti_customers_without_orders",
-    "mr_grep_count",
     "multimodal_metadata",
     "scalar_string_predicates",
     "sim_ann_lsh_buckets",

@@ -659,6 +659,115 @@ e{r} AS MATERIALIZED (
 BPE_MERGES_ORACLE = _bpe_oracle()
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned BPE merges — the tokenizer
+    APPLICATION op the learn face implies (late-r10, SURVEY §7.4
+    r11-candidate 1 pulled forward): run the same _BPE_ROUNDS training
+    loop as text_bpe_learn_merges, then use the final vocab encoding
+    (each word type's post-merge symbol sequence) as the tokenizer:
+    tokens(word) = symbols in its final encoding. Per-language output:
+    word occurrences, total BPE tokens, total characters, and the
+    integer compression ratio tokens*100 DIV words — the numbers a
+    training-data pipeline budgets context windows with.
+
+    Scale shape: the training loop's per-round work is vocab-sized (see
+    text_bpe_learn_merges); the encode step joins the corpus's exploded
+    (lang, word) pairs to the vocab's (word -> n_tokens) table — the
+    token-count table is language-bounded (word TYPES), so AQE picks
+    broadcast vs shuffle by its runtime size; the final rollup groups by
+    the 5-value lang enum. No new corpus-sized shuffle beyond the
+    explode's map-side combine into the join."""
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "lang", F.explode(F.expr(words_expr("text"))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    enc = vocab.select(
+        "w", "tf", F.expr(_BPE_ENC0).alias("enc")
+    ).localCheckpoint(eager=True)
+    for _ in range(1, _BPE_ROUNDS + 1):
+        toks = enc.select("tf", F.split("enc", "  ").alias("a")).filter(
+            F.size("a") >= 2
+        )
+        pairs = toks.select(
+            "tf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(a[i-1] AS l, a[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        cnt = pairs.groupBy("p.l", "p.r").agg(
+            F.expr("CAST(SUM(tf) AS BIGINT)").alias("cnt")
+        )
+        top = (
+            cnt.agg(F.max(F.struct("cnt", "l", "r")).alias("m"))
+            .select(F.col("m.l").alias("l"), F.col("m.r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        enc = (
+            enc.crossJoin(F.broadcast(top))
+            .select(
+                "w",
+                "tf",
+                F.expr(
+                    "trim(replace(concat(' ', enc, ' '),"
+                    " concat(' ', l, '  ', r, ' '),"
+                    " concat(' ', l, r, ' ')))"
+                ).alias("enc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    tok_table = enc.select(
+        "w", F.expr("CAST(size(split(enc, '  ')) AS BIGINT)").alias("n_tok")
+    )
+    return (
+        words.join(tok_table, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.expr("CAST(SUM(n_tok) AS BIGINT)").alias("n_tokens"),
+            F.expr("CAST(SUM(length(w)) AS BIGINT)").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 100 DIV n_words").alias("tokens_x100_per_word"),
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    # Reuse the learn oracle's unrolled training CTEs (vocab/e0..eR/t1..tR)
+    # verbatim, cutting at the first top-level SELECT (the learn oracle's
+    # UNION ALL rows — every CTE-internal SELECT is indented, so the
+    # newline-anchored split is unambiguous).
+    ctes = BPE_MERGES_ORACLE.split("\nSELECT CAST(")[0][len("WITH ") :]
+    return f"""
+WITH {ctes},
+corpus AS (
+  SELECT lang, t.word AS w
+  FROM (SELECT lang, {oracle_words_expr("text")} AS lw FROM documents),
+       unnest(lw) AS t(word)),
+tok AS (
+  SELECT w, CAST(len(string_split(enc, '  ')) AS BIGINT) AS n_tok
+  FROM e{_BPE_ROUNDS})
+SELECT lang,
+       COUNT(*) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_tok) AS BIGINT) * 100 // COUNT(*) AS tokens_x100_per_word
+FROM corpus JOIN tok USING (w)
+GROUP BY lang
+"""
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
+
+
 # --------------------------------------------------------------------------
 # Join-cardinality profiler (pre-flight diagnostics)
 # --------------------------------------------------------------------------
@@ -1263,6 +1372,7 @@ QUERIES = {
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "diag_table_diff": diag_table_diff,
     "text_bpe_learn_merges": text_bpe_learn_merges,
+    "text_bpe_encode": text_bpe_encode,
     "diag_join_cardinality": diag_join_cardinality,
     "cdc_apply_changelog": cdc_apply_changelog,
     "join_scd2_point_in_time": join_scd2_point_in_time,
@@ -1279,6 +1389,7 @@ ORACLES = {
     "diag_constraint_audit": CONSTRAINT_AUDIT_ORACLE,
     "curation_group_split": GROUP_SPLIT_ORACLE,
     "text_bpe_learn_merges": BPE_MERGES_ORACLE,
+    "text_bpe_encode": BPE_ENCODE_ORACLE,
     "diag_join_cardinality": JOIN_CARDINALITY_ORACLE,
     "cdc_apply_changelog": CDC_APPLY_ORACLE,
     "dedup_edit_distance_join": EDIT_DISTANCE_ORACLE,

@@ -278,6 +278,22 @@ def test_compaction_rewrite_actually_compacts(spark):
         assert r.bin_bytes < a5._CRW_TARGET + max_grp, r
 
 
+def test_bpe_encode_compression_invariants(spark):
+    """Tokenizing with the learned merges must (a) never produce more
+    tokens than characters, (b) never fewer tokens than words, and
+    (c) actually COMPRESS: after _BPE_ROUNDS merges the corpus-wide
+    token count must be strictly below the character count (the merges
+    exist because the top pairs had nonzero counts)."""
+    from lua_mapreduce_spark.operators import analytics3 as a3
+
+    rows = a3.text_bpe_encode(spark, SF_MEDIUM).collect()
+    assert {r.lang for r in rows} == {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        assert r.n_words <= r.n_tokens <= r.n_chars, r
+        assert r.tokens_x100_per_word == r.n_tokens * 100 // r.n_words
+    assert sum(r.n_tokens for r in rows) < sum(r.n_chars for r in rows)
+
+
 def test_trade_closure_matches_python_bfs(spark):
     """Independent replay: rebuild the edge set relationally, then run a
     plain Python BFS per source — min-hop distances must match the

@@ -143,6 +143,7 @@ _NESTED_LOOP_OK = {
     "events_rfm_segments",    # 1-row max-day broadcast cross join
     "agg_equidepth_histogram", # 1-row percentile-bounds broadcast cross join
     "text_bpe_learn_merges",   # 1-row top-pair broadcast cross join per round
+    "text_bpe_encode",         # same 1-row top-pair cross join per round
     "cdc_apply_changelog",     # 1-row insert-offset (max key) broadcast cross join
     # TPC-H completion wave: partsupp synthesis cross-joins the 1-row
     # supplier count (relational5.partsupp_df); q11 additionally
