@@ -106,17 +106,21 @@ _MODULES = [
 # small-files write -> distributed input_file_name manifest -> binning
 # plan -> broadcast-routed rewrite -> verified read-back, §7.4.4; and
 # text_bpe_encode — tokenizer APPLICATION of the learned BPE merges,
-# the r11 candidate-1 pulled forward); the EIGHT fills the late-r9
-# newcomers displaced from the r9 window; and FIVE third-confirmation
+# the r11 candidate-1 pulled forward; and dedup_record_linkage —
+# blocking join + Fellegi-Sunter-style integer scoring, r11
+# candidate-3 pulled forward); the EIGHT fills the late-r9
+# newcomers displaced from the r9 window; and FOUR third-confirmation
 # fills from the stalest pool (last driver-verified r4 or earlier,
-# family-spread; the ELEVEN displaced by the late waves —
+# family-spread; the TWELVE displaced by the late waves —
 # q5_local_supplier_volume, dedup_latest_per_key, events_json_extract,
 # multimodal_decode_features, q15_top_supplier,
 # q22_dormant_rich_customers, text_corpus_curation, dedup_exact,
 # window_lag_lead, events_session_windows, mr_grep_count (MR family
-# stays covered by the mr_wordcount pin) — go to the FRONT of the
-# r11 fill pool, SURVEY §2.6).
-# 2 + 19 + 5 + 7 + 4 + 8 + 5 = 50. After a green r10, every pre-r10
+# stays covered by the mr_wordcount pin), streaming_static_enrich_counts
+# (streaming family stays covered by streaming_dedup_count + both
+# streaming DataSource faces) — go to the FRONT of the r11 fill pool,
+# SURVEY §2.6).
+# 2 + 19 + 5 + 7 + 5 + 8 + 4 = 50. After a green r10, every pre-r10
 # query is driver-confirmed at least twice and the r10 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -162,6 +166,7 @@ _DRIVER_WINDOW = [
     "graph_trade_closure_recursive_cte",
     "layout_compaction_rewrite",
     "text_bpe_encode",
+    "dedup_record_linkage",
     # the 8 fills displaced from the r9 window by the late-r9 newcomers
     "window_gap_fill_ignore_nulls",
     "events_anomaly_hours",
@@ -182,7 +187,6 @@ _DRIVER_WINDOW = [
     "multimodal_metadata",
     "scalar_string_predicates",
     "sim_ann_lsh_buckets",
-    "streaming_static_enrich_counts",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -480,12 +480,160 @@ FROM planned GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Record linkage: blocking join + Fellegi-Sunter-style scoring (late-r10,
+# freshly-banked r11 candidate 3 pulled forward)
+# --------------------------------------------------------------------------
+
+_RL_MATCH = 60  # classify: score >= _RL_MATCH -> match
+_RL_POSSIBLE = 30  # _RL_POSSIBLE <= score < _RL_MATCH -> possible
+
+
+def _rl_hash(tag: str, spark_side: bool) -> str:
+    cast = "STRING" if spark_side else "VARCHAR"
+    h = md5_bigint_expr if spark_side else oracle_md5_bigint_expr
+    return h(f"concat('{tag}|', CAST(c_custkey AS {cast}))")
+
+
+def _rl_dirty_view(spark_side: bool, from_tbl: str = "customer") -> str:
+    """Engine-shared SELECT body deriving the 'second source' B from
+    customer: deterministic md5-keyed field corruption — name case
+    flip / truncation / suffix noise, balance drift, segment dropout —
+    plus 10% of rows missing entirely. The corruption never touches name
+    characters 10..17 (the first 8 of the 9 key digits — truncation
+    drops char 18, the suffix appends at 19, case doesn't affect
+    digits), so the BLOCKING key survives every perturbation (the
+    realistic design rule: block on the stable part of the field) and
+    recall stays 100% by construction; precision is what the scoring
+    then has to earn."""
+    h1, h2, h3, h4 = (_rl_hash(t, spark_side) for t in ("rlnm", "rlbal", "rlmkt", "rlkeep"))
+    return f"""
+  SELECT c_custkey AS b_entity,
+         CASE {h1} % 4
+           WHEN 0 THEN c_name
+           WHEN 1 THEN lower(c_name)
+           WHEN 2 THEN substr(c_name, 1, length(c_name) - 1)
+           ELSE concat(c_name, 'x') END AS b_name,
+         c_nationkey AS b_nationkey,
+         CAST(round(c_acctbal * 100.0) AS BIGINT)
+           + CASE WHEN {h2} % 5 = 0 THEN 37 ELSE 0 END AS b_cents,
+         CASE WHEN {h3} % 10 = 0 THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS b_mkt
+  FROM {from_tbl}
+  WHERE {h4} % 10 <> 0"""
+
+
+# Engine-shared scoring expression over joined (a_*, b_*) pair columns:
+# integer Fellegi-Sunter-style agreement weights per field.
+_RL_SCORE = """
+  CASE WHEN a_name = b_name THEN 40
+       WHEN lower(a_name) = lower(b_name) THEN 25
+       WHEN substr(a_name, 1, 15) = substr(b_name, 1, 15) THEN 10
+       ELSE 0 END
++ CASE WHEN a_cents = b_cents THEN 20
+       WHEN abs(a_cents - b_cents) <= 50 THEN 10
+       ELSE 0 END
++ CASE WHEN a_mkt = b_mkt THEN 15 ELSE 0 END
++ CASE WHEN a_nationkey = b_nationkey THEN 5 ELSE 0 END"""
+
+
+def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution between two 'sources' (customer and a
+    deterministically corrupted derivation of it): BLOCKING join on the
+    perturbation-stable name-digit prefix, integer field-agreement
+    scoring (name/balance/segment/nation weights), three-way match/possible/non_match classification, and a
+    per-class evaluation rollup (pair count, TRUE-entity count — the
+    ground truth rides along as b_entity — and the score range). This is
+    the cross-source entity-dedup primitive that content-level dedup
+    (minhash/simhash) doesn't cover.
+
+    Scale shape: candidate pairs come ONLY from the blocking equi-join —
+    a hash join on the block key whose per-block size is EXACTLY the ~10
+    decade-mates (all 8 stable digits = key DIV 10) at EVERY scale, so
+    candidates grow linearly with the table, never n². (The first cut of
+    this query blocked on the FIRST 5 digits — nearly constant under
+    zero-padding, hence quadratic: 4.5M pairs at sf0.1. Block keys must
+    be high-cardinality in the DATA, not just long in the schema.) Scoring is pure map-side integer CASE arithmetic; the
+    rollup groups a 3-value enum. The design rule the synthesis encodes:
+    corrupt fields however you like, but block on the part you DIDN'T
+    corrupt — recall is structural, precision is scored."""
+    # Unique view name: shadowing a session-wide `customer` view from
+    # inside one query function would leak into every later query on the
+    # shared session.
+    spark_dirty = _rl_dirty_view(True, from_tbl="lmrs_rl_customer_v")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("lmrs_rl_customer_v")
+    a = cust.select(
+        F.col("c_custkey").alias("a_entity"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("a_nationkey"),
+        F.expr("CAST(round(c_acctbal * 100.0) AS BIGINT)").alias("a_cents"),
+        F.col("c_mktsegment").alias("a_mkt"),
+    )
+    b = spark.sql(f"SELECT * FROM ({spark_dirty})")
+    pairs = a.join(
+        b,
+        F.expr("substr(a_name, 10, 8)") == F.expr("substr(b_name, 10, 8)"),
+    ).select(
+        "a_entity",
+        "b_entity",
+        F.expr(_RL_SCORE).alias("score"),
+    )
+    return (
+        pairs.select(
+            "a_entity",
+            "b_entity",
+            "score",
+            F.expr(
+                f"CASE WHEN score >= {_RL_MATCH} THEN 'match'"
+                f" WHEN score >= {_RL_POSSIBLE} THEN 'possible'"
+                " ELSE 'non_match' END"
+            ).alias("decision"),
+        )
+        .groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN a_entity = b_entity THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_true_entity"),
+            F.expr("CAST(MIN(score) AS BIGINT)").alias("min_score"),
+            F.expr("CAST(MAX(score) AS BIGINT)").alias("max_score"),
+        )
+    )
+
+
+RECORD_LINKAGE_ORACLE = f"""
+WITH b AS ({_rl_dirty_view(False)}),
+a AS (
+  SELECT c_custkey AS a_entity, c_name AS a_name,
+         c_nationkey AS a_nationkey,
+         CAST(round(c_acctbal * 100.0) AS BIGINT) AS a_cents,
+         c_mktsegment AS a_mkt
+  FROM customer),
+pairs AS (
+  SELECT a_entity, b_entity, {_RL_SCORE} AS score
+  FROM a JOIN b
+    ON substr(a_name, 10, 8) = substr(b_name, 10, 8))
+SELECT CASE WHEN score >= {_RL_MATCH} THEN 'match'
+            WHEN score >= {_RL_POSSIBLE} THEN 'possible'
+            ELSE 'non_match' END AS decision,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN a_entity = b_entity THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_entity,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM pairs GROUP BY 1
+"""
+
+
 QUERIES = {
     "curation_weighted_sample_aes": curation_weighted_sample_aes,
     "dedup_crawl_frontier": dedup_crawl_frontier,
     "curation_stratified_weighted_sample": curation_stratified_weighted_sample,
     "graph_trade_closure_recursive_cte": graph_trade_closure_recursive_cte,
     "layout_compaction_rewrite": layout_compaction_rewrite,
+    "dedup_record_linkage": dedup_record_linkage,
 }
 
 ORACLES = {
@@ -494,4 +642,5 @@ ORACLES = {
     "curation_stratified_weighted_sample": STRATIFIED_SAMPLE_ORACLE,
     "graph_trade_closure_recursive_cte": TRADE_CLOSURE_ORACLE,
     "layout_compaction_rewrite": COMPACTION_REWRITE_ORACLE,
+    "dedup_record_linkage": RECORD_LINKAGE_ORACLE,
 }

@@ -294,6 +294,35 @@ def test_bpe_encode_compression_invariants(spark):
     assert sum(r.n_tokens for r in rows) < sum(r.n_chars for r in rows)
 
 
+def test_record_linkage_recall_and_linearity(spark):
+    """BLOCKING recall is structural: every surviving corrupted row's
+    true pair exists SOMEWHERE in the output (the block key is immune to
+    all perturbations), so the true-entity counts across the three
+    classes sum to exactly |B|. The match class is PURE: no cross-entity
+    pair can clear the match threshold (max cross-entity score is
+    prefix 10 + coincidental cents 20 + segment 15 + nation 5 = 50 < 60).
+    Classification recall is deliberately NOT 100% — the worst same-
+    entity corruption (truncated name + drifted balance + dropped
+    segment) scores below even the 'possible' floor, which is the
+    realistic behavior the evaluation rollup exists to measure.
+    Candidate volume stays linear: the 8-stable-digit block holds only
+    decade-mates, so total pairs <= 10x the corrupted-source size."""
+    import duckdb
+
+    rows = {r.decision: r for r in a5.dedup_record_linkage(spark, SF_MEDIUM).collect()}
+    con = duckdb.connect()
+    n_b = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_MEDIUM}/customer.parquet'"
+        " WHERE CAST(('0x' || substr(md5(concat('rlkeep|',"
+        " CAST(c_custkey AS VARCHAR))),1,15)) AS BIGINT) % 10 <> 0"
+    ).fetchone()[0]
+    assert sum(r.n_true_entity for r in rows.values()) == n_b
+    match = rows["match"]
+    assert match.n_pairs == match.n_true_entity > 0, match
+    total_pairs = sum(r.n_pairs for r in rows.values())
+    assert total_pairs <= 10 * n_b, (total_pairs, n_b)
+
+
 def test_trade_closure_matches_python_bfs(spark):
     """Independent replay: rebuild the edge set relationally, then run a
     plain Python BFS per source — min-hop distances must match the
