@@ -252,6 +252,9 @@ EXTENDED_MEDIAN = {
     "q21_suppliers_kept_waiting",
     "graph_trade_closure_recursive_cte",
     "layout_compaction_rewrite",
+    # Same cold/warm asymmetry as the BPE learn face (7.2 s cold vs
+    # 2.2-2.5 s steady-state: per-round checkpoint chain JIT).
+    "text_bpe_encode",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is
