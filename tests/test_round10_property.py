@@ -188,3 +188,42 @@ def test_url_canonicalization_property(spark):
         assert got2 == got
 
     run()
+
+
+# --------------------------------------- partition-invariance (late-r10)
+
+
+def test_late_r10_operators_partition_invariant(spark):
+    """Physical-layout independence — the scale-correctness property the
+    oracle gate can't see (DuckDB has no partitions): the late-r10
+    deterministic operators must return IDENTICAL results when the
+    session's shuffle parallelism changes. Catches accidental reliance
+    on partition-local state (row_number without a full ordering,
+    per-partition limits, input_file_name aggregation quirks)."""
+    from lua_mapreduce_spark.operators import analytics5 as a5
+    from lua_mapreduce_spark.operators import relational5 as r5
+    from tests.conftest import SF_SMALL
+
+    cases = {
+        "stratified": a5.curation_stratified_weighted_sample,
+        "linkage": a5.dedup_record_linkage,
+        "closure": a5.graph_trade_closure_recursive_cte,
+        "compaction": a5.layout_compaction_rewrite,
+        "q21": r5.q21_suppliers_kept_waiting,
+    }
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name, fn in cases.items():
+                rows = sorted(
+                    tuple(r) for r in fn(spark, SF_SMALL).collect()
+                )
+                key = (name, parts)
+                results[key] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for name in cases:
+        assert results[(name, "3")] == results[(name, "17")], name
+        assert results[(name, "3")], f"{name} vacuous"
