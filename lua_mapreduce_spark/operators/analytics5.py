@@ -68,7 +68,11 @@ def curation_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / CAST(round(o_totalprice * 100.0) AS BIGINT)"
             ).alias("_e"),
         )
-        .orderBy("_e")
+        # o_orderkey as deterministic tiebreak: an exact float tie in the
+        # race key at the k/k+1 boundary must never make the selection
+        # engine/partition-order dependent (r10 ADVICE; the stratified
+        # twin below already does this).
+        .orderBy("_e", "o_orderkey")
         .limit(_AES_K)
         .drop("_e")
     )
@@ -81,7 +85,8 @@ FROM orders
 ORDER BY -ln((CAST({oracle_md5_bigint_expr(
     "concat('order-', CAST(o_orderkey AS VARCHAR))")} AS DOUBLE) + 0.5)
              / CAST({_AES_TWO60} AS DOUBLE))
-         / CAST(round(o_totalprice * 100.0) AS BIGINT)
+         / CAST(round(o_totalprice * 100.0) AS BIGINT),
+         o_orderkey
 LIMIT {_AES_K}
 """
 

@@ -186,8 +186,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     Alternates large-star and small-star until the edge set is a fixpoint,
     at which point the edges form disjoint stars (child > root = component
     min); labels are read straight off the stars. Convergence is detected
-    by multiset equality (equal count + empty exceptAll) on the canonical
-    edge set — both scalars, so no row data reaches the driver.
+    by a set CHECKSUM — count plus two independently-seeded 36-bit
+    hash-sums, all computed in ONE aggregate job per round (the r10
+    exceptAll form re-scanned both edge sets on top of the count; the
+    checksum halves the per-round actions). The edge sets are DISTINCT
+    relations, so equal signatures mean set equality up to a ~2^-72
+    two-checksum collision; a false fixpoint would need both seeded sums
+    to collide simultaneously. Only scalars reach the driver.
     """
     edges = (
         pairs.select(
@@ -198,14 +203,30 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
+    def _signature(e: DataFrame) -> tuple[int, int, int]:
+        # One job: (count, hash-sum seeded 0, hash-sum seeded 1). 36-bit
+        # summands keep the BIGINT sum overflow-free (ANSI mode) up to
+        # ~2^27 edges per set — far above any candidate-pair relation here.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 36))), F.lit(0)
+            ).alias("h1"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64(F.lit(1), "u", "v"), F.lit(1 << 36))),
+                F.lit(0),
+            ).alias("h2"),
+        ).first()
+        return (int(row["n"]), int(row["h1"]), int(row["h2"]))
+
+    sig = _signature(edges)
     for _ in range(_MAX_STAR_ROUNDS):
-        if n_edges == 0:
+        if sig[0] == 0:
             break  # no edges at all: every vertex was a self-pair
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        n_new = new_edges.count()
-        converged = n_new == n_edges and new_edges.exceptAll(edges).count() == 0
-        edges, n_edges = new_edges, n_new
+        new_sig = _signature(new_edges)
+        converged = new_sig == sig
+        edges, sig = new_edges, new_sig
         if converged:
             break
     else:

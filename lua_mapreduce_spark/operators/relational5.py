@@ -658,10 +658,16 @@ WHERE o_orderstatus = 'F'
     WHERE l3.l_orderkey = l1.l_orderkey
       AND l3.l_suppkey <> l1.l_suppkey
       AND l3.l_receiptdate > l3.l_commitdate)
-GROUP BY s_name
+GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+# ^ grain note (r10 VERDICT item 2): the Spark plan aggregates per
+# l_suppkey and projects s_name, so the oracle groups by (s_suppkey,
+# s_name) — the SAME grain — rather than s_name alone. Equal today either
+# way because supplier names are key-derived and unique (asserted in
+# tests/test_round10_tpch.py), but the value equality must not silently
+# depend on a data-generator property.
 
 
 QUERIES = {

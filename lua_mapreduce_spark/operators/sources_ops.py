@@ -228,6 +228,10 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_paged_rows(spark)
+    # Cleared up-front so a failed drain can never leave a PREVIOUS run's
+    # stats behind for bench.py to record as this run's (r10 ADVICE): a
+    # -1.0 bench entry must come with empty drain stats, not stale ones.
+    LAST_DRAIN_STATS.clear()
     n_pages = -(-_PDS_S_N_ROWS // _PDS_S_PAGE)
     work = _tempfile.mkdtemp(prefix="lmrs_pds_stream_")
     out = _os.path.join(work, "out")

@@ -129,8 +129,16 @@ class ShardedSinkWriter(DataSourceArrowWriter):
         ]
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
         if not self.overwrite and os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                files = json.load(fh)["files"] + files
+            # Merge dedupes by staged-file name: staged names are unique
+            # per task ATTEMPT, so a re-delivered commit of the same write
+            # (driver-side retry replaying the same messages) is a no-op
+            # instead of a double-append — the merge is idempotent. Two
+            # genuinely concurrent appends still race on the read-modify-
+            # write (last manifest wins); that single-committer assumption
+            # matches Spark's own commit-coordinator contract.
+            prior = json.load(open(manifest_path))["files"]
+            fresh = {f["file"] for f in files}
+            files = [f for f in prior if f["file"] not in fresh] + files
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
@@ -201,8 +209,16 @@ def committed_files(path: str) -> list[str]:
     if os.path.exists(batch):
         with open(batch) as fh:
             out.extend(f["file"] for f in json.load(fh)["files"])
+    # Exact committed names ONLY: a crash between the tmp write and the
+    # os.replace leaves `_manifest-batch-<id>.json.tmp` behind, and a
+    # prefix match would read it as committed — crashing on partial JSON
+    # or, after the epoch's retry, double-counting the epoch (r10 ADVICE).
     epochs = sorted(
-        (f for f in os.listdir(path) if f.startswith("_manifest-batch-")),
+        (
+            f
+            for f in os.listdir(path)
+            if f.startswith("_manifest-batch-") and f.endswith(".json")
+        ),
         key=lambda f: int(f.rsplit("-", 1)[1].split(".")[0]),
     ) if os.path.isdir(path) else []
     for name in epochs:

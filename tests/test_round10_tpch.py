@@ -376,3 +376,16 @@ def test_trade_closure_matches_python_bfs(spark):
         len(want),
         set(out.items()) ^ set(want.items()),
     )
+
+
+def test_supplier_names_unique_all_sfs(spark):
+    """q21's output grain is per l_suppkey while the column shown is
+    s_name; the oracle now groups by (s_suppkey, s_name) to match, and
+    this pins the generator property that makes the two framings agree —
+    and that makes the ORDER BY s_name tiebreak deterministic (r10
+    VERDICT item 2)."""
+    for sf in (SF_SMALL, SF_MEDIUM):
+        s = load_table(spark, sf, "supplier")
+        assert (
+            s.select("s_name").distinct().count() == s.count()
+        ), f"duplicate s_name in {sf}"
