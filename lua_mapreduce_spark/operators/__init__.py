@@ -19,6 +19,7 @@ from lua_mapreduce_spark.operators import (
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     curation,
     dedup,
     events,
@@ -67,6 +68,7 @@ _MODULES = [
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     pq,
     sources_ops,
 ]
@@ -83,76 +85,49 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-10 window (executes the committed SURVEY §2.6 r10 pre-plan): the
-# two pins; the NINETEEN r9-new queries owing their second confirmation
-# (one of them, cdc_apply_changelog, also changed in r10 — the insert
-# offset is now derived from max(o_orderkey)+1 per the r9 ADVICE, so
-# synthetic insert keys stay disjoint from live keys at every SF); the
-# FIVE early-r10-new queries (the Python DataSource WRITER faces —
-# sink_python_datasource with the manifest two-phase commit and
-# streaming_sink_python_datasource composing custom source into custom
-# sink; graph_bfs_recursive_cte — the Spark-4 WITH RECURSIVE twin of the
-# frontier-loop BFS, sharing its oracle; curation_weighted_sample_aes —
-# deterministic Efraimidis-Spirakis weighted reservoir;
-# dedup_crawl_frontier — URL canonicalize + keep-latest); the SEVEN
-# late-r10 TPC-H completion queries (relational5.py — q2/q9/q11/q12/
-# q16/q20/q21, previously data-blocked, unblocked by deterministic
-# in-query synthesis of partsupp and the lineitem shipping columns —
-# SURVEY §7.4.1 pulled forward); the TWO last-wave r10 queries
-# (curation_stratified_weighted_sample — per-stratum A-ES, §7.4.2;
-# graph_trade_closure_recursive_cte — cyclic-graph transitive
-# closure as a second WITH RECURSIVE face, §7.4.3; and
-# layout_compaction_rewrite — the OPTIMIZE cycle end-to-end:
-# small-files write -> distributed input_file_name manifest -> binning
-# plan -> broadcast-routed rewrite -> verified read-back, §7.4.4; and
-# text_bpe_encode — tokenizer APPLICATION of the learned BPE merges,
-# the r11 candidate-1 pulled forward; and dedup_record_linkage —
-# blocking join + Fellegi-Sunter-style integer scoring, r11
-# candidate-3 pulled forward); the EIGHT fills the late-r9
-# newcomers displaced from the r9 window; and FOUR third-confirmation
-# fills from the stalest pool (last driver-verified r4 or earlier,
-# family-spread; the TWELVE displaced by the late waves —
-# q5_local_supplier_volume, dedup_latest_per_key, events_json_extract,
-# multimodal_decode_features, q15_top_supplier,
-# q22_dormant_rich_customers, text_corpus_curation, dedup_exact,
-# window_lag_lead, events_session_windows, mr_grep_count (MR family
-# stays covered by the mr_wordcount pin), streaming_static_enrich_counts
-# (streaming family stays covered by streaming_dedup_count + both
-# streaming DataSource faces) — go to the FRONT of the r11 fill pool,
-# SURVEY §2.6).
-# 2 + 19 + 5 + 7 + 5 + 8 + 4 = 50. After a green r10, every pre-r10
-# query is driver-confirmed at least twice and the r10 newcomers once.
+# Round-11 window (executes the committed SURVEY §2.6 r11 pre-plan): the
+# two pins; the SEVENTEEN r10-new queries owing their second confirmation
+# (early wave: both Python DataSource WRITER faces, the recursive-CTE BFS
+# twin, the A-ES weighted sample — which also CHANGED in r11: o_orderkey
+# joined the race-key ORDER BY as the deterministic boundary tiebreak per
+# the r10 ADVICE — and the crawl-frontier compaction; the seven late-wave
+# TPC-H completion shapes — q21 also r11-changed: its oracle now groups by
+# (s_suppkey, s_name), the Spark plan's grain, instead of s_name alone;
+# and the five last-wave queries); TWO queries changed by r11 code:
+# dedup_cluster_components (connected_components now detects convergence
+# with a one-aggregate count+seeded-hash-sum checksum instead of
+# count+exceptAll — half the per-round actions) and
+# streaming_python_datasource (drain stats cleared up-front so a failed
+# drain can't report stale restart numbers); THREE r11-new queries
+# (tpch_refresh_streams — RF1/RF2 insert+delete batches as md5 key
+# predicates, applied and delta-audited per (relation, status), closing
+# the last TPC-H surface beyond the 22 queries, SURVEY §7.4 candidate 2;
+# layout_vacuum_plan — the VACUUM/retention planner: manifest anti-join
+# of pre-compaction files against the scale-free retained set, age-gated
+# deletable/quarantined rollup, §7.4 candidate 4; sim_kmeans_lloyd —
+# deterministic integer-grid Lloyd's k-means over embeddings with
+# unrolled-round DuckDB oracle, per-cluster inertia + label purity); the
+# TWELVE fills the late-r10 waves displaced (q5_local_supplier_volume,
+# dedup_latest_per_key, events_json_extract, multimodal_decode_features,
+# q15_top_supplier, q22_dormant_rich_customers, text_corpus_curation,
+# dedup_exact, window_lag_lead, events_session_windows, mr_grep_count,
+# streaming_static_enrich_counts); and FOURTEEN third-confirmation fills
+# from the stalest pool (last driver-verified r4, family-spread;
+# window_running_total and the r5 block move to the front of the r12
+# fill pool).
+# 2 + 17 + 2 + 3 + 12 + 14 = 50. After a green r11, every pre-r10 query
+# is driver-confirmed at least twice, the r10 newcomers twice, and the
+# r11 newcomers once.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r9-new queries (second confirmation); cdc_apply_changelog also
-    # r10-changed
-    "source_python_datasource",
-    "streaming_python_datasource",
-    "dedup_edit_distance_join",
-    "graph_common_neighbors",
-    "events_gini_diversity",
-    "ivm_delta_join_maintenance",
-    "agg_equidepth_histogram",
-    "diag_table_diff",
-    "text_bpe_learn_merges",
-    "diag_join_cardinality",
-    "cdc_apply_changelog",
-    "join_scd2_point_in_time",
-    "graph_bfs_distances",
-    "diag_constraint_audit",
-    "curation_group_split",
-    "layout_compaction_bins",
-    "events_mad_outliers",
-    "agg_chisquare_contingency",
-    "curation_impute_group_median",
-    # r10-new queries (early wave)
+    # r10-new queries (second confirmation); curation_weighted_sample_aes
+    # and q21_suppliers_kept_waiting also r11-changed
     "sink_python_datasource",
     "streaming_sink_python_datasource",
     "graph_bfs_recursive_cte",
     "curation_weighted_sample_aes",
     "dedup_crawl_frontier",
-    # r10-new queries (late wave: TPC-H completion, relational5.py)
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",
@@ -160,33 +135,48 @@ _DRIVER_WINDOW = [
     "q16_supplier_part_counts",
     "q20_part_promotion",
     "q21_suppliers_kept_waiting",
-    # r10-new queries (last wave: stratified A-ES, trade closure,
-    # end-to-end compaction rewrite)
     "curation_stratified_weighted_sample",
     "graph_trade_closure_recursive_cte",
     "layout_compaction_rewrite",
     "text_bpe_encode",
     "dedup_record_linkage",
-    # the 8 fills displaced from the r9 window by the late-r9 newcomers
-    "window_gap_fill_ignore_nulls",
-    "events_anomaly_hours",
-    "streaming_dedup_count",
-    "dedup_exact_keep_first",
-    "q18_large_orders",
-    "pivot_qty_by_linestatus",
-    "window_topk_per_group",
-    "events_cohort_retention",
-    # third-confirmation fills (stalest pool — last driver-verified r4
-    # or earlier — family-spread: join, MapReduce layer, multimodal,
-    # scalar, similarity, streaming; the dedup/window/events families
-    # keep window coverage via the r9-displaced fills
-    # dedup_exact_keep_first / window_gap_fill_ignore_nulls /
-    # window_topk_per_group / events_anomaly_hours /
-    # events_cohort_retention above)
-    "join_anti_customers_without_orders",
-    "multimodal_metadata",
-    "scalar_string_predicates",
-    "sim_ann_lsh_buckets",
+    # r11-changed queries
+    "dedup_cluster_components",
+    "streaming_python_datasource",
+    # r11-new queries
+    "tpch_refresh_streams",
+    "layout_vacuum_plan",
+    "sim_kmeans_lloyd",
+    # the 12 fills displaced from the r10 window by the late-r10 waves
+    "q5_local_supplier_volume",
+    "dedup_latest_per_key",
+    "events_json_extract",
+    "multimodal_decode_features",
+    "q15_top_supplier",
+    "q22_dormant_rich_customers",
+    "text_corpus_curation",
+    "dedup_exact",
+    "window_lag_lead",
+    "events_session_windows",
+    "mr_grep_count",
+    "streaming_static_enrich_counts",
+    # third-confirmation fills (stalest pool — last driver-verified r4 —
+    # family-spread: dedup, events, multimodal, TPC-H, aggregation,
+    # scalar, similarity, window)
+    "dedup_simhash",
+    "events_sliding_windows",
+    "events_trending_hourly",
+    "events_tumbling_hourly",
+    "multimodal_frame_sample",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "agg_filtered_counts",
+    "scalar_bitwise_funcs",
+    "sim_ivf_topk",
+    "window_moving_avg",
+    "window_rank_dense",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -632,6 +632,143 @@ FROM pairs GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Vacuum / retention planner (the complement of layout_compaction_rewrite)
+# --------------------------------------------------------------------------
+
+_VAC_RETENTION_DAYS = 7  # files must be at least this stale to delete
+_VAC_AGE_MOD = 30  # deterministic file-age domain, days
+
+
+def layout_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning over table-layout manifests — the lakehouse
+    operation that follows every OPTIMIZE: diff the PRE-compaction file
+    manifest against the files the compacted layout RETAINS, emit the
+    obsolete-file delete list, and age-gate it with a retention
+    watermark so files a concurrent reader may still hold open survive
+    until they are provably stale (Delta's VACUUM ... RETAIN / Iceberg's
+    expire_snapshots contract).
+
+    Inputs are the same logical manifests ``layout_compaction_rewrite``
+    verified physically: one pre-file per (lang, source) group (logical
+    size = sum of n_chars — physical parquet bytes differ per encoder
+    and can never be oracle'd), with a deterministic md5 age stamp per
+    file standing in for the object store's last-modified time. The
+    retained set is SCALE-FREE: a file at or above its lang's MEAN size
+    is already well-formed and OPTIMIZE carries it over untouched; the
+    below-mean tail is what got compacted, so every one of those
+    pre-files is obsolete. (A first cut kept singleton bins of the
+    rewrite's fixed 16 KiB binning algebra — at sf0.01 every bin held
+    >= 2 files and the retained set was EMPTY, while at bench SF the
+    same constant makes every file a singleton and the OBSOLETE set
+    empties: a fixed byte threshold can't gate a scale-parametric
+    manifest. The mean comparison is a pure integer cross-multiplication
+    — grp_bytes * n_files >= total_bytes — exact on both engines, and
+    non-vacuous on BOTH sides at every SF since a non-constant size
+    distribution always has files both above and below its mean.)
+
+    The delete list is the manifest ANTI-JOIN — pre-files minus retained
+    files (the merkle-diff pattern of diag_table_diff, applied to
+    layouts) — deliberately the general mechanism: against a
+    post-manifest produced by a SEPARATE writer the retained set is not
+    derivable from any local predicate, only the anti-join works. The
+    oracle states the degenerate equivalent (obsolete = below-mean
+    files) so the rewrite is value-verified, the q21 convention in
+    reverse. Deletable = obsolete AND age >= the watermark; younger
+    obsolete files are reported quarantined with their byte volume.
+
+    Scale shape: every relation here is a MANIFEST (one row per file —
+    millions of rows at 100 TB, never the data); one shuffle builds the
+    manifest, the per-lang mean is a bounded (<= |langs| rows) aggregate
+    joined back, then one anti-join and one per-lang rollup. Nothing
+    driver-side."""
+    h_age = md5_bigint_expr("concat('vac-', lang, '|', source)")
+    pre = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("grp_bytes"))
+        .withColumn("age_days", F.expr(f"{h_age} % {_VAC_AGE_MOD}"))
+    )
+    lang_tot = pre.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_files_pre"),
+        F.expr("CAST(SUM(grp_bytes) AS BIGINT)").alias("total_bytes"),
+    )
+    # retained = at/above the lang mean, as an exact integer comparison:
+    # grp_bytes >= total/n  <=>  grp_bytes * n >= total (n > 0).
+    retained = (
+        pre.join(F.broadcast(lang_tot), "lang")
+        .filter("grp_bytes * n_files_pre >= total_bytes")
+        .select("lang", "source")
+    )
+    obsolete = pre.join(retained, ["lang", "source"], "left_anti").select(
+        "lang",
+        "grp_bytes",
+        (F.col("age_days") >= _VAC_RETENTION_DAYS).alias("deletable"),
+    )
+    obs_stats = obsolete.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_obsolete"),
+        F.expr(
+            "CAST(SUM(CASE WHEN deletable THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_deletable"),
+        F.expr(
+            "CAST(SUM(CASE WHEN deletable THEN grp_bytes ELSE 0 END) AS BIGINT)"
+        ).alias("bytes_reclaimed"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT deletable THEN grp_bytes ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("bytes_quarantined"),
+    )
+    return lang_tot.join(obs_stats, "lang", "left").select(
+        "lang",
+        "n_files_pre",
+        F.expr("CAST(COALESCE(n_obsolete, 0) AS BIGINT)").alias("n_obsolete"),
+        F.expr("n_files_pre - CAST(COALESCE(n_obsolete, 0) AS BIGINT)").alias(
+            "n_retained"
+        ),
+        F.expr("CAST(COALESCE(n_deletable, 0) AS BIGINT)").alias("n_deletable"),
+        F.expr("CAST(COALESCE(bytes_reclaimed, 0) AS BIGINT)").alias(
+            "bytes_reclaimed"
+        ),
+        F.expr("CAST(COALESCE(bytes_quarantined, 0) AS BIGINT)").alias(
+            "bytes_quarantined"
+        ),
+    )
+
+
+VACUUM_PLAN_ORACLE = f"""
+WITH pre AS (
+  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS grp_bytes,
+         {oracle_md5_bigint_expr("concat('vac-', lang, '|', source)")}
+           % {_VAC_AGE_MOD} AS age_days
+  FROM documents GROUP BY 1, 2),
+lang_tot AS (
+  SELECT lang, COUNT(*) AS n_files_pre,
+         CAST(SUM(grp_bytes) AS BIGINT) AS total_bytes
+  FROM pre GROUP BY 1),
+obsolete AS (
+  SELECT p.lang, p.grp_bytes,
+         p.age_days >= {_VAC_RETENTION_DAYS} AS deletable
+  FROM pre p JOIN lang_tot t USING (lang)
+  WHERE p.grp_bytes * t.n_files_pre < t.total_bytes)
+SELECT t.lang,
+       t.n_files_pre,
+       CAST(COALESCE(o.n_obsolete, 0) AS BIGINT) AS n_obsolete,
+       t.n_files_pre - CAST(COALESCE(o.n_obsolete, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(o.n_deletable, 0) AS BIGINT) AS n_deletable,
+       CAST(COALESCE(o.bytes_reclaimed, 0) AS BIGINT) AS bytes_reclaimed,
+       CAST(COALESCE(o.bytes_quarantined, 0) AS BIGINT) AS bytes_quarantined
+FROM lang_tot t
+LEFT JOIN (SELECT lang, COUNT(*) AS n_obsolete,
+                  CAST(SUM(CASE WHEN deletable THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_deletable,
+                  CAST(SUM(CASE WHEN deletable THEN grp_bytes ELSE 0 END)
+                       AS BIGINT) AS bytes_reclaimed,
+                  CAST(SUM(CASE WHEN NOT deletable THEN grp_bytes ELSE 0 END)
+                       AS BIGINT) AS bytes_quarantined
+           FROM obsolete GROUP BY 1) o USING (lang)
+"""
+
+
 QUERIES = {
     "curation_weighted_sample_aes": curation_weighted_sample_aes,
     "dedup_crawl_frontier": dedup_crawl_frontier,
@@ -639,6 +776,7 @@ QUERIES = {
     "graph_trade_closure_recursive_cte": graph_trade_closure_recursive_cte,
     "layout_compaction_rewrite": layout_compaction_rewrite,
     "dedup_record_linkage": dedup_record_linkage,
+    "layout_vacuum_plan": layout_vacuum_plan,
 }
 
 ORACLES = {
@@ -648,4 +786,5 @@ ORACLES = {
     "graph_trade_closure_recursive_cte": TRADE_CLOSURE_ORACLE,
     "layout_compaction_rewrite": COMPACTION_REWRITE_ORACLE,
     "dedup_record_linkage": RECORD_LINKAGE_ORACLE,
+    "layout_vacuum_plan": VACUUM_PLAN_ORACLE,
 }

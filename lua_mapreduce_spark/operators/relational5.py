@@ -670,6 +670,158 @@ LIMIT 100
 # depend on a data-generator property.
 
 
+# --------------------------------------------------------------------------
+# TPC-H refresh streams RF1/RF2 (insert + delete batches, applied + audited)
+# --------------------------------------------------------------------------
+
+_RF_MOD = 50  # 2% refresh batches. The spec rate (SF*1500 of SF*1.5M orders
+# = 0.1%) selects ~1.5 orders at the sf0.001 smoke SF — a vacuous gate; 2%
+# keeps every per-status delta nonzero at EVERY test SF (the
+# crawl-frontier/CDC non-vacuous-input rule, analytics5._raw_url_expr).
+_RF_O_BUMP = 19  # cents perturbation on inserted order clones
+_RF_L_BUMP = 23  # cents perturbation on inserted lineitem clones
+
+
+def tpch_refresh_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh streams RF1 (insert new orders + their lineitems)
+    and RF2 (delete existing orders + their lineitems), applied in one
+    pass with a per-(relation, status) audit of the resulting deltas —
+    the last TPC-H surface beyond the 22 queries (spec clause 2.27/2.28).
+
+    The spec ships the refresh sets as key-list files next to dbgen; here
+    each batch is a KEY PREDICATE instead — rf1 clones the md5-selected
+    ~2% of orders past max(o_orderkey) (the CDC-derived offset keeps
+    insert keys disjoint from live keys at every SF), rf2 tombstones a
+    second md5-selected ~2%. Because both predicates key on the ORDER
+    key, lineitem evaluates the very same predicates on l_orderkey and
+    each order's lines travel with it — insert and delete stay
+    referentially consistent across the two relations WITHOUT any join:
+    batch membership is a map-side expression, which is the shape that
+    makes refresh application embarrassingly parallel at 100 TB (the
+    spec's key-file form would be a broadcast/semi-join per batch).
+    The two sets may overlap on a base key (a cloned order may itself be
+    deleted) — legal, the clone lives under a new key; inserted keys sit
+    past max(k) so RF2 can never select them.
+
+    Scale shape: no joins except the 1-row insert-offset broadcast; the
+    apply is filter + unionAll (zero shuffle); the audit is one
+    status-grouped aggregate per side, with the COUNT(DISTINCT k)
+    key-audit shuffling well-spread (status, k) pairs, never 3 hot
+    reducers. ``n_keys_after`` is the in-query witness that inserted
+    keys collided with nothing (== n_after for orders; asserted in
+    tests/test_round11.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    off = orders.agg(
+        F.expr("CAST(MAX(o_orderkey) + 1 AS BIGINT)").alias("ins_off")
+    )
+
+    def refresh_audit(relation: str, base: DataFrame, bump: int) -> DataFrame:
+        """base must carry (k, status, cents, is_ins, is_del)."""
+        ins_rows = (
+            base.filter("is_ins")
+            .crossJoin(F.broadcast(off))
+            .select(
+                F.expr("k + ins_off").alias("k"),
+                "status",
+                F.expr(f"cents + {bump}").alias("cents"),
+            )
+        )
+        after = (
+            base.filter("NOT is_del").select("k", "status", "cents")
+            .unionAll(ins_rows)
+        )
+        base_stats = base.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.expr("CAST(SUM(cents) AS BIGINT)").alias("cents_base"),
+        )
+        after_stats = after.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.countDistinct("k").alias("n_keys_after"),
+            F.expr("CAST(SUM(cents) AS BIGINT)").alias("cents_after"),
+        )
+        return base_stats.join(after_stats, "status").select(
+            F.lit(relation).alias("relation"),
+            "status",
+            "n_base",
+            "n_after",
+            "n_keys_after",
+            F.expr("n_after - n_base").alias("n_delta"),
+            "cents_base",
+            "cents_after",
+            F.expr("cents_after - cents_base").alias("cents_delta"),
+        )
+
+    def tagged(df: DataFrame, key: str, status: str, money: str) -> DataFrame:
+        h_ins = md5_bigint_expr(f"concat('rf1-', CAST({key} AS STRING))")
+        h_del = md5_bigint_expr(f"concat('rf2-', CAST({key} AS STRING))")
+        return df.select(
+            F.col(key).alias("k"),
+            F.col(status).alias("status"),
+            F.expr(f"CAST(round({money} * 100.0) AS BIGINT)").alias("cents"),
+            F.expr(f"{h_ins} % {_RF_MOD} = 0").alias("is_ins"),
+            F.expr(f"{h_del} % {_RF_MOD} = 0").alias("is_del"),
+        )
+
+    o_audit = refresh_audit(
+        "orders", tagged(orders, "o_orderkey", "o_orderstatus", "o_totalprice"),
+        _RF_O_BUMP,
+    )
+    l_audit = refresh_audit(
+        "lineitem",
+        tagged(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_linestatus",
+            "l_extendedprice",
+        ),
+        _RF_L_BUMP,
+    )
+    return o_audit.unionAll(l_audit)
+
+
+def _rf_oracle_block(
+    rel: str, table: str, key: str, status: str, money: str, bump: int
+) -> str:
+    h_ins = oracle_md5_bigint_expr(f"concat('rf1-', CAST({key} AS VARCHAR))")
+    h_del = oracle_md5_bigint_expr(f"concat('rf2-', CAST({key} AS VARCHAR))")
+    return f"""
+{rel}_b AS (
+  SELECT {key} AS k, {status} AS status,
+         CAST(round({money} * 100.0) AS BIGINT) AS cents,
+         {h_ins} % {_RF_MOD} = 0 AS is_ins,
+         {h_del} % {_RF_MOD} = 0 AS is_del
+  FROM {table}),
+{rel}_after AS (
+  SELECT k, status, cents FROM {rel}_b WHERE NOT is_del
+  UNION ALL
+  SELECT k + (SELECT ins_off FROM off), status, cents + {bump}
+  FROM {rel}_b WHERE is_ins),
+{rel}_stats AS (
+  SELECT '{rel}' AS relation, b.status,
+         b.n_base, a.n_after, a.n_keys_after,
+         a.n_after - b.n_base AS n_delta,
+         b.cents_base, a.cents_after,
+         a.cents_after - b.cents_base AS cents_delta
+  FROM (SELECT status, COUNT(*) AS n_base,
+               CAST(SUM(cents) AS BIGINT) AS cents_base
+        FROM {rel}_b GROUP BY 1) b
+  JOIN (SELECT status, COUNT(*) AS n_after,
+               COUNT(DISTINCT k) AS n_keys_after,
+               CAST(SUM(cents) AS BIGINT) AS cents_after
+        FROM {rel}_after GROUP BY 1) a USING (status))"""
+
+
+REFRESH_STREAMS_ORACLE = f"""
+WITH off AS (SELECT CAST(MAX(o_orderkey) + 1 AS BIGINT) AS ins_off
+             FROM orders),
+{_rf_oracle_block("orders", "orders", "o_orderkey", "o_orderstatus",
+                  "o_totalprice", _RF_O_BUMP)},
+{_rf_oracle_block("lineitem", "lineitem", "l_orderkey", "l_linestatus",
+                  "l_extendedprice", _RF_L_BUMP)}
+SELECT * FROM orders_stats UNION ALL SELECT * FROM lineitem_stats
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
@@ -678,6 +830,7 @@ QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_part_promotion": q20_part_promotion,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "tpch_refresh_streams": tpch_refresh_streams,
 }
 
 ORACLES = {
@@ -688,4 +841,5 @@ ORACLES = {
     "q16_supplier_part_counts": Q16_ORACLE,
     "q20_part_promotion": Q20_ORACLE,
     "q21_suppliers_kept_waiting": Q21_ORACLE,
+    "tpch_refresh_streams": REFRESH_STREAMS_ORACLE,
 }

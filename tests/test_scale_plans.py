@@ -153,6 +153,8 @@ _NESTED_LOOP_OK = {
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_part_promotion",
+    "tpch_refresh_streams",    # 1-row insert-offset (max key) broadcast cross join
+    "sim_kmeans_lloyd",        # K-row centroid broadcast cross join per round
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -234,9 +236,13 @@ _BROADCAST_OK = {
     ("relational5.py", "nation"),     # constant 25 rows
     ("relational5.py", "region"),     # constant 5 rows
     ("relational5.py", "tot"),        # single-row (total, n_parts) aggregate (Q11)
+    ("relational5.py", "off"),        # single-row max-key insert offset (RF1)
     ("analytics5.py", "nation_c"),    # constant 25 rows (trade closure)
     ("analytics5.py", "nation_s"),    # constant 25 rows (trade closure)
     ("analytics5.py", "route"),       # compaction plan: <= strata x sources rows
+    ("analytics5.py", "lang_tot"),    # grouped by lang: <= |langs| rows (vacuum mean)
+    ("analytics6.py", "cent"),        # fixed _KM_K centroid rows (Lloyd rounds)
+    ("analytics6.py", "csum"),        # fixed _KM_K centroid-checksum rows
 }
 
 
@@ -272,6 +278,7 @@ _COLLECT_OK = {
     ("relational4.py", "F.collect_set(\"l_linestatus\")"),  # <= 3 distinct values
     ("relational4.py", "F.collect_set(F.col(\"l_linenumber\")"),  # <= 7 per order
     ("scale_ops.py", "F.collect_list(F.struct(\"w\", \"bits\"))"),  # <= _BLOOM_WORDS rows
+    ("analytics6.py", "F.collect_list(F.struct(\"pos\", \"dim\"))"),  # <= _KM_DIM rows per centroid
 }
 
 
