@@ -255,6 +255,19 @@ EXTENDED_MEDIAN = {
     # Same cold/warm asymmetry as the BPE learn face (7.2 s cold vs
     # 2.2-2.5 s steady-state: per-round checkpoint chain JIT).
     "text_bpe_encode",
+    # r11 adjudication of the r10 verdict's graph single-run drift
+    # (common_neighbors 3.17->3.72 s, kcore 2.58->2.98 s): the recorded
+    # r10 series are NON-monotonic (3.99/3.77/4.25/3.72 and
+    # 2.88/5.73-contended/2.78/2.98) — noise in the 2-4.5 s straggler
+    # band, not plan regressions. common_neighbors is promoted to
+    # medians here; kcore/LPA are HEADLINE queries and already get
+    # N_RUNS medians (their drift rows were bench_detail extras).
+    "graph_common_neighbors",
+    # r11 newcomers in the bands above: the refresh audit re-scans orders
+    # 3x + a distinct-key agg; Lloyd's rounds have the per-round
+    # localCheckpoint cold/warm asymmetry.
+    "tpch_refresh_streams",
+    "sim_kmeans_lloyd",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

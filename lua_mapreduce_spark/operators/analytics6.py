@@ -216,10 +216,151 @@ FROM stats JOIN purity USING (cid) JOIN csum USING (cid)"""
 KMEANS_ORACLE = _km_oracle()
 
 
+# --------------------------------------------------------------------------
+# Zone-map data-skipping estimator (the quantified z-order motivation)
+# --------------------------------------------------------------------------
+
+_ZM_FILES = 32  # files per layout
+_ZM_PREDS = 10  # probe predicates (decile ranges, half-decile width)
+
+
+def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) data-skipping estimator: how many
+    files of a layout can a range predicate PROVABLY skip without
+    reading them — the arithmetic every lakehouse scan planner runs
+    against parquet footers / Delta file stats, and the quantitative WHY
+    behind layout_zorder_keys and layout_compaction_rewrite.
+
+    Two deterministic layouts of the documents table are compared under
+    the SAME probe workload: ``ordered`` files hold contiguous doc_id
+    ranges (file = doc_id DIV ceil(n/32) — what a sequential ingest
+    writer produces), ``striped`` files hold doc_id % 32 (hash/round-robin
+    placement). Ten decile range predicates probe both. Ordered zone maps
+    are tight — most files' [min, max] misses the probe range and the
+    skip ratio approaches (files - 1)/files; striped zone maps all span
+    nearly the whole domain, so NOTHING skips — the measured reason
+    clustering-by-filter-column matters at 100 TB, where the difference
+    is reading one file versus all of them. ``rows_scanned_ub`` (the sum
+    of surviving files' row counts) against ``rows_selected`` (the exact
+    answer) bounds the wasted I/O per layout; zone maps are sound, so
+    scanned >= selected always (asserted in tests/test_round11.py).
+
+    Scale shape: zone maps build in ONE pass (stack() fans each row to
+    its two layout placements map-side, one groupBy over <= 2*32 file
+    groups); the probe matrix is a bounded (2*32 x 10) broadcast cross
+    join over MANIFEST rows; exact selectivities come from one scan with
+    the 10-row predicate table broadcast. The 1-row domain-size aggregate
+    is localCheckpoint'd (the refresh-offset convention)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mx = docs.agg(
+        F.expr("CAST(MAX(doc_id) + 1 AS BIGINT)").alias("mx")
+    ).localCheckpoint(eager=True)
+    placed = docs.crossJoin(F.broadcast(mx)).selectExpr(
+        "doc_id",
+        f"doc_id DIV (1 + (mx - 1) DIV {_ZM_FILES}) AS f_ordered",
+        f"doc_id % {_ZM_FILES} AS f_striped",
+    )
+    zones = (
+        placed.selectExpr(
+            "doc_id",
+            "stack(2, 'ordered', f_ordered, 'striped', f_striped)"
+            " AS (layout, file_id)",
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.expr("CAST(MIN(doc_id) AS BIGINT)").alias("min_id"),
+            F.expr("CAST(MAX(doc_id) AS BIGINT)").alias("max_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    preds = (
+        spark.range(_ZM_PREDS)
+        .select(F.col("id").alias("pred_id"))
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "pred_id",
+            f"(pred_id * mx) DIV {_ZM_PREDS} AS lo",
+            f"(pred_id * mx) DIV {_ZM_PREDS} + (mx DIV 20) AS hi",
+        )
+    )
+    probed = zones.crossJoin(F.broadcast(preds)).withColumn(
+        "scanned", F.expr("max_id >= lo AND min_id < hi")
+    )
+    skip_stats = probed.groupBy("layout", "pred_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.expr(
+            "CAST(SUM(CASE WHEN scanned THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("n_skipped"),
+        F.expr(
+            "CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT)"
+        ).alias("rows_scanned_ub"),
+    )
+    truth = (
+        docs.crossJoin(F.broadcast(preds))
+        .filter("doc_id >= lo AND doc_id < hi")
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).alias("rows_selected"))
+    )
+    return skip_stats.join(truth, "pred_id", "left").select(
+        "layout",
+        "pred_id",
+        "n_files",
+        "n_skipped",
+        F.expr("n_skipped * 1000 DIV n_files").alias("skip_permille"),
+        "rows_scanned_ub",
+        F.expr("CAST(COALESCE(rows_selected, 0) AS BIGINT)").alias(
+            "rows_selected"
+        ),
+    )
+
+
+ZONEMAP_ORACLE = f"""
+WITH mx AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS mx FROM documents),
+placed AS (
+  SELECT doc_id,
+         doc_id // (1 + (mx - 1) // {_ZM_FILES}) AS f_ordered,
+         doc_id % {_ZM_FILES} AS f_striped
+  FROM documents, mx),
+zones AS (
+  SELECT layout, file_id,
+         CAST(MIN(doc_id) AS BIGINT) AS min_id,
+         CAST(MAX(doc_id) AS BIGINT) AS max_id,
+         COUNT(*) AS n_rows
+  FROM (
+    SELECT doc_id, 'ordered' AS layout, f_ordered AS file_id FROM placed
+    UNION ALL
+    SELECT doc_id, 'striped', f_striped FROM placed)
+  GROUP BY 1, 2),
+preds AS (
+  SELECT q.pred_id,
+         (q.pred_id * mx) // {_ZM_PREDS} AS lo,
+         (q.pred_id * mx) // {_ZM_PREDS} + (mx // 20) AS hi
+  FROM (SELECT UNNEST(range({_ZM_PREDS})) AS pred_id) q, mx),
+skip_stats AS (
+  SELECT layout, pred_id, COUNT(*) AS n_files,
+         CAST(SUM(CASE WHEN max_id >= lo AND min_id < hi
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped,
+         CAST(SUM(CASE WHEN max_id >= lo AND min_id < hi
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_ub
+  FROM zones CROSS JOIN preds GROUP BY 1, 2),
+truth AS (
+  SELECT pred_id, COUNT(*) AS rows_selected
+  FROM documents CROSS JOIN preds
+  WHERE doc_id >= lo AND doc_id < hi GROUP BY 1)
+SELECT layout, pred_id, n_files, n_skipped,
+       n_skipped * 1000 // n_files AS skip_permille,
+       rows_scanned_ub,
+       CAST(COALESCE(rows_selected, 0) AS BIGINT) AS rows_selected
+FROM skip_stats LEFT JOIN truth USING (pred_id)
+"""
+
+
 QUERIES = {
     "sim_kmeans_lloyd": sim_kmeans_lloyd,
+    "layout_zonemap_skipping": layout_zonemap_skipping,
 }
 
 ORACLES = {
     "sim_kmeans_lloyd": KMEANS_ORACLE,
+    "layout_zonemap_skipping": ZONEMAP_ORACLE,
 }

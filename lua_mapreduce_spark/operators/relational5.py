@@ -711,9 +711,12 @@ def tpch_refresh_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys collided with nothing (== n_after for orders; asserted in
     tests/test_round11.py)."""
     orders = load_table(spark, sf_dir, "orders")
+    # localCheckpoint pins the 1-row offset: it is cross-joined into BOTH
+    # audits, and an unpinned aggregate would re-scan the full o_orderkey
+    # column once per reference.
     off = orders.agg(
         F.expr("CAST(MAX(o_orderkey) + 1 AS BIGINT)").alias("ins_off")
-    )
+    ).localCheckpoint(eager=True)
 
     def refresh_audit(relation: str, base: DataFrame, bump: int) -> DataFrame:
         """base must carry (k, status, cents, is_ins, is_del)."""

@@ -1,5 +1,6 @@
 """Round-11 operator tests: TPC-H refresh streams (RF1/RF2), the
-vacuum/retention planner, and integer-grid Lloyd's k-means."""
+vacuum/retention planner, integer-grid Lloyd's k-means, and the
+zone-map data-skipping estimator."""
 
 from __future__ import annotations
 
@@ -162,6 +163,7 @@ def test_r11_operators_partition_invariant(spark):
         "refresh": r5.tpch_refresh_streams,
         "vacuum": a5.layout_vacuum_plan,
         "kmeans": a6.sim_kmeans_lloyd,
+        "zonemap": a6.layout_zonemap_skipping,
     }
     before = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
@@ -177,3 +179,21 @@ def test_r11_operators_partition_invariant(spark):
     for name in cases:
         assert results[(name, "3")] == results[(name, "17")], name
         assert results[(name, "3")], f"{name} vacuous"
+
+
+def test_zonemap_soundness_and_contrast(spark):
+    """Zone maps are SOUND (a skipped file can contain no matching row,
+    so rows_scanned_ub >= rows_selected for every probe) and the layout
+    contrast is real: the id-ordered layout must skip strictly more than
+    the striped layout on the total."""
+    from lua_mapreduce_spark.operators import analytics6 as a6
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = a6.layout_zonemap_skipping(spark, sf).collect()
+        assert len(rows) == 2 * a6._ZM_PREDS
+        skipped = {"ordered": 0, "striped": 0}
+        for r in rows:
+            assert r["rows_scanned_ub"] >= r["rows_selected"], (sf, r)
+            assert 0 <= r["n_skipped"] <= r["n_files"]
+            skipped[r["layout"]] += r["n_skipped"]
+        assert skipped["ordered"] > skipped["striped"], (sf, skipped)

@@ -155,6 +155,7 @@ _NESTED_LOOP_OK = {
     "q20_part_promotion",
     "tpch_refresh_streams",    # 1-row insert-offset (max key) broadcast cross join
     "sim_kmeans_lloyd",        # K-row centroid broadcast cross join per round
+    "layout_zonemap_skipping", # 1-row domain + 10-row predicate broadcast cross joins
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -243,6 +244,8 @@ _BROADCAST_OK = {
     ("analytics5.py", "lang_tot"),    # grouped by lang: <= |langs| rows (vacuum mean)
     ("analytics6.py", "cent"),        # fixed _KM_K centroid rows (Lloyd rounds)
     ("analytics6.py", "csum"),        # fixed _KM_K centroid-checksum rows
+    ("analytics6.py", "mx"),          # single-row domain-size aggregate (zone maps)
+    ("analytics6.py", "preds"),       # fixed _ZM_PREDS probe predicates
 }
 
 
