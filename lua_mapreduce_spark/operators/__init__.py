@@ -98,7 +98,7 @@ _MODULES = [
 # with a one-aggregate count+seeded-hash-sum checksum instead of
 # count+exceptAll — half the per-round actions) and
 # streaming_python_datasource (drain stats cleared up-front so a failed
-# drain can't report stale restart numbers); FOUR r11-new queries
+# drain can't report stale restart numbers); SIX r11-new queries
 # (tpch_refresh_streams — RF1/RF2 insert+delete batches as md5 key
 # predicates, applied and delta-audited per (relation, status), closing
 # the last TPC-H surface beyond the 22 queries, SURVEY §7.4 candidate 2;
@@ -109,16 +109,22 @@ _MODULES = [
 # unrolled-round DuckDB oracle, per-cluster inertia + label purity;
 # layout_zonemap_skipping — min/max zone-map data-skipping estimator,
 # ordered vs striped layouts under one decile probe workload, the
-# quantified z-order motivation); the
+# quantified z-order motivation; multimodal_audio_vad — VAD-style
+# activity segmentation of the WAV modality, imperative run-length
+# loop proven equal to the SQL gaps-and-islands form;
+# agg_kmv_theta_sketch — K-minimum-values/theta sketch with composable
+# union AND intersection estimates, exact counts + permille error
+# riding along); the
 # TWELVE fills the late-r10 waves displaced (q5_local_supplier_volume,
 # dedup_latest_per_key, events_json_extract, multimodal_decode_features,
 # q15_top_supplier, q22_dormant_rich_customers, text_corpus_curation,
 # dedup_exact, window_lag_lead, events_session_windows, mr_grep_count,
-# streaming_static_enrich_counts); and THIRTEEN third-confirmation fills
+# streaming_static_enrich_counts); and ELEVEN third-confirmation fills
 # from the stalest pool (last driver-verified r4, family-spread;
-# window_rank_dense, window_running_total and the r5 block move to the
-# front of the r12 fill pool).
-# 2 + 17 + 2 + 4 + 12 + 13 = 50. After a green r11, every pre-r10 query
+# sim_ivf_topk, window_moving_avg, window_rank_dense,
+# window_running_total and the r5 block move to the front of the r12
+# fill pool).
+# 2 + 17 + 2 + 6 + 12 + 11 = 50. After a green r11, every pre-r10 query
 # is driver-confirmed at least twice, the r10 newcomers twice, and the
 # r11 newcomers once.
 _DRIVER_WINDOW = [
@@ -151,6 +157,8 @@ _DRIVER_WINDOW = [
     "layout_vacuum_plan",
     "sim_kmeans_lloyd",
     "layout_zonemap_skipping",
+    "multimodal_audio_vad",
+    "agg_kmv_theta_sketch",
     # the 12 fills displaced from the r10 window by the late-r10 waves
     "q5_local_supplier_volume",
     "dedup_latest_per_key",
@@ -178,8 +186,6 @@ _DRIVER_WINDOW = [
     "q19_disjunctive_revenue",
     "agg_filtered_counts",
     "scalar_bitwise_funcs",
-    "sim_ivf_topk",
-    "window_moving_avg",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

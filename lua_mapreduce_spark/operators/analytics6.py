@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lua_mapreduce_spark.catalog import load_table, parallelize_scan
+from lua_mapreduce_spark.functions.texthash import (
+    md5_bigint_expr,
+    oracle_md5_bigint_expr,
+)
 
 _KM_K = 8  # clusters (matches the IVF/SemDeDup cell count)
 _KM_ROUNDS = 2  # Lloyd update rounds (unrolled; assignment after each)
@@ -355,12 +359,215 @@ FROM skip_stats LEFT JOIN truth USING (pred_id)
 """
 
 
+# --------------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct-count + set-operation estimates
+# --------------------------------------------------------------------------
+
+_KMV_K = 128  # sketch size (relative error ~ 1/sqrt(k-1) ~ 8.9%)
+_KMV_DOM = 1 << 40  # hash domain (md5_60 folded; 40 bits keeps every
+# product below 2^48, far from BIGINT overflow under ANSI mode)
+
+
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values / theta sketch (Bar-Yossef et al. 2002; Dasgupta
+    et al., "Theta Sketch Framework", 2016 — the DataSketches family):
+    keep the K smallest hash values of a set; the Kth smallest estimates
+    the density, so distinct ~= (K-1) * DOMAIN / theta, and two sketches
+    COMPOSE — union = K smallest of the merged sketches, intersection =
+    |common values below min(theta_a, theta_b)| * DOMAIN / theta. This is
+    the sketch family that, unlike HLL (agg_approx_distinct_sketch),
+    supports INTERSECTION estimates — the audience-overlap / join-size
+    planning primitive. Every quantity here is a deterministic md5
+    integer, so the oracle replays sketch construction AND estimation
+    bit-for-bit, and the output carries exact counts alongside the
+    estimates with their error in permille (accuracy bounds asserted in
+    tests/test_round11.py).
+
+    Sets: urgent orders vs above-mean-value orders (the mean threshold is
+    an integer cross-multiplication against a 1-row broadcast total, the
+    scale-free-threshold rule). Both sets far exceed K at every SF.
+
+    Scale shape: ONE scan builds both sketch member streams map-side
+    (stack) and the per-set K-min compiles to WindowGroupLimit — each map
+    task truncates to K rows per set before the exchange, so the shuffle
+    carries <= tasks * 2K rows no matter the input size (the fixed-size
+    sketch property, materialized in the plan); exact counts for the
+    accuracy report are one conditional aggregate on a second scan. The
+    <= 2K-row sketch relation is localCheckpoint'd and reused by the
+    per-set, union, and intersection estimates."""
+    h = md5_bigint_expr("concat('kmv-', CAST(o_orderkey AS STRING))")
+    orders = load_table(spark, sf_dir, "orders")
+    tot = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)").alias(
+            "total_cents"
+        ),
+    ).localCheckpoint(eager=True)
+    base = orders.crossJoin(F.broadcast(tot)).select(
+        F.expr(f"{h} % {_KMV_DOM}").alias("h"),
+        F.expr("o_orderpriority = '1-URGENT'").alias("in_a"),
+        F.expr(
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) * n_orders"
+            " >= total_cents"
+        ).alias("in_b"),
+    )
+    exact = base.selectExpr(
+        "stack(4,"
+        " 'urgent',       CASE WHEN in_a THEN 1 ELSE 0 END,"
+        " 'high_value',   CASE WHEN in_b THEN 1 ELSE 0 END,"
+        " 'union',        CASE WHEN in_a OR in_b THEN 1 ELSE 0 END,"
+        " 'intersection', CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)"
+        " AS (set_name, m)"
+    ).groupBy("set_name").agg(F.expr("CAST(SUM(m) AS BIGINT)").alias("exact_n"))
+    members = base.selectExpr(
+        "h", "stack(2, 'urgent', in_a, 'high_value', in_b) AS (s, m)"
+    ).filter("m")
+    w = Window.partitionBy("s").orderBy("h")
+    sk = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("s", "h")
+        .localCheckpoint(eager=True)
+    )
+    per_set = sk.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.expr("CAST(MAX(h) AS BIGINT)").alias("theta"),
+    )
+    est_sets = per_set.select(
+        F.col("s").alias("set_name"),
+        F.expr(
+            f"CASE WHEN n_sk < {_KMV_K} THEN n_sk"
+            f" ELSE ({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT) DIV theta END"
+        ).alias("est_n"),
+    )
+    wu = Window.orderBy("h")
+    uni = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    est_union = uni.agg(
+        F.expr(
+            f"CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)"
+            f" ELSE ({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT) DIV MAX(h) END"
+        ).alias("est_n")
+    ).select(F.lit("union").alias("set_name"), "est_n")
+    theta_min = per_set.agg(
+        F.expr("CAST(MIN(theta) AS BIGINT)").alias("theta")
+    )
+    common = (
+        sk.filter("s = 'urgent'")
+        .select("h")
+        .join(sk.filter("s = 'high_value'").select("h"), "h", "semi")
+        .crossJoin(F.broadcast(theta_min))
+        .filter("h < theta")
+    )
+    # count first, THEN divide by theta: an empty common set must yield
+    # est 0 (0 DIV theta), never NULL (0 * DOM DIV MAX(theta) over no
+    # rows) — the oracle's scalar-subquery form yields 0.
+    est_inter = (
+        common.agg(F.count(F.lit(1)).alias("n_common"))
+        .crossJoin(F.broadcast(theta_min))
+        .select(
+            F.lit("intersection").alias("set_name"),
+            F.expr(f"n_common * CAST({_KMV_DOM} AS BIGINT) DIV theta").alias(
+                "est_n"
+            ),
+        )
+    )
+    ests = est_sets.unionAll(est_union).unionAll(est_inter)
+    return exact.join(ests, "set_name").select(
+        "set_name",
+        "exact_n",
+        "est_n",
+        F.expr("abs(est_n - exact_n) * 1000 DIV exact_n").alias(
+            "err_permille"
+        ),
+    )
+
+
+def _kmv_oracle() -> str:
+    h = oracle_md5_bigint_expr("concat('kmv-', CAST(o_orderkey AS VARCHAR))")
+    return f"""
+WITH tot AS (
+  SELECT COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders),
+base AS (
+  SELECT {h} % {_KMV_DOM} AS h,
+         o_orderpriority = '1-URGENT' AS in_a,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) * n_orders
+           >= total_cents AS in_b
+  FROM orders, tot),
+exact AS (
+  SELECT 'urgent' AS set_name,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS exact_n
+  FROM base
+  UNION ALL SELECT 'high_value',
+         CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) FROM base
+  UNION ALL SELECT 'union',
+         CAST(SUM(CASE WHEN in_a OR in_b THEN 1 ELSE 0 END) AS BIGINT)
+  FROM base
+  UNION ALL SELECT 'intersection',
+         CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+  FROM base),
+members AS (
+  SELECT h, 'urgent' AS s FROM base WHERE in_a
+  UNION ALL SELECT h, 'high_value' FROM base WHERE in_b),
+sk AS (
+  SELECT s, h FROM (
+    SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn
+    FROM members) WHERE rn <= {_KMV_K}),
+per_set AS (
+  SELECT s, COUNT(*) AS n_sk, CAST(MAX(h) AS BIGINT) AS theta
+  FROM sk GROUP BY 1),
+est_sets AS (
+  SELECT s AS set_name,
+         CASE WHEN n_sk < {_KMV_K} THEN n_sk
+              ELSE ({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT) // theta END
+           AS est_n
+  FROM per_set),
+uni AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= {_KMV_K}),
+est_union AS (
+  SELECT 'union' AS set_name,
+         CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+              ELSE ({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT) // MAX(h) END
+           AS est_n
+  FROM uni),
+theta_min AS (SELECT CAST(MIN(theta) AS BIGINT) AS theta FROM per_set),
+est_inter AS (
+  SELECT 'intersection' AS set_name,
+         COUNT(*) * CAST({_KMV_DOM} AS BIGINT) // (SELECT theta FROM theta_min)
+           AS est_n
+  FROM (SELECT a.h FROM sk a JOIN sk b ON a.h = b.h
+        WHERE a.s = 'urgent' AND b.s = 'high_value'
+          AND a.h < (SELECT theta FROM theta_min))),
+ests AS (
+  SELECT * FROM est_sets
+  UNION ALL SELECT * FROM est_union
+  UNION ALL SELECT * FROM est_inter)
+SELECT set_name, exact_n, est_n,
+       abs(est_n - exact_n) * 1000 // exact_n AS err_permille
+FROM exact JOIN ests USING (set_name)
+"""
+
+
+KMV_ORACLE = _kmv_oracle()
+
+
 QUERIES = {
     "sim_kmeans_lloyd": sim_kmeans_lloyd,
     "layout_zonemap_skipping": layout_zonemap_skipping,
+    "agg_kmv_theta_sketch": agg_kmv_theta_sketch,
 }
 
 ORACLES = {
     "sim_kmeans_lloyd": KMEANS_ORACLE,
     "layout_zonemap_skipping": ZONEMAP_ORACLE,
+    "agg_kmv_theta_sketch": KMV_ORACLE,
 }

@@ -1,6 +1,6 @@
 """Round-11 operator tests: TPC-H refresh streams (RF1/RF2), the
-vacuum/retention planner, integer-grid Lloyd's k-means, and the
-zone-map data-skipping estimator."""
+vacuum/retention planner, integer-grid Lloyd's k-means, the zone-map
+data-skipping estimator, and VAD audio segmentation."""
 
 from __future__ import annotations
 
@@ -158,12 +158,14 @@ def test_r11_operators_partition_invariant(spark):
     late-r10 convention): identical results under different shuffle
     parallelism."""
     from lua_mapreduce_spark.operators import analytics6 as a6
+    from lua_mapreduce_spark.operators import multimodal as _mm
 
     cases = {
         "refresh": r5.tpch_refresh_streams,
         "vacuum": a5.layout_vacuum_plan,
         "kmeans": a6.sim_kmeans_lloyd,
         "zonemap": a6.layout_zonemap_skipping,
+        "vad": _mm.multimodal_audio_vad,
     }
     before = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
@@ -197,3 +199,47 @@ def test_zonemap_soundness_and_contrast(spark):
             assert 0 <= r["n_skipped"] <= r["n_files"]
             skipped[r["layout"]] += r["n_skipped"]
         assert skipped["ordered"] > skipped["striped"], (sf, skipped)
+
+
+def test_vad_segmentation_mix_and_python_replay(spark):
+    """The activity threshold must produce a REAL mix (documents with
+    several segments AND inactive frames) at both parity SFs, and the
+    mapInPandas loop must equal a direct Python replay over the raw
+    bytes."""
+    from lua_mapreduce_spark.operators import multimodal as mm
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = {r["doc_id"]: r for r in mm.multimodal_audio_vad(spark, sf).collect()}
+        assert any(r["n_segments"] >= 2 for r in rows.values()), sf
+        assert any(
+            r["n_active"] < r["n_frames"] for r in rows.values() if r["n_frames"]
+        ), sf
+        con = duckdb.connect()
+        docs = con.sql(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet' LIMIT 50"
+        ).fetchall()
+        for doc_id, text in docs:
+            sr, nf, na, ns, lr = mm._vad_segments(mm._encode_wav(text.encode()))
+            r = rows[doc_id]
+            assert (sr, nf, na, ns, lr) == (
+                r["sample_rate"], r["n_frames"], r["n_active"],
+                r["n_segments"], r["longest_run"],
+            ), doc_id
+
+
+def test_kmv_sketch_accuracy_and_structure(spark):
+    """KMV estimates must sit within the family's statistical envelope
+    (k=128 -> sd ~8.9%; allow 40% = >4 sigma — only a broken estimator
+    trips this), exact counts must satisfy inclusion-exclusion, and both
+    base sets must exceed K so the estimator path (not the exact-count
+    fallback) is what the gate verifies."""
+    from lua_mapreduce_spark.operators import analytics6 as a6
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = {r["set_name"]: r for r in a6.agg_kmv_theta_sketch(spark, sf).collect()}
+        assert set(rows) == {"urgent", "high_value", "union", "intersection"}
+        for name, r in rows.items():
+            assert r["err_permille"] <= 400, (sf, name, r)
+        ex = {n: rows[n]["exact_n"] for n in rows}
+        assert ex["union"] == ex["urgent"] + ex["high_value"] - ex["intersection"]
+        assert ex["urgent"] > a6._KMV_K and ex["high_value"] > a6._KMV_K, sf

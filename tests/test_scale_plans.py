@@ -113,6 +113,7 @@ _PYTHON_OK = {
     "mr_wordcount",  # Layer A: opaque Python closures ARE the operator
     "agg_heavy_hitters_sketch",  # MG sketch pass is mapInPandas by design
     "multimodal_phash_dedup",  # Arrow-batched decode+aHash pass by design
+    "multimodal_audio_vad",  # Arrow-batched WAV decode+segment pass by design
     "udtf_ngram_shingles",  # Python UDTF surface IS the operator
     "sim_pq_adc_topk",  # one-task PQ codebook trainer (applyInPandas)
 }
@@ -156,6 +157,7 @@ _NESTED_LOOP_OK = {
     "tpch_refresh_streams",    # 1-row insert-offset (max key) broadcast cross join
     "sim_kmeans_lloyd",        # K-row centroid broadcast cross join per round
     "layout_zonemap_skipping", # 1-row domain + 10-row predicate broadcast cross joins
+    "agg_kmv_theta_sketch",    # 1-row total / theta broadcast cross joins
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -246,6 +248,8 @@ _BROADCAST_OK = {
     ("analytics6.py", "csum"),        # fixed _KM_K centroid-checksum rows
     ("analytics6.py", "mx"),          # single-row domain-size aggregate (zone maps)
     ("analytics6.py", "preds"),       # fixed _ZM_PREDS probe predicates
+    ("analytics6.py", "tot"),         # single-row (n, total-cents) aggregate (KMV)
+    ("analytics6.py", "theta_min"),   # single-row min-theta aggregate (KMV)
 }
 
 
