@@ -1,12 +1,17 @@
-"""Round-11 operator wave: embedding-space clustering (Lloyd's k-means).
+"""Round-11 operator wave: embedding-space clustering (Lloyd's k-means),
+zone-map data skipping, the KMV/theta sketch, and curation-filter drift.
 
 The north-star brief's similarity/curation rows need a CLUSTERING
 primitive beyond assignment-to-fixed-centroids (sim_ivf_topk and
 dedup_semantic_semdedup assign to deterministic seed centroids but never
 ITERATE): corpus clustering — topic balancing, SemDeDup's k-means stage,
 IVF index training — is Lloyd's algorithm, the canonical iterative
-refinement. This module expresses it Spark-first with a full DuckDB value
-oracle by keeping every quantity on an integer grid.
+refinement, expressed here Spark-first with a full DuckDB value oracle by
+keeping every quantity on an integer grid. The wave's other members share
+that discipline: min/max zone-map skipping quantified over two layouts,
+the set-operation sketch family (KMV/theta — union AND intersection),
+and the total-variation-distance audit of what a curation filter does to
+the corpus distribution.
 
 Reference context: the reference engine (lua-mapreduce, 2012) has no
 vector surface at all (one workload: word count,
@@ -560,14 +565,122 @@ FROM exact JOIN ests USING (set_name)
 KMV_ORACLE = _kmv_oracle()
 
 
+# --------------------------------------------------------------------------
+# Curation filter drift (total-variation distance, integer-exact)
+# --------------------------------------------------------------------------
+
+_FD_BINS = 10  # equal-width n_chars bins over the data-derived max
+_FD_DROP_MOD = 10  # md5 % 10 < 3 -> ~30% of below-mean docs dropped
+_FD_DROP_LT = 3
+
+
+def curation_filter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantify the distribution shift a curation filter causes — the
+    audit every pipeline owes its consumers after a quality pass: here
+    the filter drops an md5-selected ~30% of BELOW-MEAN-length documents
+    (the scale-free mean threshold, integer cross-multiplication), and
+    the report bins the length distribution before and after into 10
+    equal-width data-derived bins and emits per-bin counts plus the
+    total-variation distance in permille. TVD stays integer-exact via
+    cross-multiplication: contrib = |n_base * N_after - n_after *
+    N_base|, tvd = 500 * sum(contrib) DIV (N_base * N_after) — products
+    stay below 2^62 to ~1.5 billion documents. The shift concentrates in
+    the low bins (that is what dropping short docs does), so the gate
+    verifies both the measurement arithmetic and the filter's shape.
+
+    Scale shape: ONE scan (bin id and drop flag are map-side
+    expressions against a 1-row broadcast max/mean aggregate), one
+    10-key groupBy whose partial aggregates reduce each map task to
+    <= _FD_BINS rows before the exchange, and the TVD total is a window
+    over the bounded 10-row binned relation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("CAST(n_chars AS BIGINT)").alias("n_chars")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(MAX(n_chars) AS BIGINT)").alias("max_chars"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_chars"),
+    ).localCheckpoint(eager=True)
+    h = md5_bigint_expr("concat('fd-', CAST(doc_id AS STRING))")
+    binned = docs.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"n_chars * {_FD_BINS} DIV (max_chars + 1)").alias("bin"),
+        F.expr(
+            f"NOT ({h} % {_FD_DROP_MOD} < {_FD_DROP_LT}"
+            " AND n_chars * n_docs < total_chars)"
+        ).alias("kept"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.expr("CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_after"
+        ),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_bin.withColumn("tot_base", F.expr("SUM(n_base)").over(w))
+        .withColumn("tot_after", F.expr("SUM(n_after)").over(w))
+        .withColumn(
+            "contrib",
+            F.expr("abs(n_base * tot_after - n_after * tot_base)"),
+        )
+        .withColumn(
+            "tvd_permille",
+            F.expr("500 * SUM(contrib) OVER () DIV (tot_base * tot_after)"),
+        )
+        .select(
+            "bin",
+            "n_base",
+            "n_after",
+            F.expr("n_base - n_after").alias("n_dropped"),
+            "contrib",
+            "tvd_permille",
+        )
+    )
+
+
+FILTER_DRIFT_ORACLE = f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents),
+binned AS (
+  SELECT CAST(n_chars AS BIGINT) * {_FD_BINS} // (max_chars + 1) AS bin,
+         NOT ({oracle_md5_bigint_expr("concat('fd-', CAST(doc_id AS VARCHAR))")}
+                % {_FD_DROP_MOD} < {_FD_DROP_LT}
+              AND CAST(n_chars AS BIGINT) * n_docs < total_chars) AS kept
+  FROM documents, stats),
+per_bin AS (
+  SELECT bin, COUNT(*) AS n_base,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+  FROM binned GROUP BY 1),
+tot AS (
+  SELECT *, CAST(SUM(n_base) OVER () AS BIGINT) AS tot_base,
+         CAST(SUM(n_after) OVER () AS BIGINT) AS tot_after
+  FROM per_bin),
+contribs AS (
+  SELECT *, CAST(abs(n_base * tot_after - n_after * tot_base) AS BIGINT)
+              AS contrib
+  FROM tot)
+SELECT bin, n_base, n_after, n_base - n_after AS n_dropped, contrib,
+       500 * CAST(SUM(contrib) OVER () AS BIGINT)
+         // CAST(tot_base * tot_after AS BIGINT) AS tvd_permille
+FROM contribs
+"""
+
+
 QUERIES = {
     "sim_kmeans_lloyd": sim_kmeans_lloyd,
     "layout_zonemap_skipping": layout_zonemap_skipping,
     "agg_kmv_theta_sketch": agg_kmv_theta_sketch,
+    "curation_filter_drift": curation_filter_drift,
 }
 
 ORACLES = {
     "sim_kmeans_lloyd": KMEANS_ORACLE,
     "layout_zonemap_skipping": ZONEMAP_ORACLE,
     "agg_kmv_theta_sketch": KMV_ORACLE,
+    "curation_filter_drift": FILTER_DRIFT_ORACLE,
 }

@@ -166,6 +166,7 @@ def test_r11_operators_partition_invariant(spark):
         "kmeans": a6.sim_kmeans_lloyd,
         "zonemap": a6.layout_zonemap_skipping,
         "vad": _mm.multimodal_audio_vad,
+        "drift": a6.curation_filter_drift,
     }
     before = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
@@ -243,3 +244,33 @@ def test_kmv_sketch_accuracy_and_structure(spark):
         ex = {n: rows[n]["exact_n"] for n in rows}
         assert ex["union"] == ex["urgent"] + ex["high_value"] - ex["intersection"]
         assert ex["urgent"] > a6._KMV_K and ex["high_value"] > a6._KMV_K, sf
+
+
+def test_filter_drift_shape_and_accounting(spark):
+    """The drop must land where it aims: per-bin kept <= base everywhere,
+    drops concentrate in the below-mean bins (the filter only ever drops
+    below-mean docs, so the top bins lose NOTHING), the TVD is nonzero,
+    and the bins partition the corpus."""
+    import duckdb as _d
+    from lua_mapreduce_spark.operators import analytics6 as a6
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = sorted(
+            a6.curation_filter_drift(spark, sf).collect(),
+            key=lambda r: r["bin"],
+        )
+        assert len(rows) == a6._FD_BINS
+        con = _d.connect()
+        n = con.sql(
+            f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_base"] for r in rows) == n
+        assert all(0 <= r["n_after"] <= r["n_base"] for r in rows)
+        assert rows[0]["tvd_permille"] > 0
+        assert len({r["tvd_permille"] for r in rows}) == 1  # one total
+        # everything at/above the mean survives: the top bin is untouched
+        assert rows[-1]["n_dropped"] == 0, (sf, rows[-1])
+        # and the drop mass sits strictly below the midpoint bins
+        low = sum(r["n_dropped"] for r in rows[: a6._FD_BINS // 2])
+        high = sum(r["n_dropped"] for r in rows[a6._FD_BINS // 2 :])
+        assert low > high, (sf, low, high)

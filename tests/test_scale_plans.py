@@ -158,6 +158,7 @@ _NESTED_LOOP_OK = {
     "sim_kmeans_lloyd",        # K-row centroid broadcast cross join per round
     "layout_zonemap_skipping", # 1-row domain + 10-row predicate broadcast cross joins
     "agg_kmv_theta_sketch",    # 1-row total / theta broadcast cross joins
+    "curation_filter_drift",   # 1-row (n, max, total) broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -250,6 +251,7 @@ _BROADCAST_OK = {
     ("analytics6.py", "preds"),       # fixed _ZM_PREDS probe predicates
     ("analytics6.py", "tot"),         # single-row (n, total-cents) aggregate (KMV)
     ("analytics6.py", "theta_min"),   # single-row min-theta aggregate (KMV)
+    ("analytics6.py", "stats"),       # single-row (n, max, total) aggregate (drift)
 }
 
 
