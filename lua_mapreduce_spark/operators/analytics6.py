@@ -1,13 +1,14 @@
 """Round-11 operator wave: embedding-space clustering (Lloyd's k-means),
 zone-map data skipping, the KMV/theta sketch, and curation-filter drift.
 
-The north-star brief's similarity/curation rows need a CLUSTERING
-primitive beyond assignment-to-fixed-centroids (sim_ivf_topk and
-dedup_semantic_semdedup assign to deterministic seed centroids but never
-ITERATE): corpus clustering — topic balancing, SemDeDup's k-means stage,
-IVF index training — is Lloyd's algorithm, the canonical iterative
-refinement, expressed here Spark-first with a full DuckDB value oracle by
-keeping every quantity on an integer grid. The wave's other members share
+The north-star brief's similarity/curation rows need a FULL-CORPUS
+clustering primitive: sim_ivf_topk's trainer (similarity._km_centroids)
+runs its Lloyd rounds over a BOUNDED SAMPLE inside one applyInPandas
+task — right for training an index, but corpus clustering (topic
+balancing, SemDeDup's k-means stage) must assign and update over EVERY
+vector, distributed. That distributed Lloyd iteration is what this
+module adds, Spark-first with a full DuckDB value oracle by keeping
+every quantity on an integer grid. The wave's other members share
 that discipline: min/max zone-map skipping quantified over two layouts,
 the set-operation sketch family (KMV/theta — union AND intersection),
 and the total-variation-distance audit of what a curation filter does to
@@ -103,7 +104,10 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment by exact integer squared-L2 with (dist, cid) tiebreak,
     per-round update by truncated integer mean. _KM_ROUNDS update rounds
     unrolled (the BPE-merge convention: a fixed-depth iterative operator
-    whose oracle unrolls the same CTE chain), then a final assignment
+    whose oracle unrolls the same CTE chain — and unlike
+    similarity._km_centroids' bounded-sample single-task trainer, every
+    round assigns and updates over the FULL corpus), then a final
+    assignment
     against the settled centroids feeds the report: per-cluster size,
     inertia (the k-means objective), centroid checksum, and the dominant
     ground-truth label with its count (clustering-vs-label agreement —
