@@ -35,6 +35,7 @@ from lua_mapreduce_spark.streaming.stateful import (
     STREAM_STATE_PARTITIONS,
     drain_stream,
     stream_dedup_events,
+    stream_kmv_distinct_stateful,
     stream_sliding_counts,
     stream_static_enrich,
     stream_stream_attribution,
@@ -326,6 +327,65 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch maintained ACROSS micro-batches (the r11
+    sketch family composed with the custom-stateful streaming surface):
+    per event_type, state holds the K smallest distinct user hashes and
+    every batch merges-and-truncates; after the drain the last update per
+    key (max n_batches — the user_totals selection convention) carries
+    the settled sketch, the estimate is derived declaratively, and the
+    exact distinct count joins in for the permille-error audit. The
+    oracle replays the WHOLE stream from the batch table — sound because
+    the KMV merge is order-insensitive: K smallest of a union is K
+    smallest of the whole multiset no matter how batches sliced it.
+
+    Scale shape: state is K*8 bytes per key regardless of stream length
+    (a distinct-count state would grow linearly); the hash is JVM-side;
+    the post-drain derivation runs over |event_types| rows."""
+    from lua_mapreduce_spark.streaming.stateful import _KMV_SDOM, _KMV_SK
+
+    sink = drain_stream(
+        stream_kmv_distinct_stateful(_events_stream(spark, sf_dir)),
+        "stream_kmv",
+        output_mode="update",
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
+    final = (
+        sink.groupBy("event_type")
+        .agg(F.max(F.struct("n_batches", "n_sk", "theta")).alias("s"))
+        .select(
+            "event_type",
+            F.col("s.n_sk").alias("n_sk"),
+            F.col("s.theta").alias("theta"),
+        )
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        final.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.expr(
+                f"CASE WHEN n_sk < {_KMV_SK} THEN n_sk"
+                f" ELSE ({_KMV_SK} - 1) * CAST({_KMV_SDOM} AS BIGINT)"
+                " DIV theta END"
+            ).alias("est_distinct"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            "est_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000 DIV exact_distinct"
+            ).alias("err_permille"),
+        )
+    )
+
+
 QUERIES = {
     "streaming_user_totals": streaming_user_totals,
     "streaming_dedup_count": streaming_dedup_count,
@@ -337,6 +397,7 @@ QUERIES = {
     "streaming_hypertable_rollup": streaming_hypertable_rollup,
     "streaming_anomaly_hours": streaming_anomaly_hours,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_kmv_distinct": streaming_kmv_distinct,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -446,7 +507,42 @@ from lua_mapreduce_spark.operators.analytics import HYPERTABLE_ORACLE as STREAM_
 from lua_mapreduce_spark.operators.events import ANOMALY_ORACLE as STREAM_ANOMALY_ORACLE
 from lua_mapreduce_spark.operators.events import SESSION_ORACLE as STREAM_SESSION_ORACLE
 
+from lua_mapreduce_spark.functions.texthash import oracle_md5_bigint_expr as _omd5
+from lua_mapreduce_spark.streaming.stateful import _KMV_SDOM as _SDOM
+from lua_mapreduce_spark.streaming.stateful import _KMV_SK as _SK
+
+STREAM_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {_omd5("concat('kmv-u-', event_type, '|', CAST(user_id AS VARCHAR))")}
+           % {_SDOM} AS h
+  FROM events),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h) WHERE rn <= {_SK}),
+per AS (
+  SELECT event_type, COUNT(*) AS n_sk, CAST(MAX(h) AS BIGINT) AS theta
+  FROM sk GROUP BY 1),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1),
+est AS (
+  SELECT event_type,
+         CASE WHEN n_sk < {_SK} THEN n_sk
+              ELSE ({_SK} - 1) * CAST({_SDOM} AS BIGINT) // theta END
+           AS est_distinct
+  FROM per)
+SELECT event_type, exact_distinct, est_distinct,
+       abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+         AS err_permille
+FROM exact JOIN est USING (event_type)
+"""
+
+
 ORACLES: dict[str, str] = {
+    "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,
     "streaming_sliding_counts": STREAM_SLIDING_ORACLE,

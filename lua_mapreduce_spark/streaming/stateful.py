@@ -155,6 +155,76 @@ def stream_stream_attribution(events: DataFrame) -> DataFrame:
     ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 
+_KMV_SK = 128  # streaming sketch size (matches agg_kmv_theta_sketch's k)
+_KMV_SDOM = 1 << 40  # hash domain (texthash md5-60 folded to 40 bits)
+
+
+def stream_kmv_distinct_stateful(events: DataFrame) -> DataFrame:
+    """Per-event-type KMV distinct-user sketch maintained in the state
+    store across micro-batches: state = the K smallest DISTINCT user
+    hashes seen so far, merged per batch by "union then truncate to K" —
+    the standard KMV merge, which is EXACTLY the K smallest over the
+    whole stream (anything truncated is larger than every kept value, so
+    it can never re-enter). State is bounded at K hashes per key no
+    matter how many users stream past — the fixed-size-sketch property
+    living in the state store, where an exact distinct-count state would
+    grow linearly. The user hash is computed DECLARATIVELY on the stream
+    (JVM-side md5, the texthash convention) before the stateful op, so
+    the Python worker only merges integers and the oracle replays the
+    same arithmetic.
+
+    Emits (event_type, n_batches, n_sk, theta) per key per batch in
+    update mode; the final sketch per key is the row with the highest
+    n_batches (the user_totals max-struct selection convention)."""
+    from lua_mapreduce_spark.functions.texthash import md5_bigint_expr
+
+    # The hash keys (event_type, user) — not user alone: the generator
+    # gives every type the same user set, and a user-only hash would make
+    # all five sketches identical. Typed hashing gives each key its own
+    # sample of the hash space, so the gate checks five independent
+    # estimator paths.
+    h = md5_bigint_expr(
+        "concat('kmv-u-', event_type, '|', CAST(user_id AS STRING))"
+    )
+    hashed = events.select(
+        "event_type", F.expr(f"{h} % {_KMV_SDOM}").alias("h")
+    )
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            hashes, n_batches = state.get
+            seen = set(int(x) for x in hashes)
+        else:
+            seen, n_batches = set(), 0
+        for pdf in pdfs:
+            seen.update(int(x) for x in pdf["h"])
+        kept = sorted(seen)[:_KMV_SK]
+        n_batches += 1
+        state.update((kept, n_batches))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_batches": [n_batches],
+                "n_sk": [len(kept)],
+                "theta": [kept[-1] if kept else 0],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_batches long, n_sk long,"
+        " theta long",
+        stateStructType="hashes array<bigint>, n_batches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # Batches executed by the most recent drain_stream call (entries with input
 # rows only). Tests read this to prove multi-micro-batch execution.
 LAST_DRAIN_NUM_BATCHES = 0

@@ -1,6 +1,7 @@
 """Round-11 operator tests: TPC-H refresh streams (RF1/RF2), the
 vacuum/retention planner, integer-grid Lloyd's k-means, the zone-map
-data-skipping estimator, and VAD audio segmentation."""
+data-skipping estimator, VAD audio segmentation, the KMV/theta sketch
+(batch + streaming-state faces), and the curation filter-drift audit."""
 
 from __future__ import annotations
 
@@ -274,3 +275,19 @@ def test_filter_drift_shape_and_accounting(spark):
         low = sum(r["n_dropped"] for r in rows[: a6._FD_BINS // 2])
         high = sum(r["n_dropped"] for r in rows[a6._FD_BINS // 2 :])
         assert low > high, (sf, low, high)
+
+
+def test_streaming_kmv_multi_batch_and_bounds(spark):
+    """The streaming sketch must accumulate across >= 3 real micro-batches
+    (the drain convention), engage the ESTIMATOR path at the parity SF
+    (every per-type distinct count exceeds K), and stay inside the KMV
+    error envelope."""
+    from lua_mapreduce_spark.operators import streaming_ops as so
+    from lua_mapreduce_spark.streaming import stateful as st
+
+    rows = so.streaming_kmv_distinct(spark, SF_MEDIUM).collect()
+    assert st.LAST_DRAIN_NUM_BATCHES >= 3
+    assert len(rows) == 5
+    for r in rows:
+        assert r["exact_distinct"] > st._KMV_SK, r  # estimator, not fallback
+        assert r["err_permille"] <= 400, r

@@ -168,6 +168,7 @@ _SKIP_AUDIT = {
     "streaming_sliding_counts",
     "streaming_static_enrich_counts",
     "streaming_stream_stream_join",
+    "streaming_kmv_distinct",
 }
 
 
