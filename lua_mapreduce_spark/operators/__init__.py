@@ -98,7 +98,7 @@ _MODULES = [
 # with a one-aggregate count+seeded-hash-sum checksum instead of
 # count+exceptAll — half the per-round actions) and
 # streaming_python_datasource (drain stats cleared up-front so a failed
-# drain can't report stale restart numbers); EIGHT r11-new queries
+# drain can't report stale restart numbers); NINE r11-new queries
 # (tpch_refresh_streams — RF1/RF2 insert+delete batches as md5 key
 # predicates, applied and delta-audited per (relation, status), closing
 # the last TPC-H surface beyond the 22 queries, SURVEY §7.4 candidate 2;
@@ -120,17 +120,21 @@ _MODULES = [
 # md5-selected below-mean drop; streaming_kmv_distinct — the KMV
 # sketch maintained in the state store across micro-batches, fixed
 # K-hash state per key with merge-and-truncate, the sketch family
-# composed with the custom-stateful streaming surface); the
+# composed with the custom-stateful streaming surface;
+# dedup_minhash_b_bit — b-bit minwise hashing (Li & Konig 2010), the
+# storage-optimal signature with the collision-correction estimator,
+# every LSH candidate pair carrying exact/full/b-bit readings); the
 # TWELVE fills the late-r10 waves displaced (q5_local_supplier_volume,
 # dedup_latest_per_key, events_json_extract, multimodal_decode_features,
 # q15_top_supplier, q22_dormant_rich_customers, text_corpus_curation,
 # dedup_exact, window_lag_lead, events_session_windows, mr_grep_count,
-# streaming_static_enrich_counts); and NINE third-confirmation fills
+# streaming_static_enrich_counts); and EIGHT third-confirmation fills
 # from the stalest pool (last driver-verified r4, family-spread;
-# agg_filtered_counts, scalar_bitwise_funcs, sim_ivf_topk,
-# window_moving_avg, window_rank_dense, window_running_total and the
-# r5 block move to the front of the r12 fill pool).
-# 2 + 17 + 2 + 8 + 12 + 9 = 50. After a green r11, every pre-r10 query
+# q19_disjunctive_revenue, agg_filtered_counts, scalar_bitwise_funcs,
+# sim_ivf_topk, window_moving_avg, window_rank_dense,
+# window_running_total and the r5 block move to the front of the r12
+# fill pool).
+# 2 + 17 + 2 + 9 + 12 + 8 = 50. After a green r11, every pre-r10 query
 # is driver-confirmed at least twice, the r10 newcomers twice, and the
 # r11 newcomers once.
 _DRIVER_WINDOW = [
@@ -167,6 +171,7 @@ _DRIVER_WINDOW = [
     "agg_kmv_theta_sketch",
     "curation_filter_drift",
     "streaming_kmv_distinct",
+    "dedup_minhash_b_bit",
     # the 12 fills displaced from the r10 window by the late-r10 waves
     "q5_local_supplier_volume",
     "dedup_latest_per_key",
@@ -191,7 +196,6 @@ _DRIVER_WINDOW = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -934,7 +934,168 @@ WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# b-bit minwise hashing (storage-optimal minhash, Li & Konig 2010)
+# --------------------------------------------------------------------------
+
+_BBIT = 4  # bits kept per minhash slot (32 slots x 4 bits = 16 bytes/sig)
+_BBIT_DOM = 1 << _BBIT
+
+
+def _match_sum_expr(prefix_a: str, prefix_b: str, mod: int | None) -> str:
+    """SQL sum of per-slot matches over the 32 signature columns; mod
+    folds each slot to its lowest b bits first (engine-shared text)."""
+    if mod is None:
+        terms = [
+            f"(CASE WHEN {prefix_a}.m{i} = {prefix_b}.m{i} THEN 1 ELSE 0 END)"
+            for i in range(_N_HASHES)
+        ]
+    else:
+        terms = [
+            f"(CASE WHEN {prefix_a}.m{i} % {mod} = {prefix_b}.m{i} % {mod}"
+            " THEN 1 ELSE 0 END)"
+            for i in range(_N_HASHES)
+        ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & Konig, WWW 2010): store only the
+    lowest b bits of each minhash slot — 16x less signature storage at
+    b=4 — and recover Jaccard from the b-bit collision rate with the
+    paper's correction: collisions happen at rate C + (1 - C) * J where
+    C = 2^-b is the accidental-collision floor, so
+    J_est = (coll/n - C) / (1 - C), computed here in integer permille as
+    greatest(0, (n_coll * 2^b - n) * 1000 DIV (n * (2^b - 1))). Every
+    LSH candidate pair carries THREE similarity readings — exact Jaccard
+    from the shingle sets, the full 32-slot minhash estimate, and the
+    b-bit estimate — so the gate value-checks the whole estimator ladder
+    and the accuracy loss of the compression is measurable per pair (the
+    storage/accuracy trade an index designer actually tunes).
+
+    Scale shape: signatures and banded candidates are the shared
+    dedup_minhash_lsh machinery (one text scan, array-fold signatures,
+    bucket equi-join — candidates only, never all pairs); the three
+    readings are map-side expressions over the joined pair rows."""
+    mh = _minhash_signatures(spark, sf_dir)
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)],
+                )
+            ).alias("band_hash"),
+        )
+        for band in range(_N_BANDS)
+    ]
+    banded = mh.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = mh.alias("sa")
+    sb = mh.alias("sb")
+    paired = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(size(array_intersect(sa.shingles, sb.shingles))"
+                " AS BIGINT)"
+            ).alias("n_common"),
+            F.expr(
+                "CAST(size(sa.shingles) + size(sb.shingles) AS BIGINT)"
+            ).alias("n_both"),
+            F.expr(_match_sum_expr("sa", "sb", None)).alias("n_full"),
+            F.expr(_match_sum_expr("sa", "sb", _BBIT_DOM)).alias("n_b"),
+        )
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.expr("n_common * 1000 DIV (n_both - n_common)").alias(
+            "jaccard_permille"
+        ),
+        F.expr(f"n_full * 1000 DIV {_N_HASHES}").alias("est_full_permille"),
+        F.expr(
+            f"greatest(CAST(0 AS BIGINT), (n_b * {_BBIT_DOM} - {_N_HASHES})"
+            f" * 1000 DIV ({_N_HASHES} * ({_BBIT_DOM} - 1)))"
+        ).alias("est_b_permille"),
+    )
+
+
+def _b_bit_oracle() -> str:
+    base = oracle_md5_bigint_expr("shingle")
+    mins = ",\n         ".join(
+        f"MIN({e}) AS m{i}" for i, e in enumerate(_minhash_exprs(f"({base})"))
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {band} AS band_idx, "
+        f"md5(concat_ws(',', {', '.join(f'm{band * _BAND_ROWS + r}' for r in range(_BAND_ROWS))})) AS band_hash FROM mh"
+        for band in range(_N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_ORACLE_CTE},
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id),
+banded AS (
+{band_rows}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM candidates
+  JOIN shingles sh_a ON sh_a.doc_id = doc_a
+  JOIN shingles sh_b ON sh_b.doc_id = doc_b AND sh_a.shingle = sh_b.shingle
+  GROUP BY 1, 2),
+matched AS (
+  SELECT c.doc_a, c.doc_b,
+         {_match_sum_expr("a", "b", None)} AS n_full,
+         {_match_sum_expr("a", "b", _BBIT_DOM)} AS n_b
+  FROM candidates c
+  JOIN mh a ON a.doc_id = c.doc_a
+  JOIN mh b ON b.doc_id = c.doc_b)
+SELECT m.doc_a, m.doc_b,
+       CAST(COALESCE(cm.n_common, 0) * 1000
+            // (sa.n + sb.n - COALESCE(cm.n_common, 0)) AS BIGINT)
+         AS jaccard_permille,
+       CAST(m.n_full * 1000 // {_N_HASHES} AS BIGINT) AS est_full_permille,
+       CAST(greatest(0, (m.n_b * {_BBIT_DOM} - {_N_HASHES}) * 1000
+            // ({_N_HASHES} * ({_BBIT_DOM} - 1))) AS BIGINT)
+         AS est_b_permille
+FROM matched m
+JOIN sizes sa ON sa.doc_id = m.doc_a
+JOIN sizes sb ON sb.doc_id = m.doc_b
+LEFT JOIN common cm ON cm.doc_a = m.doc_a AND cm.doc_b = m.doc_b
+"""
+
+
 QUERIES = {
+    "dedup_minhash_b_bit": dedup_minhash_b_bit,
     "dedup_latest_per_key": dedup_latest_per_key,
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
@@ -948,6 +1109,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_minhash_b_bit": _b_bit_oracle(),
     "dedup_latest_per_key": DEDUP_LATEST_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_exact_keep_first": DEDUP_KEEP_FIRST_ORACLE,

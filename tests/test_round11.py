@@ -159,6 +159,7 @@ def test_r11_operators_partition_invariant(spark):
     late-r10 convention): identical results under different shuffle
     parallelism."""
     from lua_mapreduce_spark.operators import analytics6 as a6
+    from lua_mapreduce_spark.operators import dedup as _dd
     from lua_mapreduce_spark.operators import multimodal as _mm
 
     cases = {
@@ -168,6 +169,7 @@ def test_r11_operators_partition_invariant(spark):
         "zonemap": a6.layout_zonemap_skipping,
         "vad": _mm.multimodal_audio_vad,
         "drift": a6.curation_filter_drift,
+        "bbit": _dd.dedup_minhash_b_bit,
     }
     before = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
@@ -291,3 +293,29 @@ def test_streaming_kmv_multi_batch_and_bounds(spark):
     for r in rows:
         assert r["exact_distinct"] > st._KMV_SK, r  # estimator, not fallback
         assert r["err_permille"] <= 400, r
+
+
+def test_b_bit_minhash_estimator_ladder(spark):
+    """The three readings per candidate pair must behave like the theory
+    says: mean absolute error of the full 32-slot estimate vs exact
+    Jaccard stays inside the binomial envelope, the b-bit estimate is
+    noisier but still tracks (its collision floor is corrected away),
+    and all values live in [0, 1000]."""
+    from lua_mapreduce_spark.operators import dedup as dd
+
+    rows = dd.dedup_minhash_b_bit(spark, SF_MEDIUM).collect()
+    assert rows, "no candidate pairs at parity SF"
+    for r in rows:
+        assert 0 <= r["jaccard_permille"] <= 1000
+        assert 0 <= r["est_full_permille"] <= 1000
+        assert 0 <= r["est_b_permille"] <= 1000
+    mae_full = sum(
+        abs(r["est_full_permille"] - r["jaccard_permille"]) for r in rows
+    ) / len(rows)
+    mae_b = sum(
+        abs(r["est_b_permille"] - r["jaccard_permille"]) for r in rows
+    ) / len(rows)
+    # sd of the 32-slot binomial at J~0.9 is ~53 permille; the b-bit
+    # variant adds collision-floor variance. These are 3x-headroom means.
+    assert mae_full <= 160, mae_full
+    assert mae_b <= 200, mae_b
