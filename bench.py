@@ -281,6 +281,73 @@ if _dead:
 def _extended_runs_for(name: str) -> int:
     return N_RUNS if name in EXTENDED_MEDIAN or name.startswith("streaming_") else 1
 
+
+# Family subtotals (round 12): the 230-entry total mixes 3-run medians,
+# single-run radar lines, and restart harnesses — per-family rollups make
+# round-over-round comparison legible without re-deriving which individual
+# entries moved. Families are derived from the registry's naming
+# convention (everything benched is either a query name or a *_build
+# line from the cold/warm splits above).
+_FAMILY_BY_PREFIX = {
+    "q": "tpch",  # q1..q22 TPC-H shapes (digit-checked below)
+    "tpch": "tpch",
+    "agg": "relational",
+    "join": "relational",
+    "window": "relational",
+    "sort": "relational",
+    "setop": "relational",
+    "scalar": "relational",
+    "pivot": "relational",
+    "unpivot": "relational",
+    "range": "relational",
+    "asof": "relational",
+    "interval": "relational",
+    "skew": "relational",
+    "udaf": "udf",
+    "udf": "udf",
+    "udtf": "udf",
+    "mr": "mapreduce",
+    "text": "text",
+    "dedup": "dedup",
+    "semdedup": "dedup",
+    "graph": "graph",
+    "copurchase": "graph",
+    "basket": "events",
+    "events": "events",
+    "streaming": "streaming",
+    "layout": "layout",
+    "sim": "similarity",
+    "multimodal": "multimodal",
+    "curation": "curation",
+    "hygiene": "curation",
+    "diag": "diag",
+    "source": "sources",
+    "sink": "sources",
+    "subquery": "relational",
+    "sample": "curation",
+    "upsert": "pipeline",
+    "ivm": "pipeline",
+    "cdc": "pipeline",
+}
+
+
+def _family(name: str) -> str:
+    head = name.split("_", 1)[0]
+    if head[:1] == "q" and head[1:].isdigit():
+        return "tpch"
+    return _FAMILY_BY_PREFIX.get(head, "other")
+
+
+def _family_subtotals(*timing_dicts: dict) -> dict[str, float]:
+    subtotals: dict[str, float] = {}
+    for d in timing_dicts:
+        for name, sec in d.items():
+            if sec is None or sec < 0:  # -1.0 = failed radar line
+                continue
+            fam = _family(name)
+            subtotals[fam] = subtotals.get(fam, 0.0) + sec
+    return {fam: round(sec, 3) for fam, sec in sorted(subtotals.items())}
+
 # Extended tier (round 7+): EVERY registered query not in the headline set,
 # timed with a single pass each — a per-family regression radar over the
 # whole registry (streaming drains, multimodal decodes, window_*, scalar_*,
@@ -667,6 +734,7 @@ def main() -> None:
                     ),
                     "medians": timings,
                     "extended": extended,
+                    "family_subtotals": _family_subtotals(timings, extended),
                 }
             )
             + "\n"
@@ -716,6 +784,12 @@ def main() -> None:
                 "runs_per_query": N_RUNS,
                 "extended_runs_per_query": 1,
                 "skew_join_events": skew,
+                # Per-family rollups over EVERY benched entry (headline
+                # medians + extended radar; failed -1.0 lines excluded) —
+                # the legible round-over-round comparison unit now that
+                # the flat total mixes medians, single runs, and restart
+                # harnesses.
+                "family_subtotals": _family_subtotals(timings, extended),
                 # Fixed-probe host-speed sample at bench start and end —
                 # divide by this to separate host drift from plan changes.
                 "calibration_sec": {

@@ -449,6 +449,10 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT) DIV theta END"
         ).alias("est_n"),
     )
+    # Unpartitioned (single-partition) sort is SAFE here: the input is
+    # the localCheckpoint'd `sk` relation, <= 2 sets * K = 2K rows by
+    # construction at ANY scale factor (the WindowGroupLimit above
+    # truncated each set to K before the exchange).
     wu = Window.orderBy("h")
     uni = (
         sk.select("h")
@@ -486,13 +490,17 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ests = est_sets.unionAll(est_union).unionAll(est_inter)
+    # exact_n = 0 guard (r11 ADVICE): at a new SF an empty intersection
+    # would otherwise divide by zero (ANSI-mode failure); NULL says
+    # "error undefined for an empty set", identically on both engines.
     return exact.join(ests, "set_name").select(
         "set_name",
         "exact_n",
         "est_n",
-        F.expr("abs(est_n - exact_n) * 1000 DIV exact_n").alias(
-            "err_permille"
-        ),
+        F.expr(
+            "CASE WHEN exact_n = 0 THEN NULL"
+            " ELSE abs(est_n - exact_n) * 1000 DIV exact_n END"
+        ).alias("err_permille"),
     )
 
 
@@ -561,7 +569,8 @@ ests AS (
   UNION ALL SELECT * FROM est_union
   UNION ALL SELECT * FROM est_inter)
 SELECT set_name, exact_n, est_n,
-       abs(est_n - exact_n) * 1000 // exact_n AS err_permille
+       CASE WHEN exact_n = 0 THEN NULL
+            ELSE abs(est_n - exact_n) * 1000 // exact_n END AS err_permille
 FROM exact JOIN ests USING (set_name)
 """
 

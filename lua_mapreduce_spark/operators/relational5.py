@@ -760,16 +760,25 @@ def tpch_refresh_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("n_keys_after"),
             F.expr("CAST(SUM(cents) AS BIGINT)").alias("cents_after"),
         )
-        return base_stats.join(after_stats, "status").select(
+        # LEFT join + COALESCE (r11 ADVICE): a status whose rows are all
+        # RF2-deleted (and get no RF1 clone) must still report
+        # n_after = 0, not silently vanish from the audit.
+        return base_stats.join(after_stats, "status", "left").select(
             F.lit(relation).alias("relation"),
             "status",
             "n_base",
-            "n_after",
-            "n_keys_after",
-            F.expr("n_after - n_base").alias("n_delta"),
+            F.expr("COALESCE(n_after, 0)").alias("n_after"),
+            F.expr("CAST(COALESCE(n_keys_after, 0) AS BIGINT)").alias(
+                "n_keys_after"
+            ),
+            F.expr("COALESCE(n_after, 0) - n_base").alias("n_delta"),
             "cents_base",
-            "cents_after",
-            F.expr("cents_after - cents_base").alias("cents_delta"),
+            F.expr("CAST(COALESCE(cents_after, 0) AS BIGINT)").alias(
+                "cents_after"
+            ),
+            F.expr("COALESCE(cents_after, 0) - cents_base").alias(
+                "cents_delta"
+            ),
         )
 
     def tagged(df: DataFrame, key: str, status: str, money: str) -> DataFrame:
@@ -819,14 +828,17 @@ def _rf_oracle_block(
   FROM {rel}_b WHERE is_ins),
 {rel}_stats AS (
   SELECT '{rel}' AS relation, b.status,
-         b.n_base, a.n_after, a.n_keys_after,
-         a.n_after - b.n_base AS n_delta,
-         b.cents_base, a.cents_after,
-         a.cents_after - b.cents_base AS cents_delta
+         b.n_base,
+         COALESCE(a.n_after, 0) AS n_after,
+         CAST(COALESCE(a.n_keys_after, 0) AS BIGINT) AS n_keys_after,
+         COALESCE(a.n_after, 0) - b.n_base AS n_delta,
+         b.cents_base,
+         CAST(COALESCE(a.cents_after, 0) AS BIGINT) AS cents_after,
+         COALESCE(a.cents_after, 0) - b.cents_base AS cents_delta
   FROM (SELECT status, COUNT(*) AS n_base,
                CAST(SUM(cents) AS BIGINT) AS cents_base
         FROM {rel}_b GROUP BY 1) b
-  JOIN (SELECT status, COUNT(*) AS n_after,
+  LEFT JOIN (SELECT status, COUNT(*) AS n_after,
                COUNT(DISTINCT k) AS n_keys_after,
                CAST(SUM(cents) AS BIGINT) AS cents_after
         FROM {rel}_after GROUP BY 1) a USING (status))"""

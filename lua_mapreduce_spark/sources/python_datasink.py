@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import uuid
 
 from pyspark.sql.datasource import (
@@ -193,8 +194,17 @@ def _delete_staged(path: str, messages) -> None:
                     os.remove(target)
                 else:
                     fs.delete_file(p)
-            except (FileNotFoundError, OSError):
-                pass
+            except FileNotFoundError:
+                pass  # already gone — abort cleanup is idempotent
+            except OSError as exc:
+                # Do NOT swallow real I/O errors (permissions, network):
+                # surface them on stderr but keep aborting the remaining
+                # shards — abort must attempt every file.
+                print(
+                    f"lmrs_sharded_sink: abort cleanup failed for"
+                    f" {target}: {exc}",
+                    file=sys.stderr,
+                )
 
 
 class ShardedSinkWriter(DataSourceArrowWriter):

@@ -75,7 +75,7 @@ def test_refresh_orders_and_lines_move_together(spark):
 
 def test_refresh_batch_rate_close_to_nominal(spark):
     """The md5 predicate selects ~1/_RF_MOD of orders (binomial; allow
-    4 sigma) — a degenerate hash would skew this wildly."""
+    6 sigma) — a degenerate hash would skew this wildly."""
     rows = _audit_rows(spark, SF_MEDIUM)
     n_base = sum(r["n_base"] for (rel, _), r in rows.items() if rel == "orders")
     # net delta = ins - del with ins, del ~ Binomial(n_base, 1/_RF_MOD):
