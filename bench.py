@@ -268,6 +268,11 @@ EXTENDED_MEDIAN = {
     # localCheckpoint cold/warm asymmetry.
     "tpch_refresh_streams",
     "sim_kmeans_lloyd",
+    # r12 newcomers in the same bands: the SCC double recursion carries
+    # the recursive-CTE per-level fixed cost; the bloom index build+probe
+    # runs two scan passes plus the probe joins.
+    "graph_scc_kosaraju",
+    "layout_bloom_file_index",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

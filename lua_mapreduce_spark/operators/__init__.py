@@ -20,6 +20,7 @@ from lua_mapreduce_spark.operators import (
     analytics4,
     analytics5,
     analytics6,
+    analytics7,
     curation,
     dedup,
     events,
@@ -69,6 +70,7 @@ _MODULES = [
     analytics4,
     analytics5,
     analytics6,
+    analytics7,
     pq,
     sources_ops,
 ]
@@ -85,84 +87,42 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-11 window (executes the committed SURVEY §2.6 r11 pre-plan): the
-# two pins; the SEVENTEEN r10-new queries owing their second confirmation
-# (early wave: both Python DataSource WRITER faces, the recursive-CTE BFS
-# twin, the A-ES weighted sample — which also CHANGED in r11: o_orderkey
-# joined the race-key ORDER BY as the deterministic boundary tiebreak per
-# the r10 ADVICE — and the crawl-frontier compaction; the seven late-wave
-# TPC-H completion shapes — q21 also r11-changed: its oracle now groups by
-# (s_suppkey, s_name), the Spark plan's grain, instead of s_name alone;
-# and the five last-wave queries); TWO queries changed by r11 code:
-# dedup_cluster_components (connected_components now detects convergence
-# with a one-aggregate count+seeded-hash-sum checksum instead of
-# count+exceptAll — half the per-round actions) and
-# streaming_python_datasource (drain stats cleared up-front so a failed
-# drain can't report stale restart numbers); NINE r11-new queries
-# (tpch_refresh_streams — RF1/RF2 insert+delete batches as md5 key
-# predicates, applied and delta-audited per (relation, status), closing
-# the last TPC-H surface beyond the 22 queries, SURVEY §7.4 candidate 2;
-# layout_vacuum_plan — the VACUUM/retention planner: manifest anti-join
-# of pre-compaction files against the scale-free retained set, age-gated
-# deletable/quarantined rollup, §7.4 candidate 4; sim_kmeans_lloyd —
-# deterministic integer-grid Lloyd's k-means over embeddings with
-# unrolled-round DuckDB oracle, per-cluster inertia + label purity;
-# layout_zonemap_skipping — min/max zone-map data-skipping estimator,
-# ordered vs striped layouts under one decile probe workload, the
-# quantified z-order motivation; multimodal_audio_vad — VAD-style
-# activity segmentation of the WAV modality, imperative run-length
-# loop proven equal to the SQL gaps-and-islands form;
-# agg_kmv_theta_sketch — K-minimum-values/theta sketch with composable
-# union AND intersection estimates, exact counts + permille error
-# riding along; curation_filter_drift — the distribution-shift audit a
-# quality pass owes its consumers: integer-exact total-variation
-# distance over data-derived length bins, before vs after an
-# md5-selected below-mean drop; streaming_kmv_distinct — the KMV
-# sketch maintained in the state store across micro-batches, fixed
-# K-hash state per key with merge-and-truncate, the sketch family
-# composed with the custom-stateful streaming surface;
-# dedup_minhash_b_bit — b-bit minwise hashing (Li & Konig 2010), the
-# storage-optimal signature with the collision-correction estimator,
-# every LSH candidate pair carrying exact/full/b-bit readings); the
-# TWELVE fills the late-r10 waves displaced (q5_local_supplier_volume,
-# dedup_latest_per_key, events_json_extract, multimodal_decode_features,
-# q15_top_supplier, q22_dormant_rich_customers, text_corpus_curation,
-# dedup_exact, window_lag_lead, events_session_windows, mr_grep_count,
-# streaming_static_enrich_counts); and EIGHT third-confirmation fills
-# from the stalest pool (last driver-verified r4, family-spread;
-# q19_disjunctive_revenue, agg_filtered_counts, scalar_bitwise_funcs,
-# sim_ivf_topk, window_moving_avg, window_rank_dense,
-# window_running_total and the r5 block move to the front of the r12
-# fill pool).
-# 2 + 17 + 2 + 9 + 12 + 8 = 50. After a green r11, every pre-r10 query
-# is driver-confirmed at least twice, the r10 newcomers twice, and the
-# r11 newcomers once.
+# Round-12 window (executes the committed SURVEY §2.6 r12 pre-plan): the
+# two pins; the NINE r11-new queries owing their second confirmation —
+# two of which (agg_kmv_theta_sketch: err_permille guarded against an
+# empty intersection; tpch_refresh_streams: audit regrained to a LEFT
+# join + COALESCE so a fully-deleted status still reports its delta)
+# also CHANGED early-r12 per the r11 ADVICE, so this confirmation also
+# covers the changed plans; TWO queries changed by r12 code
+# (sink_python_datasource and streaming_sink_python_datasource: the
+# shared sharded-sink abort cleanup now swallows only FileNotFoundError
+# and logs other OSErrors, r11 ADVICE item 3); SIX r12-NEW queries
+# (graph_scc_kosaraju — Kosaraju SCC via forward∩backward bounded
+# recursive CTEs over a pre-squared step relation, the banked §7.4 r12
+# candidate, Tarjan-replay-tested; agg_ams_f2_sketch — AMS/tug-of-war
+# second-moment sketch, median-of-means in exact integers, F2 = the
+# events self-join size; curation_quality_auc — histogram rank-sum
+# Mann-Whitney AUC per lang in 2x integer units; curation_label_agreement
+# — Cohen's kappa between two noisy labeling passes, integer
+# cross-multiplication; layout_bloom_file_index — per-file Bloom skipping
+# index with present/absent probe workload, false-positive and
+# files-skipped accounting; streaming_countmin_totals — Count-Min sketch
+# maintained in the state store across micro-batches, order-insensitive
+# pure-sum state so the oracle replays cells and probes bit-for-bit);
+# the SEVEN r4-displaced fills (q19_disjunctive_revenue,
+# agg_filtered_counts, scalar_bitwise_funcs, sim_ivf_topk,
+# window_moving_avg, window_rank_dense, window_running_total); the
+# TWENTY-THREE r5-verified third-confirmation fills (the whole r5
+# block); and ONE fill from the r6 pool (agg_approx_distinct_sketch,
+# first ascending — the rest of the r6 block fronts the r13 fill pool).
+# 2 + 9 + 2 + 6 + 7 + 23 + 1 = 50. After a green r12, every pre-r11
+# query is driver-confirmed at least twice, the r11 newcomers twice,
+# and only the 6 r12 newcomers owe their second confirmation.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r10-new queries (second confirmation); curation_weighted_sample_aes
-    # and q21_suppliers_kept_waiting also r11-changed
-    "sink_python_datasource",
-    "streaming_sink_python_datasource",
-    "graph_bfs_recursive_cte",
-    "curation_weighted_sample_aes",
-    "dedup_crawl_frontier",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q16_supplier_part_counts",
-    "q20_part_promotion",
-    "q21_suppliers_kept_waiting",
-    "curation_stratified_weighted_sample",
-    "graph_trade_closure_recursive_cte",
-    "layout_compaction_rewrite",
-    "text_bpe_encode",
-    "dedup_record_linkage",
-    # r11-changed queries
-    "dedup_cluster_components",
-    "streaming_python_datasource",
-    # r11-new queries
+    # r11-new queries (second confirmation); agg_kmv_theta_sketch and
+    # tpch_refresh_streams also early-r12-changed (r11 ADVICE items 1-2)
     "tpch_refresh_streams",
     "layout_vacuum_plan",
     "sim_kmeans_lloyd",
@@ -172,30 +132,50 @@ _DRIVER_WINDOW = [
     "curation_filter_drift",
     "streaming_kmv_distinct",
     "dedup_minhash_b_bit",
-    # the 12 fills displaced from the r10 window by the late-r10 waves
-    "q5_local_supplier_volume",
-    "dedup_latest_per_key",
-    "events_json_extract",
-    "multimodal_decode_features",
-    "q15_top_supplier",
-    "q22_dormant_rich_customers",
-    "text_corpus_curation",
-    "dedup_exact",
-    "window_lag_lead",
-    "events_session_windows",
-    "mr_grep_count",
-    "streaming_static_enrich_counts",
-    # third-confirmation fills (stalest pool — last driver-verified r4 —
-    # family-spread: dedup, events, multimodal, TPC-H, aggregation,
-    # scalar, similarity, window)
-    "dedup_simhash",
-    "events_sliding_windows",
-    "events_trending_hourly",
-    "events_tumbling_hourly",
-    "multimodal_frame_sample",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q17_small_quantity_revenue",
+    # r12-changed queries (shared sink abort-cleanup, r11 ADVICE item 3)
+    "sink_python_datasource",
+    "streaming_sink_python_datasource",
+    # r12-new queries
+    "graph_scc_kosaraju",
+    "agg_ams_f2_sketch",
+    "curation_quality_auc",
+    "curation_label_agreement",
+    "layout_bloom_file_index",
+    "streaming_countmin_totals",
+    # the 7 fills displaced since r4 (front of the committed fill pool)
+    "q19_disjunctive_revenue",
+    "agg_filtered_counts",
+    "scalar_bitwise_funcs",
+    "sim_ivf_topk",
+    "window_moving_avg",
+    "window_rank_dense",
+    "window_running_total",
+    # the whole r5-verified block (third confirmation)
+    "agg_argmax_orders",
+    "agg_collect_sorted_sets",
+    "agg_cube_quantity",
+    "agg_distinct_counts",
+    "agg_exact_variance",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram_bins",
+    "agg_minmax_stats",
+    "agg_rollup_revenue",
+    "asof_join_attribution",
+    "events_daily_activity",
+    "join_cross_region_status",
+    "join_full_outer_nation_presence",
+    "join_inner_basic",
+    "join_left_order_counts",
+    "join_right_outer_orders",
+    "join_semi_customers_with_urgent",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    # one r6-pool fill (first ascending; rest front the r13 pool)
+    "agg_approx_distinct_sketch",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -1,0 +1,765 @@
+"""Round-12 operator wave: strongly connected components (Kosaraju's
+forward∩backward reachability), the AMS/tug-of-war second-moment sketch,
+rank-sum evaluation metrics (Mann-Whitney AUC, Cohen's kappa), and a
+per-file Bloom-filter skipping index.
+
+The wave extends two SURVEY §2.4 families the earlier rounds opened:
+
+* graph — `graph_trade_closure_recursive_cte` (analytics5.py) handles the
+  cyclic reachability closure; SCC is its quotient structure, the thing a
+  dependency analyzer or a crawl-loop detector actually wants. Kosaraju's
+  insight (forward pass + reverse-graph pass) maps onto two bounded
+  recursive CTEs over a pre-squared step relation.
+* sketches — HLL/GK/Count-Min/Misra-Gries/KMV are all here; AMS
+  (Alon-Matias-Szegedy 1996, the tug-of-war sketch) adds the SECOND
+  frequency moment F2 = sum(f_i^2), which none of them estimate — and F2
+  is the self-join SIZE, the cardinality statistic a join planner needs
+  before committing to a strategy for a skewed self-join.
+* evaluation — a curation pipeline that emits quality scores owes its
+  consumers the evaluator loop: AUC says whether the score RANKS good
+  documents above bad ones, kappa says whether two labeling passes agree
+  beyond chance. Both are exact integer rank/count arithmetic here, not
+  approximations.
+* layout — `layout_zonemap_skipping` (analytics6.py) quantifies min/max
+  pruning, which dies on scattered secondary keys; the per-file Bloom
+  index is the standard answer (Parquet bloom_filter_enabled, Iceberg
+  puffin blobs), quantified here the same way.
+
+Reference context: the reference engine (lua-mapreduce, 2012) has a
+single workload (word count, example/word-count-taskfile.lua:73-159) and
+none of these surfaces; they extend SURVEY.md §2.4's graph, sketch,
+curation and layout rows per the north-star brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lua_mapreduce_spark.catalog import load_table, parallelize_scan
+from lua_mapreduce_spark.functions.texthash import (
+    md5_bigint_expr,
+    oracle_md5_bigint_expr,
+)
+
+# --------------------------------------------------------------------------
+# Strongly connected components (Kosaraju — SURVEY §7.4 r12 candidate 4)
+# --------------------------------------------------------------------------
+
+_SCC_FANOUT = 2  # top trade partners kept per nation (sparser than the
+#                  closure's 3: more interesting SCC structure)
+_SCC_STEPS = 7  # recursion depth over the <=4-hop step relation:
+#                 levels 1..7 cover path lengths 1..28 > 24 = the longest
+#                 possible shortest path on 25 nodes — structurally EXACT
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation trade graph: for each customer nation its top
+    _SCC_FANOUT supplier nations by lineitem count (count DESC, name ASC
+    — exact-integer deterministic). Same Q7-shaped 5-way join +
+    WindowGroupLimit sparsifier as the r10 closure
+    (graph_trade_closure_recursive_cte), with a tighter fanout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst")
+    )
+    trade = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    wr = Window.partitionBy("src").orderBy(
+        F.col("n_lines").desc(), F.col("dst")
+    )
+    return (
+        trade.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _SCC_FANOUT)
+        .select("src", "dst")
+    )
+
+
+def _square_steps(steps: DataFrame) -> DataFrame:
+    """paths(<=2L) from paths(<=L): steps ∪ (steps ∘ steps), self-pairs
+    dropped (any walk through a (u,u) loop has a shorter loop-free walk,
+    so dropping them never loses a reachable pair)."""
+    j = (
+        steps.alias("a")
+        .join(steps.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return steps.unionByName(j).distinct()
+
+
+def graph_scc_kosaraju(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed nation trade graph —
+    Kosaraju's characterization: u and v share an SCC iff u reaches v in
+    the graph AND u reaches v in the REVERSED graph (i.e. v also reaches
+    u). Forward and backward reachability are two bounded ``WITH
+    RECURSIVE`` closures (the cyclic-graph complement of
+    graph_trade_closure_recursive_cte, SURVEY §7.4 r12 candidate 4); the
+    component id is the canonical MIN member name and every node carries
+    its component's size.
+
+    Depth bound, structurally exact: the recursion walks a PRE-SQUARED
+    step relation (edges doubled twice -> all <=4-hop pairs, itself a
+    bounded <=625-row relation), so _SCC_STEPS=7 levels cover shortest
+    paths up to length 28 > 24 = n_nodes - 1 — no reachable pair can
+    need more. Squaring first matters operationally: a depth-25 walk on
+    raw edges costs 25 per-level recursion rounds (measured 14.7 s at
+    sf0.1 — per-level fixed cost, not data), while 2 tiny self-joins +
+    7 levels run in ~3 s with IDENTICAL pair coverage.
+
+    Scale shape: the edge build aggregates the fact join down to <=625
+    pairs BEFORE the window rank (dims broadcast, fact joins shuffle on
+    keys exactly like q7); everything after — squaring, both recursions,
+    the mutual intersection, the min-label rollup — runs on
+    schema-bounded <=625-row relations (25 nations), localCheckpoint'd
+    so no level recomputes the fact join. On a bigger graph the same
+    plan holds with the step relation bucketed by src; the recursion
+    depth grows with log(diameter), not node count."""
+    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    steps4 = _square_steps(_square_steps(edges)).localCheckpoint(eager=True)
+    steps4.createOrReplaceTempView("lmrs_scc_steps_v")
+    steps4.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).createOrReplaceTempView("lmrs_scc_steps_rev_v")
+    closure_sql = """
+        WITH RECURSIVE r(src, dst, d) AS (
+          SELECT src, dst, 1 FROM {view}
+          UNION ALL
+          SELECT DISTINCT r.src, e.dst, r.d + 1
+          FROM r JOIN {view} e ON r.dst = e.src
+          WHERE r.d < {steps} AND r.src <> e.dst
+        )
+        SELECT DISTINCT src, dst FROM r
+    """
+    fwd = spark.sql(
+        closure_sql.format(view="lmrs_scc_steps_v", steps=_SCC_STEPS)
+    )
+    bwd = spark.sql(
+        closure_sql.format(view="lmrs_scc_steps_rev_v", steps=_SCC_STEPS)
+    )
+    # bwd(u, v): u reaches v in the reversed graph == v reaches u in the
+    # original, so fwd ∩ bwd on (src, dst) is exactly mutual reachability.
+    mutual = fwd.join(bwd, ["src", "dst"])
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    members = mutual.select(
+        F.col("src").alias("node"), F.col("dst").alias("peer")
+    ).unionByName(nodes.select("node", F.col("node").alias("peer")))
+    scc = members.groupBy("node").agg(F.min("peer").alias("scc_id"))
+    sizes = scc.groupBy("scc_id").agg(
+        F.count(F.lit(1)).alias("scc_size")
+    )
+    return scc.join(sizes, "scc_id").select("node", "scc_id", "scc_size")
+
+
+SCC_ORACLE = f"""
+WITH RECURSIVE trade AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS n_lines
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_name <> sn.n_name
+  GROUP BY 1, 2),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                 ORDER BY n_lines DESC, dst) AS rn
+    FROM trade)
+  WHERE rn <= {_SCC_FANOUT}),
+s2 AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
+  WHERE a.src <> b.dst),
+s4 AS (
+  SELECT src, dst FROM s2
+  UNION
+  SELECT a.src, b.dst FROM s2 a JOIN s2 b ON a.dst = b.src
+  WHERE a.src <> b.dst),
+fwd(src, dst, d) AS (
+  SELECT src, dst, 1 FROM s4
+  UNION ALL
+  SELECT DISTINCT r.src, e.dst, r.d + 1
+  FROM fwd r JOIN s4 e ON r.dst = e.src
+  WHERE r.d < {_SCC_STEPS} AND r.src <> e.dst),
+bwd(src, dst, d) AS (
+  SELECT dst, src, 1 FROM s4
+  UNION ALL
+  SELECT DISTINCT r.src, e.src, r.d + 1
+  FROM bwd r JOIN s4 e ON r.dst = e.dst
+  WHERE r.d < {_SCC_STEPS} AND r.src <> e.src),
+mutual AS (
+  SELECT DISTINCT f.src, f.dst
+  FROM (SELECT DISTINCT src, dst FROM fwd) f
+  JOIN (SELECT DISTINCT src, dst FROM bwd) b
+    ON f.src = b.src AND f.dst = b.dst),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+members AS (
+  SELECT src AS node, dst AS peer FROM mutual
+  UNION
+  SELECT node, node FROM nodes),
+scc AS (
+  SELECT node, MIN(peer) AS scc_id FROM members GROUP BY node),
+sizes AS (
+  SELECT scc_id, COUNT(*) AS scc_size FROM scc GROUP BY scc_id)
+SELECT node, scc.scc_id AS scc_id, scc_size
+FROM scc JOIN sizes ON scc.scc_id = sizes.scc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# AMS / tug-of-war F2 sketch (self-join size estimation)
+# --------------------------------------------------------------------------
+
+_AMS_R = 40  # independent sign-hash estimators
+_AMS_G = 8  # estimators per mean group -> 5 groups, odd-count median
+
+
+def agg_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/tug-of-war sketch (Alon, Matias & Szegedy 1996) for the SECOND
+    frequency moment of the events-per-user distribution: F2 = sum over
+    users of f_u^2 = the size of the events⋈events self-join on user_id
+    — the cardinality statistic a planner needs before it commits a
+    strategy to a skewed self-join (sessionization, co-visit mining).
+    X_r = sum_u f_u * s_r(u) with s_r a deterministic md5 sign hash;
+    E[X_r^2] = F2. The estimate is the classic median-of-means:
+    _AMS_R=40 estimators in _AMS_G=8-wide mean groups, lower median of
+    the 5 group means (odd count — exact integer selection, no halves).
+    Exact F2 rides along so the gate value-checks estimator arithmetic
+    AND accuracy; every quantity md5-deterministic, the oracle replays
+    construction and estimation bit-for-bit.
+
+    int64 headroom: X_r^2 <= N_events^2 keeps every term under 2^62 to
+    ~3e9 events; past that the squares move to DECIMAL(38,0) (the
+    functions/exact.py convention) without changing the plan.
+
+    Scale shape: ONE groupBy(user) collapses the raw scan to the
+    frequency vector (map-side combinable); the 40-way estimator fan-out
+    happens on the COLLAPSED vector via a broadcast 40-row sequence
+    (|users| x 40 intermediate rows), and the per-r aggregation partial-
+    aggregates each map task down to <=40 rows before the exchange.
+    Everything after runs on 40 rows. The sketch itself is 40 integers —
+    mergeable across partitions/streams by addition."""
+    freq = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    rs = spark.range(_AMS_R).select(F.col("id").alias("r"))
+    sign = (
+        "CASE WHEN "
+        + md5_bigint_expr(
+            "concat('ams-', CAST(r AS STRING), '|', CAST(user_id AS STRING))"
+        )
+        + " % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    xr = (
+        freq.crossJoin(F.broadcast(rs))
+        .select("r", F.expr(f"f * ({sign})").alias("contrib"))
+        .groupBy("r")
+        .agg(F.expr("CAST(SUM(contrib) AS BIGINT)").alias("x_r"))
+    )
+    grp = (
+        xr.groupBy(F.expr(f"r DIV {_AMS_G}").alias("grp"))
+        .agg(F.expr(f"SUM(x_r * x_r) DIV {_AMS_G}").alias("mean_x2"))
+    )
+    wmed = Window.orderBy("mean_x2", "grp")  # <=5 rows: bounded sort
+    n_groups = _AMS_R // _AMS_G
+    med = (
+        grp.withColumn("rn", F.row_number().over(wmed))
+        .filter(F.col("rn") == (n_groups + 1) // 2)
+        .select(F.col("mean_x2").alias("f2_est"))
+    )
+    exact = freq.agg(
+        F.expr("CAST(SUM(f * f) AS BIGINT)").alias("f2_exact"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("CAST(SUM(f) AS BIGINT)").alias("n_events"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "grp",
+            "mean_x2",
+            "n_users",
+            "n_events",
+            "f2_exact",
+            "f2_est",
+            F.expr(
+                "CASE WHEN f2_exact = 0 THEN NULL"
+                " ELSE abs(f2_est - f2_exact) * 1000 DIV f2_exact END"
+            ).alias("err_permille"),
+        )
+    )
+
+
+_AMS_SIGN_DUCK = (
+    "CASE WHEN "
+    + oracle_md5_bigint_expr(
+        "concat('ams-', CAST(r AS VARCHAR), '|', CAST(user_id AS VARCHAR))"
+    )
+    + " % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+AMS_ORACLE = f"""
+WITH freq AS (
+  SELECT user_id, COUNT(*) AS f FROM events GROUP BY user_id),
+rs AS (SELECT CAST(range AS BIGINT) AS r FROM range({_AMS_R})),
+xr AS (
+  SELECT r, CAST(SUM(f * ({_AMS_SIGN_DUCK})) AS BIGINT) AS x_r
+  FROM freq CROSS JOIN rs GROUP BY r),
+grp AS (
+  SELECT r // {_AMS_G} AS grp,
+         CAST(SUM(x_r * x_r) // {_AMS_G} AS BIGINT) AS mean_x2
+  FROM xr GROUP BY 1),
+med AS (
+  SELECT mean_x2 AS f2_est FROM (
+    SELECT mean_x2, ROW_NUMBER() OVER (ORDER BY mean_x2, grp) AS rn
+    FROM grp)
+  WHERE rn = ({_AMS_R // _AMS_G} + 1) // 2),
+exact AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact,
+         COUNT(*) AS n_users,
+         CAST(SUM(f) AS BIGINT) AS n_events
+  FROM freq)
+SELECT grp, mean_x2, n_users, n_events, f2_exact, f2_est,
+       CASE WHEN f2_exact = 0 THEN NULL
+            ELSE abs(f2_est - f2_exact) * 1000 // f2_exact END
+         AS err_permille
+FROM grp CROSS JOIN med CROSS JOIN exact
+"""
+
+
+# --------------------------------------------------------------------------
+# Rank-sum evaluators: Mann-Whitney AUC and Cohen's kappa
+# --------------------------------------------------------------------------
+
+_EVAL_NOISE = 200  # md5 noise span added to the length signal
+
+
+def _label_expr(tag: str, spark_side: bool) -> str:
+    """Deterministic noisy quality gate: positive iff the document's
+    length plus centered md5 noise clears the per-lang mean —
+    (n_chars + h%SPAN - SPAN/2) * n_l > total_l, the integer
+    cross-multiplication mean test (the curation_filter_drift
+    convention). The noise makes the label correlate with, but not be a
+    function of, the score — exactly the regime an AUC evaluator is
+    for."""
+    h = (md5_bigint_expr if spark_side else oracle_md5_bigint_expr)(
+        f"concat('{tag}', CAST(doc_id AS "
+        + ("STRING" if spark_side else "VARCHAR")
+        + "))"
+    )
+    return (
+        f"(CAST(n_chars AS BIGINT) + {h} % {_EVAL_NOISE}"
+        f" - {_EVAL_NOISE // 2}) * n_l > total_l"
+    )
+
+
+def curation_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney AUC of a quality score, per language — the evaluator
+    loop a curation pipeline owes its consumers: does the score RANK
+    positive documents above negative ones? Score = n_chars; label = a
+    deterministic noisy per-lang quality gate (md5 noise keeps the label
+    correlated with but not determined by the score). Exact rank-sum
+    arithmetic in 2x integer units: no float ranks, no halves —
+    U2 = sum over distinct scores of n_pos(s) * (2*cum_neg_below(s) +
+    n_neg(s)) counts each (pos, neg) pair twice and each tie once, so
+    auc_permille = 1000 * U2 DIV (2 * N_pos * N_neg), with the
+    zero-class guard CASEd to NULL (the r11 ADVICE lesson). int64
+    headroom: U2 <= 2 * N_pos * N_neg keeps terms under 2^62 to ~1.5e9
+    docs per class per lang.
+
+    Scale shape: ONE scan builds the (lang, score) histogram — a groupBy
+    whose partial aggregates collapse each map task to the distinct-
+    score count before the exchange; the rank-sum window then runs per
+    lang over the HISTOGRAM (bounded by distinct score values, not
+    docs), which is what makes exact AUC feasible at 100 TB where a
+    per-row global rank would be a total sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr("CAST(n_chars AS BIGINT)").alias("n_chars")
+    )
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_l"),
+    )
+    labeled = docs.join(F.broadcast(stats), "lang").select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        F.expr(_label_expr("auc-", True)).alias("pos"),
+    )
+    hist = labeled.groupBy("lang", "score").agg(
+        F.expr("CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_pos"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("n_neg"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hist.withColumn(
+            "cum_neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+        )
+        .groupBy("lang")
+        .agg(
+            F.expr("CAST(SUM(n_pos) AS BIGINT)").alias("n_pos"),
+            F.expr("CAST(SUM(n_neg) AS BIGINT)").alias("n_neg"),
+            F.expr(
+                "CAST(SUM(n_pos * (2 * cum_neg_below + n_neg)) AS BIGINT)"
+            ).alias("u2"),
+        )
+        .select(
+            "lang",
+            "n_pos",
+            "n_neg",
+            "u2",
+            F.expr(
+                "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+                " ELSE 1000 * u2 DIV (2 * n_pos * n_neg) END"
+            ).alias("auc_permille"),
+        )
+    )
+
+
+AUC_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+stats AS (
+  SELECT lang, COUNT(*) AS n_l, CAST(SUM(n_chars) AS BIGINT) AS total_l
+  FROM docs GROUP BY lang),
+labeled AS (
+  SELECT docs.lang AS lang, n_chars AS score,
+         {_label_expr("auc-", False)} AS pos
+  FROM docs JOIN stats ON docs.lang = stats.lang),
+hist AS (
+  SELECT lang, score,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM labeled GROUP BY lang, score),
+ranked AS (
+  SELECT *, CAST(COALESCE(SUM(n_neg) OVER (
+      PARTITION BY lang ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS cum_neg_below
+  FROM hist),
+agg AS (
+  SELECT lang, CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+         CAST(SUM(n_pos * (2 * cum_neg_below + n_neg)) AS BIGINT) AS u2
+  FROM ranked GROUP BY lang)
+SELECT lang, n_pos, n_neg, u2,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE 1000 * u2 // (2 * n_pos * n_neg) END AS auc_permille
+FROM agg
+"""
+
+
+def curation_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two labeling passes, per language — the
+    inter-annotator-agreement evaluator: two deterministic noisy quality
+    gates (independent md5 noise over the same length signal, the
+    curation_quality_auc label family) play the two annotators, and
+    kappa measures agreement BEYOND the chance level their marginals
+    imply. Exact integer cross-multiplication: with A = agreements and
+    E = a_pos*b_pos + a_neg*b_neg (chance-expected agreement x N),
+    kappa = (N*A - E) / (N*N - E), emitted in permille via DIV — both
+    engines truncate integer division toward zero (verified, so the
+    formula stays exact even for the negative-kappa case). int64
+    headroom: N*N terms keep under 2^62 to ~2e9 docs per lang.
+
+    Scale shape: ONE scan, labels are map-side expressions against the
+    broadcast per-lang stats row, and a single |langs|-key groupBy whose
+    partial aggregates collapse each map task to one row per lang."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr("CAST(n_chars AS BIGINT)").alias("n_chars")
+    )
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_l"),
+    )
+    labeled = docs.join(F.broadcast(stats), "lang").select(
+        "lang",
+        F.expr(_label_expr("kap-a-", True)).alias("a"),
+        F.expr(_label_expr("kap-b-", True)).alias("b"),
+    )
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "a_pos"
+            ),
+            F.expr("CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "b_pos"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_agree"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "a_pos",
+            "b_pos",
+            "n_agree",
+            F.expr(
+                "CASE WHEN n_docs * n_docs ="
+                " a_pos * b_pos + (n_docs - a_pos) * (n_docs - b_pos)"
+                " THEN NULL ELSE 1000 * (n_docs * n_agree"
+                " - a_pos * b_pos - (n_docs - a_pos) * (n_docs - b_pos))"
+                " DIV (n_docs * n_docs - a_pos * b_pos"
+                " - (n_docs - a_pos) * (n_docs - b_pos)) END"
+            ).alias("kappa_permille"),
+        )
+    )
+
+
+KAPPA_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+stats AS (
+  SELECT lang, COUNT(*) AS n_l, CAST(SUM(n_chars) AS BIGINT) AS total_l
+  FROM docs GROUP BY lang),
+labeled AS (
+  SELECT docs.lang AS lang,
+         {_label_expr("kap-a-", False)} AS a,
+         {_label_expr("kap-b-", False)} AS b
+  FROM docs JOIN stats ON docs.lang = stats.lang),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+         CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_pos,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM labeled GROUP BY lang)
+SELECT lang, n_docs, a_pos, b_pos, n_agree,
+       CASE WHEN n_docs * n_docs =
+                 a_pos * b_pos + (n_docs - a_pos) * (n_docs - b_pos)
+            THEN NULL
+            ELSE 1000 * (n_docs * n_agree
+                 - a_pos * b_pos - (n_docs - a_pos) * (n_docs - b_pos))
+                 // (n_docs * n_docs - a_pos * b_pos
+                 - (n_docs - a_pos) * (n_docs - b_pos)) END
+         AS kappa_permille
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-file Bloom-filter skipping index (layout family)
+# --------------------------------------------------------------------------
+
+_BLM_FILES = 16  # files in the simulated layout (doc_id ranges)
+_BLM_BITS = 1024  # bloom bits per file
+_BLM_K = 3  # hash functions per key
+_BLM_DOM = 1 << 20  # content-key domain; absent probes live in [DOM, 2*DOM)
+_BLM_PROBE_MOD = 13  # md5 % MOD == 0 selects ~1/13 of docs as probe seeds
+
+
+def layout_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter skipping index — the layout-family
+    complement of layout_zonemap_skipping (analytics6.py): min/max zone
+    maps prune RANGE predicates on the layout's sort key, but a point
+    lookup on a SCATTERED secondary key (here a content hash, which no
+    layout can cluster) defeats them, and the standard answer is a small
+    Bloom filter per file (Parquet's bloom_filter_enabled, Iceberg's
+    puffin blobs). This builds one _BLM_BITS-bit / _BLM_K-hash bloom per
+    doc_id-range file over an md5 content key, probes it with a
+    deterministic workload of present keys and guaranteed-absent twins
+    (same count, shifted into [DOM, 2*DOM)), and reports per probe the
+    files the index would scan vs the files that truly contain the key
+    — n_false_pos = the index's wasted reads, n_files_skipped = its
+    winnings; the Bloom no-false-negative guarantee is structural
+    (n_files_hit >= n_files_true) and gate-checked. Every bit position
+    is md5 integer arithmetic, so the oracle replays build AND probes
+    bit-for-bit.
+
+    Scale shape: the bloom build is ONE scan -> distinct (file, bit)
+    groupBy, bounded at _BLM_FILES * _BLM_BITS rows by CONFIG regardless
+    of data volume (the fixed-size-index property IN the plan) — small
+    enough to broadcast to the probe join, which therefore never
+    shuffles the probe side; the truth pass is a broadcast semi-join of
+    the bounded probe set against the (file, key) scan. At 100 TB the
+    bloom relation grows only with file count, and the per-file build is
+    the same map-side distinct."""
+    docs = parallelize_scan(
+        spark, load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    maxid = docs.agg(
+        F.expr("CAST(MAX(doc_id) AS BIGINT)").alias("max_id")
+    ).localCheckpoint(eager=True)
+    key = md5_bigint_expr("concat('blm-', text)") + f" % {_BLM_DOM}"
+    keyed = docs.crossJoin(F.broadcast(maxid)).select(
+        "doc_id",
+        F.expr(f"doc_id * {_BLM_FILES} DIV (max_id + 1)").alias("file_id"),
+        F.expr(key).alias("k"),
+    )
+    ks = ", ".join(str(i) for i in range(_BLM_K))
+    bit_of = (
+        lambda kcol: "transform(array(" + ks + "), i -> "
+        + md5_bigint_expr(
+            f"concat('blm-b-', CAST(i AS STRING), '|', CAST({kcol} AS STRING))"
+        )
+        + f" % {_BLM_BITS})"
+    )
+    bloom = (
+        keyed.select("file_id", F.explode(F.expr(bit_of("k"))).alias("bit"))
+        .distinct()
+    )
+    probes = keyed.filter(
+        F.expr(
+            md5_bigint_expr("concat('blm-p-', CAST(doc_id AS STRING))")
+            + f" % {_BLM_PROBE_MOD} = 0"
+        )
+    ).select("doc_id", "k")
+    workload = probes.select(
+        F.col("doc_id").alias("probe_id"), "k", F.lit(True).alias("present")
+    ).unionByName(
+        probes.select(
+            F.col("doc_id").alias("probe_id"),
+            F.expr(
+                md5_bigint_expr("concat('blm-a-', CAST(doc_id AS STRING))")
+                + f" % {_BLM_DOM} + {_BLM_DOM}"
+            ).alias("k"),
+            F.lit(False).alias("present"),
+        )
+    )
+    probe_bits = workload.select(
+        "probe_id",
+        "present",
+        "k",
+        F.posexplode(F.expr(bit_of("k"))).alias("i", "bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bloom), "bit")
+        .groupBy("probe_id", "present", "k", "file_id")
+        .agg(F.countDistinct("i").alias("n_bits"))
+        .filter(F.col("n_bits") == _BLM_K)
+        .groupBy("probe_id", "present", "k")
+        .agg(F.count(F.lit(1)).alias("n_files_hit"))
+    )
+    truth = (
+        workload.join(
+            keyed.select("file_id", F.col("k").alias("tk")).distinct(),
+            F.col("k") == F.col("tk"),
+        )
+        .groupBy("probe_id", "present", "k")
+        .agg(F.countDistinct("file_id").alias("n_files_true"))
+    )
+    return (
+        workload.join(hits, ["probe_id", "present", "k"], "left")
+        .join(truth, ["probe_id", "present", "k"], "left")
+        .select(
+            "probe_id",
+            "present",
+            F.expr("COALESCE(n_files_hit, 0)").alias("n_files_hit"),
+            F.expr("COALESCE(n_files_true, 0)").alias("n_files_true"),
+            F.expr(
+                "COALESCE(n_files_hit, 0) - COALESCE(n_files_true, 0)"
+            ).alias("n_false_pos"),
+            F.expr(f"{_BLM_FILES} - COALESCE(n_files_hit, 0)").alias(
+                "n_files_skipped"
+            ),
+        )
+    )
+
+
+def _blm_oracle() -> str:
+    key = oracle_md5_bigint_expr("concat('blm-', text)") + f" % {_BLM_DOM}"
+    bit = (
+        oracle_md5_bigint_expr(
+            "concat('blm-b-', CAST(i AS VARCHAR), '|', CAST(k AS VARCHAR))"
+        )
+        + f" % {_BLM_BITS}"
+    )
+    return f"""
+WITH maxid AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS max_id FROM documents),
+keyed AS (
+  SELECT doc_id, doc_id * {_BLM_FILES} // (max_id + 1) AS file_id,
+         {key} AS k
+  FROM documents, maxid),
+is_ AS (SELECT CAST(range AS BIGINT) AS i FROM range({_BLM_K})),
+bloom AS (
+  SELECT DISTINCT file_id, {bit} AS bit FROM keyed CROSS JOIN is_),
+probes AS (
+  SELECT doc_id, k FROM keyed
+  WHERE {oracle_md5_bigint_expr("concat('blm-p-', CAST(doc_id AS VARCHAR))")}
+        % {_BLM_PROBE_MOD} = 0),
+workload AS (
+  SELECT doc_id AS probe_id, k, TRUE AS present FROM probes
+  UNION ALL
+  SELECT doc_id AS probe_id,
+         {oracle_md5_bigint_expr("concat('blm-a-', CAST(doc_id AS VARCHAR))")}
+           % {_BLM_DOM} + {_BLM_DOM} AS k,
+         FALSE AS present
+  FROM probes),
+probe_bits AS (
+  SELECT probe_id, present, k, i, {bit} AS bit
+  FROM workload CROSS JOIN is_),
+hits AS (
+  SELECT probe_id, present, k, COUNT(*) AS n_files_hit FROM (
+    SELECT probe_id, present, k, file_id, COUNT(DISTINCT i) AS n_bits
+    FROM probe_bits JOIN bloom USING (bit)
+    GROUP BY probe_id, present, k, file_id)
+  WHERE n_bits = {_BLM_K}
+  GROUP BY probe_id, present, k),
+truth AS (
+  SELECT probe_id, present, w.k AS k,
+         COUNT(DISTINCT file_id) AS n_files_true
+  FROM workload w JOIN (SELECT DISTINCT file_id, k FROM keyed) t
+    ON w.k = t.k
+  GROUP BY probe_id, present, w.k)
+SELECT probe_id, present,
+       COALESCE(n_files_hit, 0) AS n_files_hit,
+       COALESCE(n_files_true, 0) AS n_files_true,
+       COALESCE(n_files_hit, 0) - COALESCE(n_files_true, 0) AS n_false_pos,
+       {_BLM_FILES} - COALESCE(n_files_hit, 0) AS n_files_skipped
+FROM workload w
+LEFT JOIN hits USING (probe_id, present, k)
+LEFT JOIN truth USING (probe_id, present, k)
+"""
+
+
+BLOOM_INDEX_ORACLE = _blm_oracle()
+
+
+QUERIES = {
+    "graph_scc_kosaraju": graph_scc_kosaraju,
+    "agg_ams_f2_sketch": agg_ams_f2_sketch,
+    "curation_quality_auc": curation_quality_auc,
+    "curation_label_agreement": curation_label_agreement,
+    "layout_bloom_file_index": layout_bloom_file_index,
+}
+
+ORACLES = {
+    "graph_scc_kosaraju": SCC_ORACLE,
+    "agg_ams_f2_sketch": AMS_ORACLE,
+    "curation_quality_auc": AUC_ORACLE,
+    "curation_label_agreement": KAPPA_ORACLE,
+    "layout_bloom_file_index": BLOOM_INDEX_ORACLE,
+}

@@ -34,6 +34,7 @@ from lua_mapreduce_spark.catalog import load_table
 from lua_mapreduce_spark.streaming.stateful import (
     STREAM_STATE_PARTITIONS,
     drain_stream,
+    stream_countmin_stateful,
     stream_dedup_events,
     stream_kmv_distinct_stateful,
     stream_sliding_counts,
@@ -386,6 +387,75 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_PROBE_MOD = 5  # user_id % MOD == 0 selects the probe users
+
+
+def streaming_countmin_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained ACROSS micro-batches in the state
+    store (the point-frequency complement of streaming_kmv_distinct's
+    distinct-count sketch): per event_type the state is a fixed
+    _CMS_R x _CMS_W counter array that each batch increments at
+    md5-derived cells — a pure SUM structure, order-insensitive, so the
+    DuckDB oracle replays every cell and every probe from the batch
+    table bit-for-bit. After the drain the settled sketch per key (max
+    n_batches row) answers point queries: for each deterministic probe
+    (event_type, user) the estimate is the min over the _CMS_R cells,
+    the exact count joins in, and the CM structural guarantee
+    est >= exact rides along as an audited column.
+
+    Scale shape: state is _CMS_R * _CMS_W * 8 bytes per key regardless
+    of stream length or user cardinality; cell indices are JVM-side
+    expressions; the post-drain probe pass joins the bounded
+    |event_types|-row sketch relation (broadcast) to the probe
+    aggregate, never shuffling the sketch."""
+    from lua_mapreduce_spark.streaming.stateful import _CMS_R, _CMS_W
+
+    sink = drain_stream(
+        stream_countmin_stateful(_events_stream(spark, sf_dir)),
+        "stream_cms",
+        output_mode="update",
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
+    sketch = (
+        sink.groupBy("event_type")
+        .agg(F.max(F.struct("n_batches", "cells")).alias("s"))
+        .select("event_type", F.col("s.cells").alias("cells"))
+    )
+    from lua_mapreduce_spark.functions.texthash import md5_bigint_expr
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.expr(f"user_id % {_CMS_PROBE_MOD} = 0"))
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    cell_exprs = [
+        "element_at(cells, CAST("
+        + f"{r * _CMS_W} + "
+        + md5_bigint_expr(
+            f"concat('cms-{r}-', event_type, '|', CAST(user_id AS STRING))"
+        )
+        + f" % {_CMS_W} + 1 AS INT))"
+        for r in range(_CMS_R)
+    ]
+    return (
+        exact.join(F.broadcast(sketch), "event_type")
+        .withColumn(
+            "est_n",
+            F.expr(
+                "CAST(least(" + ", ".join(cell_exprs) + ") AS BIGINT)"
+            ),
+        )
+        .select(
+            "event_type",
+            "user_id",
+            "exact_n",
+            "est_n",
+            F.expr("est_n - exact_n").alias("overcount"),
+        )
+    )
+
+
 QUERIES = {
     "streaming_user_totals": streaming_user_totals,
     "streaming_dedup_count": streaming_dedup_count,
@@ -398,6 +468,7 @@ QUERIES = {
     "streaming_anomaly_hours": streaming_anomaly_hours,
     "streaming_session_windows": streaming_session_windows,
     "streaming_kmv_distinct": streaming_kmv_distinct,
+    "streaming_countmin_totals": streaming_countmin_totals,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -541,8 +612,41 @@ FROM exact JOIN est USING (event_type)
 """
 
 
+def _cms_oracle() -> str:
+    from lua_mapreduce_spark.streaming.stateful import _CMS_R, _CMS_W
+
+    cell_hash = _omd5(
+        "concat('cms-', CAST(r AS VARCHAR), '-', event_type, '|',"
+        " CAST(user_id AS VARCHAR))"
+    )
+    return f"""
+WITH rs AS (SELECT CAST(range AS BIGINT) AS r FROM range({_CMS_R})),
+cells AS (
+  SELECT event_type, r, {cell_hash} % {_CMS_W} AS j, COUNT(*) AS c
+  FROM events CROSS JOIN rs GROUP BY 1, 2, 3),
+exact AS (
+  SELECT event_type, user_id, COUNT(*) AS exact_n
+  FROM events WHERE user_id % {_CMS_PROBE_MOD} = 0
+  GROUP BY 1, 2),
+est AS (
+  SELECT e.event_type, e.user_id, CAST(MIN(c.c) AS BIGINT) AS est_n
+  FROM exact e CROSS JOIN rs
+  JOIN cells c ON c.event_type = e.event_type AND c.r = rs.r
+    AND c.j = {_omd5("concat('cms-', CAST(rs.r AS VARCHAR), '-',"
+                     " e.event_type, '|', CAST(e.user_id AS VARCHAR))")}
+            % {_CMS_W}
+  GROUP BY 1, 2)
+SELECT event_type, user_id, exact_n, est_n, est_n - exact_n AS overcount
+FROM exact JOIN est USING (event_type, user_id)
+"""
+
+
+STREAM_CMS_ORACLE = _cms_oracle()
+
+
 ORACLES: dict[str, str] = {
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
+    "streaming_countmin_totals": STREAM_CMS_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,
     "streaming_sliding_counts": STREAM_SLIDING_ORACLE,

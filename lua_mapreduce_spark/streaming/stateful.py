@@ -225,6 +225,83 @@ def stream_kmv_distinct_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+_CMS_W = 256  # Count-Min width (cells per hash row)
+_CMS_R = 4  # Count-Min depth (hash rows)
+
+
+def stream_countmin_stateful(events: DataFrame) -> DataFrame:
+    """Per-event-type Count-Min sketch maintained in the state store
+    across micro-batches: state = the flattened _CMS_R x _CMS_W counter
+    array, each batch ADDING its rows' md5-derived cell increments. The
+    CM sketch is a pure sum structure, so unlike Misra-Gries/SpaceSaving
+    it is ORDER-INSENSITIVE — cell values after any batch slicing equal
+    the batch-table sums, which is what lets the DuckDB oracle replay
+    the stream bit-for-bit (the KMV convention; an arrival-order-
+    dependent summary could never carry a full value oracle). State is
+    _CMS_R * _CMS_W * 8 bytes per key REGARDLESS of stream length or
+    user cardinality, where an exact per-user count state grows with
+    users. Cell indices are computed DECLARATIVELY on the stream
+    (JVM-side md5) before the stateful op; the Python worker only adds
+    integers (one vectorized np.add.at per hash row per batch).
+
+    Emits (event_type, n_batches, cells) per key per batch in update
+    mode; the final sketch per key is the row with the highest n_batches
+    (the user_totals max-struct selection convention)."""
+    import numpy as np
+
+    from lua_mapreduce_spark.functions.texthash import md5_bigint_expr
+
+    idx_cols = [
+        F.expr(
+            md5_bigint_expr(
+                f"concat('cms-{r}-', event_type, '|',"
+                " CAST(user_id AS STRING))"
+            )
+            + f" % {_CMS_W}"
+        ).alias(f"i{r}")
+        for r in range(_CMS_R)
+    ]
+    hashed = events.select("event_type", *idx_cols)
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            cells_list, n_batches = state.get
+            cells = np.asarray(cells_list, dtype=np.int64)
+        else:
+            cells = np.zeros(_CMS_R * _CMS_W, dtype=np.int64)
+            n_batches = 0
+        for pdf in pdfs:
+            for r in range(_CMS_R):
+                np.add.at(
+                    cells,
+                    r * _CMS_W + pdf[f"i{r}"].to_numpy(dtype=np.int64),
+                    1,
+                )
+        n_batches += 1
+        state.update(([int(x) for x in cells], n_batches))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_batches": [n_batches],
+                "cells": [[int(x) for x in cells]],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_batches long,"
+        " cells array<bigint>",
+        stateStructType="cells array<bigint>, n_batches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # Batches executed by the most recent drain_stream call (entries with input
 # rows only). Tests read this to prove multi-micro-batch execution.
 LAST_DRAIN_NUM_BATCHES = 0

@@ -370,3 +370,67 @@ def test_cli_inverted_index_task(tmp_path):
         w: ",".join(sorted(docs)) for w, docs in index.items() if len(docs) >= 2
     }
     assert got == expect and got
+
+
+def test_cli_composed_multi_task_with_filterfn(tmp_path):
+    """Reference TODOs #3 + #5 COMPOSED in one end-to-end run: two task
+    files on ONE session, each applying its own post-reduce filterfn —
+    frequent words (unigram threshold) and frequent bigrams (bigram
+    threshold with combiner). Key spaces are disjoint by construction
+    (bigram keys contain a space), so the combined stdout is asserted
+    exactly against both expectations replayed in-test."""
+    import re as _re
+    from collections import Counter
+
+    for name, text in FIXTURES.items():
+        (tmp_path / name).write_text(text, encoding="utf-8")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "lua_mapreduce_spark",
+            "-t",
+            str(_REPO / "examples" / "frequent_words_task.py"),
+            "-t",
+            str(_REPO / "examples" / "bigram_count_task.py"),
+            "-a",
+            f"{tmp_path}:2",
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(_REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got_words, got_bigrams = {}, {}
+    for line in proc.stdout.splitlines():
+        if "\t" not in line:
+            continue
+        k, v = line.split("\t")
+        (got_bigrams if " " in k else got_words)[k] = int(v)
+    # unigram side: the golden counts, thresholded at 2
+    assert got_words == {w: c for w, c in GOLDEN.items() if c >= 2}
+    # bigram side: per-line adjacent pairs replayed from the fixtures
+    bigrams: Counter = Counter()
+    for text in FIXTURES.values():
+        for line in text.splitlines():
+            ws = [
+                w.lower()
+                for token in line.split()
+                for w in _re.findall(r"[A-Za-z]+", token)
+            ]
+            bigrams.update(zip(ws, ws[1:]))
+    expect = {
+        f"{a} {b}": c for (a, b), c in bigrams.items() if c >= 2
+    }
+    assert got_bigrams == expect
+    # the composed run must exercise BOTH filters non-vacuously: each
+    # side dropped at least one pair
+    assert len(got_words) < len(GOLDEN)
+    assert len(got_bigrams) < len(bigrams)

@@ -159,6 +159,8 @@ _NESTED_LOOP_OK = {
     "layout_zonemap_skipping", # 1-row domain + 10-row predicate broadcast cross joins
     "agg_kmv_theta_sketch",    # 1-row total / theta broadcast cross joins
     "curation_filter_drift",   # 1-row (n, max, total) broadcast cross join
+    "agg_ams_f2_sketch",       # 40-row estimator-id + 1-row median/exact cross joins
+    "layout_bloom_file_index", # 1-row max-doc-id broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -169,6 +171,7 @@ _SKIP_AUDIT = {
     "streaming_static_enrich_counts",
     "streaming_stream_stream_join",
     "streaming_kmv_distinct",
+    "streaming_countmin_totals",
 }
 
 
@@ -253,6 +256,15 @@ _BROADCAST_OK = {
     ("analytics6.py", "tot"),         # single-row (n, total-cents) aggregate (KMV)
     ("analytics6.py", "theta_min"),   # single-row min-theta aggregate (KMV)
     ("analytics6.py", "stats"),       # single-row (n, max, total) aggregate (drift)
+    ("analytics7.py", "nation_c"),    # constant 25 rows (SCC edge build)
+    ("analytics7.py", "nation_s"),    # constant 25 rows (SCC edge build)
+    ("analytics7.py", "rs"),          # fixed _AMS_R=40 estimator rows
+    ("analytics7.py", "med"),         # single-row median-of-means aggregate
+    ("analytics7.py", "exact"),       # single-row exact-F2 aggregate
+    ("analytics7.py", "stats"),       # grouped by lang: <= |langs| rows (evaluators)
+    ("analytics7.py", "maxid"),       # single-row max-doc-id aggregate
+    ("analytics7.py", "bloom"),       # <= _BLM_FILES * _BLM_BITS rows by config
+    ("streaming_ops.py", "sketch"),   # grouped by event_type: <= |types| rows
 }
 
 
