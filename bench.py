@@ -270,9 +270,11 @@ EXTENDED_MEDIAN = {
     "sim_kmeans_lloyd",
     # r12 newcomers in the same bands: the SCC double recursion carries
     # the recursive-CTE per-level fixed cost; the bloom index build+probe
-    # runs two scan passes plus the probe joins.
+    # runs two scan passes plus the probe joins; the MST closure runs 5
+    # localCheckpoint'd doubling rounds.
     "graph_scc_kosaraju",
     "layout_bloom_file_index",
+    "graph_mst_maximum_spanning",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

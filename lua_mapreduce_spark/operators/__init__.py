@@ -108,16 +108,27 @@ _MODULES = [
 # index with present/absent probe workload, false-positive and
 # files-skipped accounting; streaming_countmin_totals — Count-Min sketch
 # maintained in the state store across micro-batches, order-insensitive
-# pure-sum state so the oracle replays cells and probes bit-for-bit);
+# pure-sum state so the oracle replays cells and probes bit-for-bit;
+# events_changepoint_cusum — retrospective CUSUM change-point argmax,
+# integer-exact via the n-scaled statistic, Python-replay-tested;
+# curation_pareto_skyline — 2-D Pareto frontier via the sweep-line
+# histogram algebra, value-verified against the oracle's O(n²)
+# definitional NOT EXISTS dominance;
+# graph_mst_maximum_spanning — the trade backbone: maximum-spanning-
+# forest membership via the min-max/bottleneck semiring closure
+# (5 relation doublings, no union-find, no sequential Kruskal scan),
+# Kruskal-replay-tested);
 # the SEVEN r4-displaced fills (q19_disjunctive_revenue,
 # agg_filtered_counts, scalar_bitwise_funcs, sim_ivf_topk,
-# window_moving_avg, window_rank_dense, window_running_total); the
-# TWENTY-THREE r5-verified third-confirmation fills (the whole r5
-# block); and ONE fill from the r6 pool (agg_approx_distinct_sketch,
-# first ascending — the rest of the r6 block fronts the r13 fill pool).
-# 2 + 9 + 2 + 6 + 7 + 23 + 1 = 50. After a green r12, every pre-r11
+# window_moving_avg, window_rank_dense, window_running_total); and
+# TWENTY-ONE of the 23 r5-verified third-confirmation fills (the r5
+# block minus its last names q3_shipping_priority and
+# q4_priority_late_ship, displaced by the three late-wave newcomers
+# together with the provisional r6 fill agg_approx_distinct_sketch —
+# all three front the r13 fill pool).
+# 2 + 9 + 2 + 9 + 7 + 21 = 50. After a green r12, every pre-r11
 # query is driver-confirmed at least twice, the r11 newcomers twice,
-# and only the 6 r12 newcomers owe their second confirmation.
+# and only the 9 r12 newcomers owe their second confirmation.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
@@ -142,6 +153,9 @@ _DRIVER_WINDOW = [
     "curation_label_agreement",
     "layout_bloom_file_index",
     "streaming_countmin_totals",
+    "events_changepoint_cusum",
+    "curation_pareto_skyline",
+    "graph_mst_maximum_spanning",
     # the 7 fills displaced since r4 (front of the committed fill pool)
     "q19_disjunctive_revenue",
     "agg_filtered_counts",
@@ -172,10 +186,6 @@ _DRIVER_WINDOW = [
     "q10_returned_revenue",
     "q13_customer_distribution",
     "q14_promo_share",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    # one r6-pool fill (first ascending; rest front the r13 pool)
-    "agg_approx_distinct_sketch",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

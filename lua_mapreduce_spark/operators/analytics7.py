@@ -40,6 +40,8 @@ from lua_mapreduce_spark.catalog import load_table, parallelize_scan
 from lua_mapreduce_spark.functions.texthash import (
     md5_bigint_expr,
     oracle_md5_bigint_expr,
+    oracle_words_expr,
+    words_expr,
 )
 
 # --------------------------------------------------------------------------
@@ -748,12 +750,361 @@ LEFT JOIN truth USING (probe_id, present, k)
 BLOOM_INDEX_ORACLE = _blm_oracle()
 
 
+# --------------------------------------------------------------------------
+# Maximum spanning tree via the min-max (bottleneck) semiring closure
+# --------------------------------------------------------------------------
+
+_MST_DOUBLINGS = 5  # minimax closure doublings: paths <= 2^5 = 32 > 24 hops
+
+
+def _mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected weighted nation trade graph: per unordered nation pair
+    the total lineitem count in either direction, ranked 1 = heaviest
+    (ROW_NUMBER over (n_lines DESC, src, dst) — DISTINCT ranks, so the
+    spanning forest below is unique). Same Q7-shaped fact join as the
+    SCC/closure edge builds, un-sparsified: the pair space is bounded by
+    SCHEMA at C(25,2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn")
+    )
+    trade = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cn") != F.col("sn"))
+        .groupBy(
+            F.expr("least(cn, sn)").alias("src"),
+            F.expr("greatest(cn, sn)").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    wr = Window.orderBy(F.col("n_lines").desc(), F.col("src"), F.col("dst"))
+    # unpartitioned rank over the schema-bounded <=C(25,2)-row pair table
+    return trade.withColumn("rank", F.row_number().over(wr))
+
+
+def graph_mst_maximum_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum spanning tree of the weighted nation trade graph — the
+    trade BACKBONE (heaviest acyclic subgraph touching every nation),
+    computed WITHOUT union-find or any sequential Kruskal scan: with
+    DISTINCT edge ranks (1 = heaviest), edge e=(u,v) is in the unique
+    maximum spanning forest iff NO path between u and v uses only
+    strictly heavier edges — equivalently iff the MINIMAX path value
+    between u and v (min over paths of the max rank on the path, the
+    min-max/bottleneck SEMIRING closure) equals e's own rank. The
+    closure is computed by _MST_DOUBLINGS relation doublings
+    (M ∪ minmax-compose(M, M), keeping MIN bottleneck per pair), so 5
+    rounds cover every <=32-hop path on 25 nodes — the same
+    squaring-beats-stepping discipline as graph_scc_kosaraju, carried
+    from the boolean to the bottleneck semiring. Every edge is emitted
+    with its rank, its pair's closure bottleneck, and the membership
+    verdict, so the gate value-checks the closure itself, not just the
+    chosen tree; an independent pure-Python KRUSKAL replay (union-find,
+    the textbook algorithm this plan refuses to serialize) pins the
+    same tree in tests.
+
+    Scale shape: the fact join collapses to a schema-bounded <=C(25,2)
+    pair table before the rank; each doubling is a self-join + groupBy
+    MIN on a <=2*C(25,2)-row localCheckpoint'd relation. On a larger
+    graph the same doubling runs bucketed by src with log(diameter)
+    rounds — never a driver-side union-find."""
+    edges = _mst_edges(spark, sf_dir).localCheckpoint(eager=True)
+    m = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("rank").alias("b"),
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("u"), F.col("src").alias("v"),
+            F.col("rank").alias("b"),
+        )
+    )
+    for _ in range(_MST_DOUBLINGS):
+        composed = (
+            m.alias("a")
+            .join(m.alias("c"), F.col("a.v") == F.col("c.u"))
+            .filter(F.col("a.u") != F.col("c.v"))
+            .select(
+                F.col("a.u").alias("u"),
+                F.col("c.v").alias("v"),
+                F.expr("greatest(a.b, c.b)").alias("b"),
+            )
+        )
+        m = (
+            m.unionByName(composed)
+            .groupBy("u", "v")
+            .agg(F.min("b").alias("b"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.join(
+            m,
+            (F.col("src") == F.col("u")) & (F.col("dst") == F.col("v")),
+        )
+        .select(
+            "src",
+            "dst",
+            "n_lines",
+            "rank",
+            F.col("b").alias("bottleneck"),
+            F.expr("b = rank").alias("in_mst"),
+        )
+    )
+
+
+def _mst_oracle() -> str:
+    # unrolled doublings of the minimax closure (the kmeans-oracle
+    # convention: a fixed-depth iterative operator replayed as a CTE
+    # chain), over the same deterministic ranked edge table
+    squarings = []
+    prev = "m0"
+    for i in range(1, _MST_DOUBLINGS + 1):
+        cur = f"m{i}"
+        squarings.append(
+            f"""{cur} AS (
+  SELECT u, v, MIN(b) AS b FROM (
+    SELECT u, v, b FROM {prev}
+    UNION ALL
+    SELECT a.u, c.v, greatest(a.b, c.b) AS b
+    FROM {prev} a JOIN {prev} c ON a.v = c.u
+    WHERE a.u <> c.v)
+  GROUP BY u, v)"""
+        )
+        prev = cur
+    chain = ",\n".join(squarings)
+    return f"""
+WITH trade AS (
+  SELECT least(cn.n_name, sn.n_name) AS src,
+         greatest(cn.n_name, sn.n_name) AS dst,
+         COUNT(*) AS n_lines
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_name <> sn.n_name
+  GROUP BY 1, 2),
+edges AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_lines DESC, src, dst)
+                 AS BIGINT) AS rank
+  FROM trade),
+m0 AS (
+  SELECT src AS u, dst AS v, rank AS b FROM edges
+  UNION ALL
+  SELECT dst AS u, src AS v, rank AS b FROM edges),
+{chain}
+SELECT src, dst, n_lines, rank, b AS bottleneck, b = rank AS in_mst
+FROM edges JOIN {prev} ON src = u AND dst = v
+"""
+
+
+MST_ORACLE = _mst_oracle()
+
+
+# --------------------------------------------------------------------------
+# Offline change-point detection (CUSUM argmax)
+# --------------------------------------------------------------------------
+
+
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection over each event type's hourly
+    series — the CUSUM statistic (Page 1954, the retrospective form):
+    with x_1..x_n the hourly counts in time order, the cumulative
+    deviation from the series mean peaks AT the change point, and
+    scaling by n keeps it integer-exact: C'_k = n*(x_1+..+x_k) - k*S
+    (= n² * classic CUSUM). The detected change is argmax |C'_k| with
+    the earliest-k tiebreak, and the report carries the level estimate
+    on both sides (x1000 truncated means) — the time-series primitive
+    the family still lacked (events_anomaly_hours flags POINT outliers
+    against a trailing window; events_seasonal_decompose models the
+    cycle; this finds the STEP).
+
+    int64 headroom: |C'_k| <= n*S keeps terms under 2^62 while
+    n_hours * total_events < 2^62 — beyond 10^9 hour-count products the
+    statistic moves to DECIMAL(38,0) unchanged.
+
+    Scale shape: ONE map-side-combined groupBy collapses the raw scan
+    to (event_type, hr) rows; the cumulative window and the max(struct)
+    argmax then run per type over thousands of hourly rows regardless
+    of input volume — and both engines agree exactly because every
+    quantity is an integer."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "hr",
+        "x",
+        F.expr("SUM(x)").over(wcum).alias("cum_x"),
+        F.expr("COUNT(*)").over(wcum).alias("k"),
+        F.expr("SUM(x)").over(wall).alias("s"),
+        F.expr("COUNT(*)").over(wall).alias("n"),
+    ).withColumn("c_abs", F.expr("abs(n * cum_x - k * s)"))
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    "c_abs", F.expr("-k").alias("neg_k"), "hr", "cum_x",
+                    "k", "s", "n",
+                )
+            ).alias("m")
+        )
+        .select(
+            "event_type",
+            F.col("m.n").alias("n_hours"),
+            F.col("m.hr").alias("change_hr"),
+            F.col("m.k").alias("k"),
+            F.col("m.c_abs").alias("cusum_abs"),
+            F.expr("1000 * m.cum_x DIV m.k").alias("mean_before_x1000"),
+            F.expr(
+                "CASE WHEN m.n = m.k THEN NULL"
+                " ELSE 1000 * (m.s - m.cum_x) DIV (m.n - m.k) END"
+            ).alias("mean_after_x1000"),
+        )
+    )
+
+
+CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, hr, x,
+         CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_x,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS k,
+         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly),
+scored AS (
+  SELECT *, CAST(abs(n * cum_x - k * s) AS BIGINT) AS c_abs FROM cum),
+best AS (
+  SELECT event_type, n AS n_hours, hr AS change_hr, k, c_abs AS cusum_abs,
+         cum_x, s, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c_abs DESC, k) AS rn
+  FROM scored)
+SELECT event_type, n_hours, change_hr, k, cusum_abs,
+       1000 * cum_x // k AS mean_before_x1000,
+       CASE WHEN n = k THEN NULL
+            ELSE 1000 * (s - cum_x) // (n - k) END AS mean_after_x1000
+FROM best WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline (multi-objective document selection)
+# --------------------------------------------------------------------------
+
+
+def curation_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-skyline document selection — the multi-objective frontier
+    a curation pass reports when no single quality score exists: a doc
+    is ON the skyline iff no other doc dominates it (>= in BOTH
+    objectives, > in at least one). Objectives here: length (n_chars,
+    maximize) and lexical diversity (1000*distinct_words DIV words in
+    permille, maximize) — both exact integers from one tokenize pass.
+
+    The ENGINE never tests dominance pairwise: for the 2-D case the
+    skyline has a sweep-line form — per distinct length, U(c) =
+    max diversity; M(c) = max U over STRICTLY larger lengths (a window
+    over the distinct-length histogram); a doc survives iff its
+    diversity equals U(c) and strictly exceeds M(c). The ORACLE
+    deliberately runs the O(n²) definitional NOT EXISTS dominance
+    instead — an INDEPENDENT formulation, so the gate proves the sweep
+    algebra equals the definition on real data (ties in both
+    coordinates included: equal points do not dominate each other and
+    co-survive).
+
+    Scale shape: one tokenize scan -> per-doc metrics (map-side); the
+    window runs over the DISTINCT-length histogram (bounded by the
+    length domain, not the corpus — the curation_quality_auc
+    convention), and the per-doc survival test is a broadcast join
+    against that bounded histogram. The O(n²) form exists only oracle-
+    side."""
+    docs = parallelize_scan(
+        spark, load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text", F.expr("CAST(n_chars AS BIGINT)").alias("c"))
+    metrics = docs.select(
+        "doc_id",
+        "c",
+        F.expr(
+            f"CAST(1000 * size(array_distinct({words_expr('text')}))"
+            f" DIV size({words_expr('text')}) AS BIGINT)"
+        ).alias("u"),
+    )
+    hist = metrics.groupBy("c").agg(F.expr("MAX(u)").alias("u_max"))
+    wab = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the histogram is bounded by the distinct-length domain; the
+    # unpartitioned window and the broadcast are both over that bounded
+    # relation, never the corpus
+    frontier = hist.select(
+        "c",
+        "u_max",
+        F.coalesce(F.max("u_max").over(wab), F.lit(-1)).alias("m_above"),
+    )
+    return (
+        metrics.join(F.broadcast(frontier), "c")
+        .filter("u = u_max AND u > m_above")
+        .select(
+            "doc_id",
+            F.col("c").alias("n_chars"),
+            F.col("u").alias("uniq_permille"),
+        )
+    )
+
+
+SKYLINE_ORACLE = f"""
+WITH metrics AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS c,
+         CAST(1000 * len(list_distinct({oracle_words_expr("text")}))
+              // len({oracle_words_expr("text")}) AS BIGINT) AS u
+  FROM documents)
+SELECT doc_id, c AS n_chars, u AS uniq_permille
+FROM metrics a
+WHERE NOT EXISTS (
+  SELECT 1 FROM metrics b
+  WHERE b.c >= a.c AND b.u >= a.u AND (b.c > a.c OR b.u > a.u))
+"""
+
+
 QUERIES = {
     "graph_scc_kosaraju": graph_scc_kosaraju,
     "agg_ams_f2_sketch": agg_ams_f2_sketch,
     "curation_quality_auc": curation_quality_auc,
     "curation_label_agreement": curation_label_agreement,
     "layout_bloom_file_index": layout_bloom_file_index,
+    "events_changepoint_cusum": events_changepoint_cusum,
+    "curation_pareto_skyline": curation_pareto_skyline,
+    "graph_mst_maximum_spanning": graph_mst_maximum_spanning,
 }
 
 ORACLES = {
@@ -762,4 +1113,7 @@ ORACLES = {
     "curation_quality_auc": AUC_ORACLE,
     "curation_label_agreement": KAPPA_ORACLE,
     "layout_bloom_file_index": BLOOM_INDEX_ORACLE,
+    "events_changepoint_cusum": CUSUM_ORACLE,
+    "curation_pareto_skyline": SKYLINE_ORACLE,
+    "graph_mst_maximum_spanning": MST_ORACLE,
 }

@@ -315,6 +315,123 @@ def test_streaming_countmin_ran_multiple_batches(spark):
     assert stateful.LAST_DRAIN_NUM_BATCHES >= 3
 
 
+def test_mst_matches_kruskal_replay(spark):
+    """The minimax-closure membership must pick exactly the tree an
+    independent pure-Python KRUSKAL (union-find over edges ranked
+    heaviest-first) picks, at both parity SFs — and the chosen edge
+    count must equal n_nodes - n_components (a spanning forest)."""
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = a7.graph_mst_maximum_spanning(spark, sf).collect()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = {r["src"] for r in rows} | {r["dst"] for r in rows}
+        for n in nodes:
+            parent[n] = n
+        chosen = set()
+        for r in sorted(rows, key=lambda r: r["rank"]):
+            ru, rv = find(r["src"]), find(r["dst"])
+            if ru != rv:
+                parent[ru] = rv
+                chosen.add((r["src"], r["dst"]))
+        got = {(r["src"], r["dst"]) for r in rows if r["in_mst"]}
+        assert got == chosen, sf
+        n_components = len({find(n) for n in nodes})
+        assert len(got) == len(nodes) - n_components, sf
+
+
+def test_mst_bottleneck_closure_properties(spark):
+    """Closure invariants: every edge's pair bottleneck is <= its own
+    rank (the edge itself is a path), and in_mst holds exactly when
+    they are equal."""
+    rows = a7.graph_mst_maximum_spanning(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["bottleneck"] <= r["rank"], r
+        assert r["in_mst"] == (r["bottleneck"] == r["rank"]), r
+
+
+def test_cusum_matches_python_replay(spark):
+    """The detected change point must equal a pure-Python replay of the
+    scaled CUSUM argmax (earliest-k tiebreak) over the DuckDB hourly
+    counts, per event type at both parity SFs."""
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT), COUNT(*)"
+            f" FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+        ).fetchall()
+        series: dict[str, list[tuple[int, int]]] = {}
+        for et, hr, x in rows:
+            series.setdefault(et, []).append((hr, x))
+        got = {
+            r["event_type"]: r
+            for r in a7.events_changepoint_cusum(spark, sf).collect()
+        }
+        for et, pts in series.items():
+            s = sum(x for _, x in pts)
+            n = len(pts)
+            best = None
+            cum = 0
+            for k, (hr, x) in enumerate(pts, start=1):
+                cum += x
+                c_abs = abs(n * cum - k * s)
+                if best is None or c_abs > best[0]:
+                    best = (c_abs, k, hr, cum)
+            r = got[et]
+            assert (r["cusum_abs"], r["k"], r["change_hr"]) == best[:3], (
+                sf,
+                et,
+            )
+            assert r["mean_before_x1000"] == 1000 * best[3] // best[1]
+            assert r["n_hours"] == n
+
+
+def test_skyline_matches_definitional_dominance(spark):
+    """The sweep-line skyline must equal the O(n^2) dominance definition
+    replayed in Python, and along the frontier diversity must strictly
+    decrease as length increases (the 2-D skyline shape invariant)."""
+    import hashlib  # noqa: F401  (parallel structure with other replays)
+    import re
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text, CAST(n_chars AS BIGINT) FROM"
+            f" '{sf}/documents.parquet'"
+        ).fetchall()
+        pts = []
+        for doc_id, text, c in docs:
+            words = [w.lower() for w in re.findall(r"[A-Za-z]+", text)]
+            u = 1000 * len(set(words)) // len(words)
+            pts.append((doc_id, c, u))
+        expect = {
+            (d, c, u)
+            for d, c, u in pts
+            if not any(
+                bc >= c and bu >= u and (bc > c or bu > u)
+                for _, bc, bu in pts
+            )
+        }
+        got = {
+            (r["doc_id"], r["n_chars"], r["uniq_permille"])
+            for r in a7.curation_pareto_skyline(spark, sf).collect()
+        }
+        assert got == expect, sf
+        assert got
+        # distinct-length frontier points: u strictly decreases in c
+        by_c: dict[int, int] = {}
+        for _, c, u in got:
+            by_c[c] = u
+        ordered = [u for _, u in sorted(by_c.items())]
+        assert all(a > b for a, b in zip(ordered, ordered[1:]))
+
+
 def test_bloom_workload_is_balanced_and_skips(spark):
     """The probe workload carries present/absent twins in equal number,
     and the index actually skips files (mean skip > half the layout) —

@@ -264,6 +264,7 @@ _BROADCAST_OK = {
     ("analytics7.py", "stats"),       # grouped by lang: <= |langs| rows (evaluators)
     ("analytics7.py", "maxid"),       # single-row max-doc-id aggregate
     ("analytics7.py", "bloom"),       # <= _BLM_FILES * _BLM_BITS rows by config
+    ("analytics7.py", "frontier"),    # distinct-length histogram: bounded domain
     ("streaming_ops.py", "sketch"),   # grouped by event_type: <= |types| rows
 }
 
