@@ -275,6 +275,9 @@ EXTENDED_MEDIAN = {
     "graph_scc_kosaraju",
     "layout_bloom_file_index",
     "graph_mst_maximum_spanning",
+    # the NSW search runs 1 + _NSW_ROUNDS localCheckpoint'd beam rounds
+    # over the checkpointed signature/graph relations
+    "sim_knn_graph_search",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

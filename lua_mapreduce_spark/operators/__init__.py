@@ -117,18 +117,21 @@ _MODULES = [
 # graph_mst_maximum_spanning — the trade backbone: maximum-spanning-
 # forest membership via the min-max/bottleneck semiring closure
 # (5 relation doublings, no union-find, no sequential Kruskal scan),
-# Kruskal-replay-tested);
+# Kruskal-replay-tested;
+# sim_knn_graph_search — NSW-style graph ANN: beam search over an
+# LSH-built k-NN graph on the integer grid, multi-entry restarts,
+# recall@5 against the exact top-K IN the gated output);
 # the SEVEN r4-displaced fills (q19_disjunctive_revenue,
 # agg_filtered_counts, scalar_bitwise_funcs, sim_ivf_topk,
 # window_moving_avg, window_rank_dense, window_running_total); and
-# TWENTY-ONE of the 23 r5-verified third-confirmation fills (the r5
-# block minus its last names q3_shipping_priority and
-# q4_priority_late_ship, displaced by the three late-wave newcomers
+# TWENTY of the 23 r5-verified third-confirmation fills (the r5
+# block minus its last names q14_promo_share, q3_shipping_priority and
+# q4_priority_late_ship, displaced by the four late-wave newcomers
 # together with the provisional r6 fill agg_approx_distinct_sketch —
-# all three front the r13 fill pool).
-# 2 + 9 + 2 + 9 + 7 + 21 = 50. After a green r12, every pre-r11
+# all four front the r13 fill pool).
+# 2 + 9 + 2 + 10 + 7 + 20 = 50. After a green r12, every pre-r11
 # query is driver-confirmed at least twice, the r11 newcomers twice,
-# and only the 9 r12 newcomers owe their second confirmation.
+# and only the 10 r12 newcomers owe their second confirmation.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
@@ -156,6 +159,7 @@ _DRIVER_WINDOW = [
     "events_changepoint_cusum",
     "curation_pareto_skyline",
     "graph_mst_maximum_spanning",
+    "sim_knn_graph_search",
     # the 7 fills displaced since r4 (front of the committed fill pool)
     "q19_disjunctive_revenue",
     "agg_filtered_counts",
@@ -185,7 +189,6 @@ _DRIVER_WINDOW = [
     "join_semi_customers_with_urgent",
     "q10_returned_revenue",
     "q13_customer_distribution",
-    "q14_promo_share",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

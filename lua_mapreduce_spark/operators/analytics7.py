@@ -751,6 +751,291 @@ BLOOM_INDEX_ORACLE = _blm_oracle()
 
 
 # --------------------------------------------------------------------------
+# Graph-based ANN: NSW-style beam search over an LSH-built k-NN graph
+# --------------------------------------------------------------------------
+
+_NSW_G = 12  # out-degree of the k-NN graph (before symmetrization)
+_NSW_BEAM = 24  # beam width per query
+_NSW_ROUNDS = 5  # expansion rounds (unrolled; oracle replays each)
+_NSW_ENTRIES = 32  # deterministic spread entry points
+_NSW_Q = 5  # query vectors (vec_id < Q, the sim-family convention)
+_NSW_K = 5  # report size; recall measured against exact top-K
+
+_NSW_DIST_SPARK = (
+    "aggregate(zip_with(qqv, qv, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+_NSW_DIST_DUCK = (
+    "list_sum(list_transform(list_zip(qqv, qv),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based approximate nearest neighbor — the NSW family
+    (Malkov et al. 2014, the single-layer ancestor of HNSW), the modern
+    ANN paradigm the similarity row still lacked next to its IVF, LSH
+    and PQ entries. Build: each vector links to its _NSW_G nearest
+    among hyperplane-LSH candidates (the sim_ann_multitable tables —
+    candidates only, never all pairs), then the graph is symmetrized.
+    Search: per query, a beam of _NSW_BEAM nodes seeded at _NSW_ENTRIES
+    deterministically spread vec_ids (multi-entry restarts, the NSW
+    practice) expands _NSW_ROUNDS times through the graph, keeping the
+    best beam by exact integer squared-L2 on the global quantization
+    grid (the sim_kmeans_lloyd convention — every distance an int64, so
+    the oracle replays build AND search bit-for-bit). The exact
+    brute-force top-K rides along and each reported neighbor carries
+    its in_true verdict — recall@K is IN the gated output, making the
+    approximation quality a verified number instead of a claim.
+
+    Scale shape: the graph build is the bounded-bucket LSH join + one
+    WindowGroupLimit (top-G per node truncates map-side); each search
+    round touches beam x degree rows per query — the whole point of
+    graph ANN is that search cost is independent of corpus size, and
+    this plan preserves that: the only corpus-wide passes are the scan
+    that builds signatures and the truth pass (which exists for the
+    recall audit, not the search)."""
+    from lua_mapreduce_spark.operators.analytics6 import _QGRID_SPARK
+    from lua_mapreduce_spark.operators.similarity import (
+        _MT_PLANES,
+        _MT_TABLES,
+        _SPARK_PLANE_DOT,
+        _signature_expr,
+    )
+
+    emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    q = emb.alias("a").select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.expr(_QGRID_SPARK).alias("qv"),
+        *[
+            F.expr(_signature_expr("a", _SPARK_PLANE_DOT, _MT_PLANES[t]))
+            .cast("int")
+            .alias(f"sig{t}")
+            for t in range(_MT_TABLES)
+        ],
+    ).localCheckpoint(eager=True)
+    stack_args = ", ".join(f"{t}, sig{t}" for t in range(_MT_TABLES))
+    long = q.selectExpr(
+        "vec_id", "qv", f"stack({_MT_TABLES}, {stack_args}) AS (t, sig)"
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.expr(
+                "aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("d"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("d").alias("d"))
+    )
+    wg = Window.partitionBy("src").orderBy("d", "dst")
+    knn = (
+        cand.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= _NSW_G)
+        .select("src", "dst")
+    )
+    graph = (
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    queries = q.filter(F.col("vec_id") < _NSW_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    entries = (
+        spark.range(_NSW_ENTRIES)
+        .crossJoin(F.broadcast(n))
+        .select(F.expr(f"id * n_vecs DIV {_NSW_ENTRIES}").alias("v"))
+    )
+    nodes = q.select("vec_id", "qv")
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        """(query_id, v) -> + exact integer distance (self excluded)."""
+        return (
+            pairs.filter(F.col("v") != F.col("query_id"))
+            .join(nodes, F.col("v") == F.col("vec_id"))
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id", "v", F.expr(_NSW_DIST_SPARK).alias("d")
+            )
+        )
+
+    wbeam = Window.partitionBy("query_id").orderBy("d", "v")
+    beam = (
+        _score(queries.select("query_id").crossJoin(F.broadcast(entries)))
+        .withColumn("rn", F.row_number().over(wbeam))
+        .filter(F.col("rn") <= _NSW_BEAM)
+        .select("query_id", "v", "d")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_NSW_ROUNDS):
+        expanded = (
+            beam.join(graph, F.col("v") == F.col("src"))
+            .select("query_id", F.col("dst").alias("v"))
+            .distinct()
+        )
+        beam = (
+            _score(expanded)
+            .unionByName(beam)
+            .groupBy("query_id", "v")
+            .agg(F.min("d").alias("d"))
+            .withColumn("rn", F.row_number().over(wbeam))
+            .filter(F.col("rn") <= _NSW_BEAM)
+            .select("query_id", "v", "d")
+            .localCheckpoint(eager=True)
+        )
+    # exact truth: brute-force top-K per query for the recall audit
+    truth = (
+        nodes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("v"),
+                F.expr(_NSW_DIST_SPARK).alias("d"))
+        .withColumn("rn", F.row_number().over(wbeam))
+        .filter(F.col("rn") <= _NSW_K)
+        .select(F.col("query_id").alias("tq"), F.col("v").alias("tv"))
+    )
+    return (
+        beam.withColumn("rank", F.row_number().over(wbeam))
+        .filter(F.col("rank") <= _NSW_K)
+        .join(
+            truth,
+            (F.col("query_id") == F.col("tq")) & (F.col("v") == F.col("tv")),
+            "left",
+        )
+        .select("query_id", "rank", F.col("v").alias("found_id"),
+                F.col("d").alias("found_dist"),
+                F.expr("tv IS NOT NULL").alias("in_true"))
+    )
+
+
+def _nsw_oracle() -> str:
+    from lua_mapreduce_spark.operators.analytics6 import _QGRID_DUCK
+    from lua_mapreduce_spark.operators.similarity import (
+        _MT_PLANES,
+        _MT_TABLES,
+        _ORACLE_PLANE_DOT,
+        _signature_expr,
+    )
+
+    def dist(qexpr: str, nexpr: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({qexpr}, {nexpr}),"
+            " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    sig_cols = ",\n         ".join(
+        f"CAST({_signature_expr('a', _ORACLE_PLANE_DOT, _MT_PLANES[t])}"
+        f" AS INT) AS sig{t}"
+        for t in range(_MT_TABLES)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, qv, {t} AS t, sig{t} AS sig FROM sigs"
+        for t in range(_MT_TABLES)
+    )
+    rounds = []
+    prev = "b0"
+    for r in range(1, _NSW_ROUNDS + 1):
+        rounds.append(
+            f"""e{r} AS (
+  SELECT DISTINCT b.query_id, g.dst AS v
+  FROM {prev} b JOIN graph g ON b.v = g.src),
+s{r} AS (
+  SELECT query_id, v, MIN(d) AS d FROM (
+    SELECT e.query_id AS query_id, e.v AS v,
+           {dist("q.qqv", "nd.qv")} AS d
+    FROM e{r} e
+    JOIN qs q ON q.query_id = e.query_id
+    JOIN nodes nd ON nd.vec_id = e.v
+    WHERE e.v <> e.query_id
+    UNION ALL
+    SELECT query_id, v, d FROM {prev})
+  GROUP BY 1, 2),
+b{r} AS (
+  SELECT query_id, v, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
+           AS rn
+    FROM s{r})
+  WHERE rn <= {_NSW_BEAM})"""
+        )
+        prev = f"b{r}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH sigs AS (
+  SELECT a.vec_id AS vec_id, {_QGRID_DUCK} AS qv,
+         {sig_cols}
+  FROM embeddings a),
+long AS (
+{unions}),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(MIN({dist("a.qv", "b.qv")}) AS BIGINT) AS d
+  FROM long a JOIN long b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+    FROM cand)
+  WHERE rn <= {_NSW_G}),
+graph AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM knn
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM knn)),
+qs AS (
+  SELECT vec_id AS query_id, qv AS qqv FROM sigs WHERE vec_id < {_NSW_Q}),
+n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+entries AS (
+  SELECT CAST(range AS BIGINT) * n_vecs // {_NSW_ENTRIES} AS v
+  FROM range({_NSW_ENTRIES}), n),
+nodes AS (SELECT vec_id, qv FROM sigs),
+b0 AS (
+  SELECT query_id, v, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
+           AS rn
+    FROM (
+      SELECT q.query_id AS query_id, e.v AS v,
+             {dist("q.qqv", "nd.qv")} AS d
+      FROM qs q CROSS JOIN entries e
+      JOIN nodes nd ON nd.vec_id = e.v
+      WHERE e.v <> q.query_id))
+  WHERE rn <= {_NSW_BEAM}),
+{chain},
+truth AS (
+  SELECT query_id AS tq, v AS tv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
+           AS rn
+    FROM (
+      SELECT q.query_id AS query_id, nd.vec_id AS v,
+             {dist("q.qqv", "nd.qv")} AS d
+      FROM qs q JOIN nodes nd ON nd.vec_id <> q.query_id))
+  WHERE rn <= {_NSW_K})
+SELECT b.query_id AS query_id, rn AS rank, v AS found_id,
+       CAST(d AS BIGINT) AS found_dist, tv IS NOT NULL AS in_true
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v) AS rn
+  FROM {prev}) b
+LEFT JOIN truth ON b.query_id = truth.tq AND b.v = truth.tv
+WHERE rn <= {_NSW_K}
+"""
+
+
+NSW_ORACLE = _nsw_oracle()
+
+
+# --------------------------------------------------------------------------
 # Maximum spanning tree via the min-max (bottleneck) semiring closure
 # --------------------------------------------------------------------------
 
@@ -1105,6 +1390,7 @@ QUERIES = {
     "events_changepoint_cusum": events_changepoint_cusum,
     "curation_pareto_skyline": curation_pareto_skyline,
     "graph_mst_maximum_spanning": graph_mst_maximum_spanning,
+    "sim_knn_graph_search": sim_knn_graph_search,
 }
 
 ORACLES = {
@@ -1116,4 +1402,5 @@ ORACLES = {
     "events_changepoint_cusum": CUSUM_ORACLE,
     "curation_pareto_skyline": SKYLINE_ORACLE,
     "graph_mst_maximum_spanning": MST_ORACLE,
+    "sim_knn_graph_search": NSW_ORACLE,
 }

@@ -315,6 +315,54 @@ def test_streaming_countmin_ran_multiple_batches(spark):
     assert stateful.LAST_DRAIN_NUM_BATCHES >= 3
 
 
+def test_nsw_truth_labels_and_recall(spark):
+    """sim_knn_graph_search invariants: the in_true verdicts must match
+    an independent brute-force top-K replayed in DuckDB, found_dist must
+    be non-decreasing in rank per query, and recall@5 must clear a
+    conservative floor (measured 24/25 and 23/25 at the parity SFs)."""
+    from lua_mapreduce_spark.operators.analytics6 import _KM_SCALE
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = a7.sim_knn_graph_search(spark, sf).collect()
+        assert len(rows) == a7._NSW_Q * a7._NSW_K
+        con = duckdb.connect()
+        import math
+
+        def quant(v):
+            return [int(math.floor(float(x) * _KM_SCALE + 0.5)) for x in v]
+
+        raw = con.execute(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+        grid = {vid: quant(v) for vid, v in raw}
+        truth = {}
+        for qid in range(a7._NSW_Q):
+            qv = grid[qid]
+            scored = sorted(
+                (
+                    (sum((a - b) * (a - b) for a, b in zip(qv, grid[v])), v)
+                    for v in grid
+                    if v != qid
+                ),
+            )[: a7._NSW_K]
+            truth[qid] = {v for _, v in scored}
+        by_q: dict[int, list] = {}
+        n_hits = 0
+        for r in rows:
+            assert r["in_true"] == (r["found_id"] in truth[r["query_id"]]), (
+                sf,
+                r,
+            )
+            n_hits += r["in_true"]
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["found_dist"])
+            )
+        for qid, rs in by_q.items():
+            ds = [d for _, d in sorted(rs)]
+            assert all(a <= b for a, b in zip(ds, ds[1:])), (sf, qid)
+        assert n_hits >= 15, (sf, n_hits)
+
+
 def test_mst_matches_kruskal_replay(spark):
     """The minimax-closure membership must pick exactly the tree an
     independent pure-Python KRUSKAL (union-find over edges ranked
