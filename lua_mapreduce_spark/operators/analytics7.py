@@ -1,9 +1,11 @@
 """Round-12 operator wave: strongly connected components (Kosaraju's
 forward∩backward reachability), the AMS/tug-of-war second-moment sketch,
-rank-sum evaluation metrics (Mann-Whitney AUC, Cohen's kappa), and a
-per-file Bloom-filter skipping index.
+rank-sum evaluation metrics (Mann-Whitney AUC, Cohen's kappa), a
+per-file Bloom-filter skipping index, CUSUM change-point detection,
+Pareto-skyline selection, maximum-spanning-tree membership via the
+bottleneck-semiring closure, and NSW-style graph ANN with gated recall.
 
-The wave extends two SURVEY §2.4 families the earlier rounds opened:
+The wave extends SURVEY §2.4 families the earlier rounds opened:
 
 * graph — `graph_trade_closure_recursive_cte` (analytics5.py) handles the
   cyclic reachability closure; SCC is its quotient structure, the thing a
