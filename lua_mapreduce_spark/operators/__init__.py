@@ -96,7 +96,7 @@ _MODULES = [
 # covers the changed plans; TWO queries changed by r12 code
 # (sink_python_datasource and streaming_sink_python_datasource: the
 # shared sharded-sink abort cleanup now swallows only FileNotFoundError
-# and logs other OSErrors, r11 ADVICE item 3); SIX r12-NEW queries
+# and logs other OSErrors, r11 ADVICE item 3); TEN r12-NEW queries
 # (graph_scc_kosaraju — Kosaraju SCC via forward∩backward bounded
 # recursive CTEs over a pre-squared step relation, the banked §7.4 r12
 # candidate, Tarjan-replay-tested; agg_ams_f2_sketch — AMS/tug-of-war

@@ -57,30 +57,43 @@ _SCC_STEPS = 7  # recursion depth over the <=4-hop step relation:
 #                 possible shortest path on 25 nodes — structurally EXACT
 
 
+def _trade_line_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cn, sn): one row per lineitem with the customer and supplier
+    nation names (cn != sn) — the Q7-shaped 5-way join shared by this
+    module's SCC and MST edge builds. (analytics5's
+    graph_trade_closure_recursive_cte keeps its own inline copy: it is a
+    registered, driver-verified query deliberately left untouched by the
+    r12 refactor; the oracle twins are necessarily inline SQL.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cn") != F.col("sn"))
+        .select("cn", "sn")
+    )
+
+
 def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed nation trade graph: for each customer nation its top
     _SCC_FANOUT supplier nations by lineitem count (count DESC, name ASC
     — exact-integer deterministic). Same Q7-shaped 5-way join +
     WindowGroupLimit sparsifier as the r10 closure
     (graph_trade_closure_recursive_cte), with a tighter fanout."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation_c = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src")
-    )
-    nation_s = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst")
-    )
     trade = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
-        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
+        _trade_line_pairs(spark, sf_dir)
+        .groupBy(F.col("cn").alias("src"), F.col("sn").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
     wr = Window.partitionBy("src").orderBy(
@@ -381,6 +394,30 @@ def _label_expr(tag: str, spark_side: bool) -> str:
     )
 
 
+def _docs_with_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_chars, n_l, total_l): documents joined to the
+    broadcast per-lang count/total-chars row — the shared scaffolding
+    under both rank-sum evaluators, so the label convention can only
+    ever change in ONE place (its oracle twin is _EVAL_ORACLE_PREFIX)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr("CAST(n_chars AS BIGINT)").alias("n_chars")
+    )
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_l"),
+    )
+    return docs.join(F.broadcast(stats), "lang")
+
+
+# DuckDB twin of _docs_with_lang_stats: the docs/stats CTE prefix shared
+# verbatim by AUC_ORACLE and KAPPA_ORACLE.
+_EVAL_ORACLE_PREFIX = """docs AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+stats AS (
+  SELECT lang, COUNT(*) AS n_l, CAST(SUM(n_chars) AS BIGINT) AS total_l
+  FROM docs GROUP BY lang)"""
+
+
 def curation_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney AUC of a quality score, per language — the evaluator
     loop a curation pipeline owes its consumers: does the score RANK
@@ -401,14 +438,7 @@ def curation_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang over the HISTOGRAM (bounded by distinct score values, not
     docs), which is what makes exact AUC feasible at 100 TB where a
     per-row global rank would be a total sort."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.expr("CAST(n_chars AS BIGINT)").alias("n_chars")
-    )
-    stats = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_l"),
-        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_l"),
-    )
-    labeled = docs.join(F.broadcast(stats), "lang").select(
+    labeled = _docs_with_lang_stats(spark, sf_dir).select(
         "lang",
         F.col("n_chars").alias("score"),
         F.expr(_label_expr("auc-", True)).alias("pos"),
@@ -452,11 +482,7 @@ def curation_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AUC_ORACLE = f"""
-WITH docs AS (
-  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
-stats AS (
-  SELECT lang, COUNT(*) AS n_l, CAST(SUM(n_chars) AS BIGINT) AS total_l
-  FROM docs GROUP BY lang),
+WITH {_EVAL_ORACLE_PREFIX},
 labeled AS (
   SELECT docs.lang AS lang, n_chars AS score,
          {_label_expr("auc-", False)} AS pos
@@ -500,14 +526,7 @@ def curation_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE scan, labels are map-side expressions against the
     broadcast per-lang stats row, and a single |langs|-key groupBy whose
     partial aggregates collapse each map task to one row per lang."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.expr("CAST(n_chars AS BIGINT)").alias("n_chars")
-    )
-    stats = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_l"),
-        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_l"),
-    )
-    labeled = docs.join(F.broadcast(stats), "lang").select(
+    labeled = _docs_with_lang_stats(spark, sf_dir).select(
         "lang",
         F.expr(_label_expr("kap-a-", True)).alias("a"),
         F.expr(_label_expr("kap-b-", True)).alias("b"),
@@ -545,11 +564,7 @@ def curation_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KAPPA_ORACLE = f"""
-WITH docs AS (
-  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
-stats AS (
-  SELECT lang, COUNT(*) AS n_l, CAST(SUM(n_chars) AS BIGINT) AS total_l
-  FROM docs GROUP BY lang),
+WITH {_EVAL_ORACLE_PREFIX},
 labeled AS (
   SELECT docs.lang AS lang,
          {_label_expr("kap-a-", False)} AS a,
@@ -1048,26 +1063,11 @@ def _mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected weighted nation trade graph: per unordered nation pair
     the total lineitem count in either direction, ranked 1 = heaviest
     (ROW_NUMBER over (n_lines DESC, src, dst) — DISTINCT ranks, so the
-    spanning forest below is unique). Same Q7-shaped fact join as the
-    SCC/closure edge builds, un-sparsified: the pair space is bounded by
-    SCHEMA at C(25,2)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation_c = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn")
-    )
-    nation_s = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn")
-    )
+    spanning forest below is unique). Shares _trade_line_pairs with the
+    SCC edge build, un-sparsified: the pair space is bounded by SCHEMA
+    at C(25,2)."""
     trade = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
-        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
-        .filter(F.col("cn") != F.col("sn"))
+        _trade_line_pairs(spark, sf_dir)
         .groupBy(
             F.expr("least(cn, sn)").alias("src"),
             F.expr("greatest(cn, sn)").alias("dst"),

@@ -138,7 +138,6 @@ def test_scc_squared_steps_cover_edges(spark):
     for s, d in edges:
         adj.setdefault(s, set()).add(d)
     reach = {(s, d) for s, d in edges}
-    frontier = dict(adj)
     cur = {s: set(ds) for s, ds in adj.items()}
     for _ in range(3):
         nxt: dict[str, set[str]] = {}
