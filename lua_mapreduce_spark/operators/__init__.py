@@ -96,7 +96,7 @@ _MODULES = [
 # covers the changed plans; TWO queries changed by r12 code
 # (sink_python_datasource and streaming_sink_python_datasource: the
 # shared sharded-sink abort cleanup now swallows only FileNotFoundError
-# and logs other OSErrors, r11 ADVICE item 3); TEN r12-NEW queries
+# and logs other OSErrors, r11 ADVICE item 3); ELEVEN r12-NEW queries
 # (graph_scc_kosaraju — Kosaraju SCC via forward∩backward bounded
 # recursive CTEs over a pre-squared step relation, the banked §7.4 r12
 # candidate, Tarjan-replay-tested; agg_ams_f2_sketch — AMS/tug-of-war
@@ -120,18 +120,23 @@ _MODULES = [
 # Kruskal-replay-tested;
 # sim_knn_graph_search — NSW-style graph ANN: beam search over an
 # LSH-built k-NN graph on the integer grid, multi-entry restarts,
-# recall@5 against the exact top-K IN the gated output);
+# recall@5 against the exact top-K IN the gated output;
+# streaming_cusum_monitor — the r13-banked streaming face of the CUSUM
+# detector pulled forward in-round: streamed hourly state -> snapshot
+# -> the shared cusum_argmax tail, oracle shared VERBATIM with the
+# batch query);
 # the SEVEN r4-displaced fills (q19_disjunctive_revenue,
 # agg_filtered_counts, scalar_bitwise_funcs, sim_ivf_topk,
 # window_moving_avg, window_rank_dense, window_running_total); and
-# TWENTY of the 23 r5-verified third-confirmation fills (the r5
-# block minus its last names q14_promo_share, q3_shipping_priority and
-# q4_priority_late_ship, displaced by the four late-wave newcomers
-# together with the provisional r6 fill agg_approx_distinct_sketch —
-# all four front the r13 fill pool).
-# 2 + 9 + 2 + 10 + 7 + 20 = 50. After a green r12, every pre-r11
+# NINETEEN of the 23 r5-verified third-confirmation fills (the r5
+# block minus its last names q13_customer_distribution,
+# q14_promo_share, q3_shipping_priority and q4_priority_late_ship,
+# displaced by the five late-wave newcomers together with the
+# provisional r6 fill agg_approx_distinct_sketch — all five front the
+# r13 fill pool).
+# 2 + 9 + 2 + 11 + 7 + 19 = 50. After a green r12, every pre-r11
 # query is driver-confirmed at least twice, the r11 newcomers twice,
-# and only the 10 r12 newcomers owe their second confirmation.
+# and only the 11 r12 newcomers owe their second confirmation.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
@@ -160,6 +165,7 @@ _DRIVER_WINDOW = [
     "curation_pareto_skyline",
     "graph_mst_maximum_spanning",
     "sim_knn_graph_search",
+    "streaming_cusum_monitor",
     # the 7 fills displaced since r4 (front of the committed fill pool)
     "q19_disjunctive_revenue",
     "agg_filtered_counts",
@@ -168,7 +174,8 @@ _DRIVER_WINDOW = [
     "window_moving_avg",
     "window_rank_dense",
     "window_running_total",
-    # the whole r5-verified block (third confirmation)
+    # 19 of the 23 r5-verified block names (third confirmation; the
+    # last four were displaced to the r13 fill pool by late-wave work)
     "agg_argmax_orders",
     "agg_collect_sorted_sets",
     "agg_cube_quantity",
@@ -188,7 +195,6 @@ _DRIVER_WINDOW = [
     "join_right_outer_orders",
     "join_semi_customers_with_urgent",
     "q10_returned_revenue",
-    "q13_customer_distribution",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -1232,6 +1232,15 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("x"))
     )
+    return cusum_argmax(hourly)
+
+
+def cusum_argmax(hourly: DataFrame) -> DataFrame:
+    """The n-scaled CUSUM argmax over an (event_type, hr, x) hourly
+    table. Shared by the batch query above and its streaming twin
+    (streaming_ops.streaming_cusum_monitor), the anomaly_flags
+    convention — one implementation, so the two faces can never
+    drift."""
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("hr")

@@ -456,6 +456,35 @@ def streaming_countmin_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of events_changepoint_cusum (the r12 step
+    detector): the watermarked hourly aggregation runs IN the stream
+    (true cross-batch state over >= 3 micro-batches), then the n-scaled
+    retrospective CUSUM argmax runs as a batch pass over the drained
+    hourly table — the streaming_anomaly_hours composition shape, and
+    deliberately so: the retrospective statistic needs the full-series
+    totals (n, S), so the honest streaming form is stream-aggregate ->
+    snapshot -> detect, with the hourly state store doing the
+    cross-batch work. Complete-mode drain emits every window in the
+    final micro-batch, and the oracle is the batch query's CUSUM_ORACLE
+    verbatim — the driver proves the streamed hourly state feeds the
+    IDENTICAL change-point."""
+    from lua_mapreduce_spark.operators.analytics7 import cusum_argmax
+    from lua_mapreduce_spark.streaming.windows import stream_tumbling_counts
+
+    sink = drain_stream(
+        stream_tumbling_counts(_events_stream(spark, sf_dir)),
+        "stream_cusum_hourly",
+        output_mode="complete",
+    )
+    hourly = sink.select(
+        "event_type",
+        F.expr("CAST(ws_epoch DIV 3600 AS BIGINT)").alias("hr"),
+        F.col("n_events").alias("x"),
+    )
+    return cusum_argmax(hourly)
+
+
 QUERIES = {
     "streaming_user_totals": streaming_user_totals,
     "streaming_dedup_count": streaming_dedup_count,
@@ -469,6 +498,7 @@ QUERIES = {
     "streaming_session_windows": streaming_session_windows,
     "streaming_kmv_distinct": streaming_kmv_distinct,
     "streaming_countmin_totals": streaming_countmin_totals,
+    "streaming_cusum_monitor": streaming_cusum_monitor,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -643,10 +673,15 @@ FROM exact JOIN est USING (event_type, user_id)
 
 STREAM_CMS_ORACLE = _cms_oracle()
 
+from lua_mapreduce_spark.operators.analytics7 import (  # noqa: E402
+    CUSUM_ORACLE as STREAM_CUSUM_ORACLE,
+)
+
 
 ORACLES: dict[str, str] = {
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_countmin_totals": STREAM_CMS_ORACLE,
+    "streaming_cusum_monitor": STREAM_CUSUM_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,
     "streaming_sliding_counts": STREAM_SLIDING_ORACLE,

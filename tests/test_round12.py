@@ -362,6 +362,25 @@ def test_nsw_truth_labels_and_recall(spark):
         assert n_hits >= 15, (sf, n_hits)
 
 
+def test_streaming_cusum_equals_batch(spark):
+    """The streaming CUSUM monitor (stream-aggregated hourly state ->
+    shared cusum_argmax tail) must produce EXACTLY the batch
+    events_changepoint_cusum rows — same change point, same level
+    estimates — at both parity SFs."""
+    from lua_mapreduce_spark.operators import streaming_ops as so
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        batch = {
+            r["event_type"]: tuple(r)
+            for r in a7.events_changepoint_cusum(spark, sf).collect()
+        }
+        streamed = {
+            r["event_type"]: tuple(r)
+            for r in so.streaming_cusum_monitor(spark, sf).collect()
+        }
+        assert streamed == batch, sf
+
+
 def test_mst_matches_kruskal_replay(spark):
     """The minimax-closure membership must pick exactly the tree an
     independent pure-Python KRUSKAL (union-find over edges ranked
