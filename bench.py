@@ -276,8 +276,10 @@ EXTENDED_MEDIAN = {
     "layout_bloom_file_index",
     "graph_mst_maximum_spanning",
     # the NSW search runs 1 + _NSW_ROUNDS localCheckpoint'd beam rounds
-    # over the checkpointed signature/graph relations
+    # over the checkpointed signature/graph relations; the HNSW variant
+    # adds three graph builds + the checkpointed descent steps
     "sim_knn_graph_search",
+    "sim_hnsw_layers",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

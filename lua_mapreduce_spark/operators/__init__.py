@@ -96,7 +96,7 @@ _MODULES = [
 # covers the changed plans; TWO queries changed by r12 code
 # (sink_python_datasource and streaming_sink_python_datasource: the
 # shared sharded-sink abort cleanup now swallows only FileNotFoundError
-# and logs other OSErrors, r11 ADVICE item 3); ELEVEN r12-NEW queries
+# and logs other OSErrors, r11 ADVICE item 3); TWELVE r12-NEW queries
 # (graph_scc_kosaraju — Kosaraju SCC via forward∩backward bounded
 # recursive CTEs over a pre-squared step relation, the banked §7.4 r12
 # candidate, Tarjan-replay-tested; agg_ams_f2_sketch — AMS/tug-of-war
@@ -124,19 +124,24 @@ _MODULES = [
 # streaming_cusum_monitor — the r13-banked streaming face of the CUSUM
 # detector pulled forward in-round: streamed hourly state -> snapshot
 # -> the shared cusum_argmax tail, oracle shared VERBATIM with the
-# batch query);
+# batch query;
+# sim_hnsw_layers — the r13-banked hierarchical completion of the NSW
+# query pulled forward in-round: md5-geometric nested layers, greedy
+# upper-layer descent from ONE global entry, layer-0 beam seeded by the
+# descent — beats the flat query's 32 spread entries at sf0.1, recall
+# 21/25 vs 17/25, all value-exact);
 # the SEVEN r4-displaced fills (q19_disjunctive_revenue,
 # agg_filtered_counts, scalar_bitwise_funcs, sim_ivf_topk,
 # window_moving_avg, window_rank_dense, window_running_total); and
-# NINETEEN of the 23 r5-verified third-confirmation fills (the r5
-# block minus its last names q13_customer_distribution,
-# q14_promo_share, q3_shipping_priority and q4_priority_late_ship,
-# displaced by the five late-wave newcomers together with the
-# provisional r6 fill agg_approx_distinct_sketch — all five front the
-# r13 fill pool).
-# 2 + 9 + 2 + 11 + 7 + 19 = 50. After a green r12, every pre-r11
+# EIGHTEEN of the 23 r5-verified third-confirmation fills (the r5
+# block minus its last names q10_returned_revenue,
+# q13_customer_distribution, q14_promo_share, q3_shipping_priority and
+# q4_priority_late_ship, displaced by the six late-wave newcomers
+# together with the provisional r6 fill agg_approx_distinct_sketch —
+# all six front the r13 fill pool).
+# 2 + 9 + 2 + 12 + 7 + 18 = 50. After a green r12, every pre-r11
 # query is driver-confirmed at least twice, the r11 newcomers twice,
-# and only the 11 r12 newcomers owe their second confirmation.
+# and only the 12 r12 newcomers owe their second confirmation.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
@@ -166,6 +171,7 @@ _DRIVER_WINDOW = [
     "graph_mst_maximum_spanning",
     "sim_knn_graph_search",
     "streaming_cusum_monitor",
+    "sim_hnsw_layers",
     # the 7 fills displaced since r4 (front of the committed fill pool)
     "q19_disjunctive_revenue",
     "agg_filtered_counts",
@@ -174,8 +180,8 @@ _DRIVER_WINDOW = [
     "window_moving_avg",
     "window_rank_dense",
     "window_running_total",
-    # 19 of the 23 r5-verified block names (third confirmation; the
-    # last four were displaced to the r13 fill pool by late-wave work)
+    # 18 of the 23 r5-verified block names (third confirmation; the
+    # last five were displaced to the r13 fill pool by late-wave work)
     "agg_argmax_orders",
     "agg_collect_sorted_sets",
     "agg_cube_quantity",
@@ -194,7 +200,6 @@ _DRIVER_WINDOW = [
     "join_left_order_counts",
     "join_right_outer_orders",
     "join_semi_customers_with_urgent",
-    "q10_returned_revenue",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -788,6 +788,81 @@ _NSW_DIST_DUCK = (
 )
 
 
+def _nsw_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv, sig0..sigL): quantized vectors + the L multitable
+    LSH signatures, one scan, localCheckpoint'd — the shared substrate
+    of the flat NSW query and the layered HNSW query."""
+    from lua_mapreduce_spark.operators.analytics6 import _QGRID_SPARK
+    from lua_mapreduce_spark.operators.similarity import (
+        _MT_PLANES,
+        _MT_TABLES,
+        _SPARK_PLANE_DOT,
+        _signature_expr,
+    )
+
+    emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    return (
+        emb.alias("a")
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.expr(_QGRID_SPARK).alias("qv"),
+            *[
+                F.expr(_signature_expr("a", _SPARK_PLANE_DOT, _MT_PLANES[t]))
+                .cast("int")
+                .alias(f"sig{t}")
+                for t in range(_MT_TABLES)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _nsw_stack(q: DataFrame) -> DataFrame:
+    """Unpivot the signature columns to (vec_id, qv, t, sig) rows."""
+    from lua_mapreduce_spark.operators.similarity import _MT_TABLES
+
+    stack_args = ", ".join(f"{t}, sig{t}" for t in range(_MT_TABLES))
+    return q.selectExpr(
+        "vec_id", "qv", f"stack({_MT_TABLES}, {stack_args}) AS (t, sig)"
+    )
+
+
+def _nsw_knn_graph(long: DataFrame, degree: int) -> DataFrame:
+    """Symmetrized k-NN graph over the stacked signature relation:
+    candidates collide in >= 1 LSH table (bounded buckets, never all
+    pairs), each node keeps its `degree` nearest by exact integer
+    squared-L2, then edges are mirrored. Restricting `long` to a node
+    subset before the call builds a LAYER graph (the HNSW use)."""
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.expr(
+                "aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("d"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("d").alias("d"))
+    )
+    wg = Window.partitionBy("src").orderBy("d", "dst")
+    knn = (
+        cand.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= degree)
+        .select("src", "dst")
+    )
+    return knn.unionByName(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
 def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based approximate nearest neighbor — the NSW family
     (Malkov et al. 2014, the single-layer ancestor of HNSW), the modern
@@ -812,65 +887,14 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     this plan preserves that: the only corpus-wide passes are the scan
     that builds signatures and the truth pass (which exists for the
     recall audit, not the search)."""
-    from lua_mapreduce_spark.operators.analytics6 import _QGRID_SPARK
-    from lua_mapreduce_spark.operators.similarity import (
-        _MT_PLANES,
-        _MT_TABLES,
-        _SPARK_PLANE_DOT,
-        _signature_expr,
-    )
-
-    emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
-    q = emb.alias("a").select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.expr(_QGRID_SPARK).alias("qv"),
-        *[
-            F.expr(_signature_expr("a", _SPARK_PLANE_DOT, _MT_PLANES[t]))
-            .cast("int")
-            .alias(f"sig{t}")
-            for t in range(_MT_TABLES)
-        ],
-    ).localCheckpoint(eager=True)
-    stack_args = ", ".join(f"{t}, sig{t}" for t in range(_MT_TABLES))
-    long = q.selectExpr(
-        "vec_id", "qv", f"stack({_MT_TABLES}, {stack_args}) AS (t, sig)"
-    )
-    a, b = long.alias("a"), long.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            F.expr(
-                "aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)),"
-                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            ).alias("d"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.min("d").alias("d"))
-    )
-    wg = Window.partitionBy("src").orderBy("d", "dst")
-    knn = (
-        cand.withColumn("rn", F.row_number().over(wg))
-        .filter(F.col("rn") <= _NSW_G)
-        .select("src", "dst")
-    )
-    graph = (
-        knn.unionByName(
-            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    q = _nsw_sigs(spark, sf_dir)
+    graph = _nsw_knn_graph(_nsw_stack(q), _NSW_G).localCheckpoint(
+        eager=True
     )
     queries = q.filter(F.col("vec_id") < _NSW_Q).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )
-    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    n = q.agg(F.count(F.lit(1)).alias("n_vecs"))
     entries = (
         spark.range(_NSW_ENTRIES)
         .crossJoin(F.broadcast(n))
@@ -937,20 +961,163 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nsw_oracle() -> str:
-    from lua_mapreduce_spark.operators.analytics6 import _QGRID_DUCK
+# --------------------------------------------------------------------------
+# Hierarchical graph ANN: HNSW layer descent + layer-0 beam search
+# --------------------------------------------------------------------------
+
+_HNSW_L1_MOD = 4  # level >= 1 iff md5 % 4 == 0 (~25% of nodes)
+_HNSW_L2_MOD = 16  # level >= 2 iff md5 % 16 == 0 (~6%; nested: 16 | 4)
+_HNSW_GU = 4  # upper-layer out-degree
+_HNSW_T2 = 2  # greedy steps at layer 2
+_HNSW_T1 = 3  # greedy steps at layer 1
+_HNSW_B0 = 24  # layer-0 beam width (matches the flat query, so the
+#               flat-vs-hierarchical comparison is parameter-fair)
+_HNSW_R0 = 5  # layer-0 beam rounds
+
+_HNSW_LVL = "concat('hnsw-l-', CAST(vec_id AS STRING))"
+
+
+def sim_hnsw_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical navigable-small-world ANN (HNSW, Malkov & Yashunin
+    2016) — the layered completion of sim_knn_graph_search: nodes are
+    assigned geometric levels by md5 (level >= 1 for ~1/4 of nodes,
+    level >= 2 for ~1/16 — nested by construction since 16 | 4), each
+    upper layer carries its own sparse k-NN graph over its node subset
+    (the shared _nsw_knn_graph build, LSH candidates only), and search
+    DESCENDS: pure greedy steps from the single global layer-2 entry
+    (the HNSW upper-layer rule — beam width 1, monotone because the
+    current node stays in its own candidate set), hand off to layer 1,
+    then a layer-0 beam search seeded by the ONE node the descent chose
+    — where the flat NSW query needs 32 spread entry points, the
+    hierarchy replaces them with routing. The query vector itself is
+    kept DURING search (excluding it can strand a beam when the entry
+    equals a query id) and excluded only in the final ranking; the
+    exact top-K rides along, so recall@5 is gated output directly
+    comparable with the flat query's.
+
+    Scale shape: three bounded-bucket graph builds over one shared
+    signature scan; upper layers shrink geometrically (the HNSW size
+    argument), descent touches degree+1 rows per query per step, the
+    layer-0 beam is beam x degree x rounds — all independent of corpus
+    size; the truth pass exists only for the recall audit."""
+    q = _nsw_sigs(spark, sf_dir)
+    long = _nsw_stack(q)
+    lvl = md5_bigint_expr(_HNSW_LVL)
+    g0 = _nsw_knn_graph(long, _NSW_G).localCheckpoint(eager=True)
+    g1 = _nsw_knn_graph(
+        long.filter(F.expr(f"{lvl} % {_HNSW_L1_MOD} = 0")), _HNSW_GU
+    ).localCheckpoint(eager=True)
+    g2 = _nsw_knn_graph(
+        long.filter(F.expr(f"{lvl} % {_HNSW_L2_MOD} = 0")), _HNSW_GU
+    ).localCheckpoint(eager=True)
+    queries = q.filter(F.col("vec_id") < _NSW_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    nodes = q.select("vec_id", "qv")
+    entry2 = q.filter(F.expr(f"{lvl} % {_HNSW_L2_MOD} = 0")).agg(
+        F.expr("CAST(MIN(vec_id) AS BIGINT)").alias("v")
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        """(query_id, v) -> + exact integer distance (self KEPT — the
+        final ranking excludes it)."""
+        return (
+            pairs.join(nodes, F.col("v") == F.col("vec_id"))
+            .join(F.broadcast(queries), "query_id")
+            .select("query_id", "v", F.expr(_NSW_DIST_SPARK).alias("d"))
+        )
+
+    wbeam = Window.partitionBy("query_id").orderBy("d", "v")
+    cur = score(
+        queries.select("query_id").crossJoin(F.broadcast(entry2))
+    ).localCheckpoint(eager=True)
+    for g, steps in ((g2, _HNSW_T2), (g1, _HNSW_T1)):
+        for _ in range(steps):
+            nbrs = (
+                cur.join(g, F.col("v") == F.col("src"))
+                .select("query_id", F.col("dst").alias("v"))
+                .distinct()
+            )
+            cur = (
+                score(nbrs)
+                .unionByName(cur)
+                .groupBy("query_id", "v")
+                .agg(F.min("d").alias("d"))
+                .withColumn("rn", F.row_number().over(wbeam))
+                .filter(F.col("rn") == 1)
+                .select("query_id", "v", "d")
+                .localCheckpoint(eager=True)
+            )
+    beam = cur
+    for _ in range(_HNSW_R0):
+        expanded = (
+            beam.join(g0, F.col("v") == F.col("src"))
+            .select("query_id", F.col("dst").alias("v"))
+            .distinct()
+        )
+        beam = (
+            score(expanded)
+            .unionByName(beam)
+            .groupBy("query_id", "v")
+            .agg(F.min("d").alias("d"))
+            .withColumn("rn", F.row_number().over(wbeam))
+            .filter(F.col("rn") <= _HNSW_B0)
+            .select("query_id", "v", "d")
+            .localCheckpoint(eager=True)
+        )
+    truth = (
+        nodes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("tq"),
+            F.col("vec_id").alias("v"),
+            F.expr(_NSW_DIST_SPARK).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("tq").orderBy("d", "v")
+            ),
+        )
+        .filter(F.col("rn") <= _NSW_K)
+        .select("tq", F.col("v").alias("tv"))
+    )
+    return (
+        beam.filter(F.col("v") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wbeam))
+        .filter(F.col("rank") <= _NSW_K)
+        .join(
+            truth,
+            (F.col("query_id") == F.col("tq")) & (F.col("v") == F.col("tv")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.col("v").alias("found_id"),
+            F.col("d").alias("found_dist"),
+            F.expr("tv IS NOT NULL").alias("in_true"),
+        )
+    )
+
+
+def _nsw_oracle_dist(qexpr: str, nexpr: str) -> str:
+    """DuckDB exact integer squared-L2 between two quantized vectors."""
+    return (
+        f"list_sum(list_transform(list_zip({qexpr}, {nexpr}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _nsw_oracle_prelude() -> tuple[str, str]:
+    """(sig_cols, unions): the sigs-CTE column list and the stacked
+    long-CTE union text shared by the NSW and HNSW oracles."""
     from lua_mapreduce_spark.operators.similarity import (
         _MT_PLANES,
         _MT_TABLES,
         _ORACLE_PLANE_DOT,
         _signature_expr,
     )
-
-    def dist(qexpr: str, nexpr: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({qexpr}, {nexpr}),"
-            " p -> (p[1] - p[2]) * (p[1] - p[2])))"
-        )
 
     sig_cols = ",\n         ".join(
         f"CAST({_signature_expr('a', _ORACLE_PLANE_DOT, _MT_PLANES[t])}"
@@ -961,6 +1128,42 @@ def _nsw_oracle() -> str:
         f"  SELECT vec_id, qv, {t} AS t, sig{t} AS sig FROM sigs"
         for t in range(_MT_TABLES)
     )
+    return sig_cols, unions
+
+
+def _nsw_oracle_graph_ctes(
+    long_cte: str, suffix: str, degree: int, materialized: bool = False
+) -> str:
+    """CTE text building the symmetrized degree-bounded k-NN graph
+    ``graph{suffix}`` from the stacked relation ``{long_cte}`` — the
+    oracle twin of _nsw_knn_graph. ``materialized`` pins DuckDB's CTE
+    materialization (the analytics2 LPA-oracle convention) for oracles
+    whose chained CTEs would otherwise re-inline exponentially."""
+    d = _nsw_oracle_dist("a.qv", "b.qv")
+    m = "MATERIALIZED " if materialized else ""
+    return f"""cand{suffix} AS {m}(
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(MIN({d}) AS BIGINT) AS d
+  FROM {long_cte} a JOIN {long_cte} b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+knn{suffix} AS {m}(
+  SELECT src, dst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+    FROM cand{suffix})
+  WHERE rn <= {degree}),
+graph{suffix} AS {m}(
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM knn{suffix}
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM knn{suffix}))"""
+
+
+def _nsw_oracle() -> str:
+    from lua_mapreduce_spark.operators.analytics6 import _QGRID_DUCK
+
+    dist = _nsw_oracle_dist
+    sig_cols, unions = _nsw_oracle_prelude()
     rounds = []
     prev = "b0"
     for r in range(1, _NSW_ROUNDS + 1):
@@ -995,22 +1198,7 @@ WITH sigs AS (
   FROM embeddings a),
 long AS (
 {unions}),
-cand AS (
-  SELECT a.vec_id AS src, b.vec_id AS dst,
-         CAST(MIN({dist("a.qv", "b.qv")}) AS BIGINT) AS d
-  FROM long a JOIN long b
-    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
-  GROUP BY 1, 2),
-knn AS (
-  SELECT src, dst FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
-    FROM cand)
-  WHERE rn <= {_NSW_G}),
-graph AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM knn
-    UNION ALL
-    SELECT dst AS src, src AS dst FROM knn)),
+{_nsw_oracle_graph_ctes("long", "", _NSW_G)},
 qs AS (
   SELECT vec_id AS query_id, qv AS qqv FROM sigs WHERE vec_id < {_NSW_Q}),
 n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
@@ -1050,6 +1238,116 @@ WHERE rn <= {_NSW_K}
 
 
 NSW_ORACLE = _nsw_oracle()
+
+
+def _hnsw_oracle() -> str:
+    from lua_mapreduce_spark.operators.analytics6 import _QGRID_DUCK
+
+    dist = _nsw_oracle_dist
+    sig_cols, unions = _nsw_oracle_prelude()
+    lvl = oracle_md5_bigint_expr(
+        "concat('hnsw-l-', CAST(vec_id AS VARCHAR))"
+    )
+    # greedy descent: _HNSW_T2 steps on graph2, then _HNSW_T1 on graph1
+    steps = []
+    prev = "c0"
+    idx = 0
+    for gname, nsteps in (("graph2", _HNSW_T2), ("graph1", _HNSW_T1)):
+        for _ in range(nsteps):
+            idx += 1
+            steps.append(
+                f"""gn{idx} AS MATERIALIZED (
+  SELECT DISTINCT c.query_id, g.dst AS v
+  FROM {prev} c JOIN {gname} g ON c.v = g.src),
+gs{idx} AS (
+  SELECT query_id, v, MIN(d) AS d FROM (
+    SELECT e.query_id AS query_id, e.v AS v,
+           {dist("q.qqv", "nd.qv")} AS d
+    FROM gn{idx} e
+    JOIN qs q ON q.query_id = e.query_id
+    JOIN nodes nd ON nd.vec_id = e.v
+    UNION ALL
+    SELECT query_id, v, d FROM {prev})
+  GROUP BY 1, 2),
+c{idx} AS MATERIALIZED (
+  SELECT query_id, v, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
+           AS rn
+    FROM gs{idx})
+  WHERE rn = 1)"""
+            )
+            prev = f"c{idx}"
+    # layer-0 beam rounds seeded by the descent result
+    rounds = []
+    bprev = prev
+    for r in range(1, _HNSW_R0 + 1):
+        rounds.append(
+            f"""he{r} AS MATERIALIZED (
+  SELECT DISTINCT b.query_id, g.dst AS v
+  FROM {bprev} b JOIN graph0 g ON b.v = g.src),
+hs{r} AS (
+  SELECT query_id, v, MIN(d) AS d FROM (
+    SELECT e.query_id AS query_id, e.v AS v,
+           {dist("q.qqv", "nd.qv")} AS d
+    FROM he{r} e
+    JOIN qs q ON q.query_id = e.query_id
+    JOIN nodes nd ON nd.vec_id = e.v
+    UNION ALL
+    SELECT query_id, v, d FROM {bprev})
+  GROUP BY 1, 2),
+hb{r} AS MATERIALIZED (
+  SELECT query_id, v, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
+           AS rn
+    FROM hs{r})
+  WHERE rn <= {_HNSW_B0})"""
+        )
+        bprev = f"hb{r}"
+    return f"""
+WITH sigs AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, {_QGRID_DUCK} AS qv,
+         {sig_cols}
+  FROM embeddings a),
+long AS MATERIALIZED (
+{unions}),
+long1 AS MATERIALIZED (SELECT * FROM long WHERE {lvl} % {_HNSW_L1_MOD} = 0),
+long2 AS MATERIALIZED (SELECT * FROM long WHERE {lvl} % {_HNSW_L2_MOD} = 0),
+{_nsw_oracle_graph_ctes("long", "0", _NSW_G, materialized=True)},
+{_nsw_oracle_graph_ctes("long1", "1", _HNSW_GU, materialized=True)},
+{_nsw_oracle_graph_ctes("long2", "2", _HNSW_GU, materialized=True)},
+qs AS (
+  SELECT vec_id AS query_id, qv AS qqv FROM sigs WHERE vec_id < {_NSW_Q}),
+nodes AS (SELECT vec_id, qv FROM sigs),
+entry2 AS (
+  SELECT CAST(MIN(vec_id) AS BIGINT) AS v FROM sigs
+  WHERE {lvl} % {_HNSW_L2_MOD} = 0),
+c0 AS (
+  SELECT q.query_id AS query_id, e.v AS v,
+         {dist("q.qqv", "nd.qv")} AS d
+  FROM qs q CROSS JOIN entry2 e
+  JOIN nodes nd ON nd.vec_id = e.v),
+{",".join(steps)},
+{",".join(rounds)},
+truth AS (
+  SELECT query_id AS tq, v AS tv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
+           AS rn
+    FROM (
+      SELECT q.query_id AS query_id, nd.vec_id AS v,
+             {dist("q.qqv", "nd.qv")} AS d
+      FROM qs q JOIN nodes nd ON nd.vec_id <> q.query_id))
+  WHERE rn <= {_NSW_K})
+SELECT b.query_id AS query_id, rn AS rank, v AS found_id,
+       CAST(d AS BIGINT) AS found_dist, tv IS NOT NULL AS in_true
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v) AS rn
+  FROM {bprev} WHERE v <> query_id) b
+LEFT JOIN truth ON b.query_id = truth.tq AND b.v = truth.tv
+WHERE rn <= {_NSW_K}
+"""
+
+
+HNSW_ORACLE = _hnsw_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1402,6 +1700,7 @@ QUERIES = {
     "curation_pareto_skyline": curation_pareto_skyline,
     "graph_mst_maximum_spanning": graph_mst_maximum_spanning,
     "sim_knn_graph_search": sim_knn_graph_search,
+    "sim_hnsw_layers": sim_hnsw_layers,
 }
 
 ORACLES = {
@@ -1414,4 +1713,5 @@ ORACLES = {
     "curation_pareto_skyline": SKYLINE_ORACLE,
     "graph_mst_maximum_spanning": MST_ORACLE,
     "sim_knn_graph_search": NSW_ORACLE,
+    "sim_hnsw_layers": HNSW_ORACLE,
 }

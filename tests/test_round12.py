@@ -381,6 +381,56 @@ def test_streaming_cusum_equals_batch(spark):
         assert streamed == batch, sf
 
 
+def test_hnsw_recall_and_shape(spark):
+    """sim_hnsw_layers invariants: full 5x5 result, per-query distances
+    non-decreasing in rank, self never reported, and recall@5 clears
+    the same conservative floor as the flat NSW query (measured 23/25
+    and 21-24/25 at the parity SFs) — the hierarchy must not be worse
+    than the flat query's floor despite seeding from ONE descent node
+    instead of 32 spread entries."""
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = a7.sim_hnsw_layers(spark, sf).collect()
+        assert len(rows) == a7._NSW_Q * a7._NSW_K
+        by_q: dict[int, list] = {}
+        n_hits = 0
+        for r in rows:
+            assert r["found_id"] != r["query_id"], (sf, r)
+            n_hits += r["in_true"]
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["found_dist"])
+            )
+        for qid, rs in by_q.items():
+            ds = [d for _, d in sorted(rs)]
+            assert all(a <= b for a, b in zip(ds, ds[1:])), (sf, qid)
+        assert n_hits >= 15, (sf, n_hits)
+
+
+def test_hnsw_levels_are_nested_and_populated(spark):
+    """The md5 level assignment must produce nested, non-empty layers
+    (level-2 subset of level-1 by construction since 16 | 4) with
+    roughly geometric sizes at the parity SF."""
+    import hashlib
+
+    con = duckdb.connect()
+    ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT vec_id FROM '{SF_MEDIUM}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    lvl = {
+        v: int(hashlib.md5(f"hnsw-l-{v}".encode()).hexdigest()[:15], 16)
+        for v in ids
+    }
+    n1 = sum(1 for h in lvl.values() if h % a7._HNSW_L1_MOD == 0)
+    n2 = sum(1 for h in lvl.values() if h % a7._HNSW_L2_MOD == 0)
+    assert 0 < n2 < n1 < len(ids)
+    # every level-2 node is a level-1 node (nesting)
+    for v, h in lvl.items():
+        if h % a7._HNSW_L2_MOD == 0:
+            assert h % a7._HNSW_L1_MOD == 0
+
+
 def test_mst_matches_kruskal_replay(spark):
     """The minimax-closure membership must pick exactly the tree an
     independent pure-Python KRUSKAL (union-find over edges ranked

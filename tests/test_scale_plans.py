@@ -162,6 +162,7 @@ _NESTED_LOOP_OK = {
     "agg_ams_f2_sketch",       # 40-row estimator-id + 1-row median/exact cross joins
     "layout_bloom_file_index", # 1-row max-doc-id broadcast cross join
     "sim_knn_graph_search",    # 32-row entry / 5-row query-set broadcast cross joins
+    "sim_hnsw_layers",         # 1-row entry / 5-row query-set broadcast cross joins
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -269,6 +270,7 @@ _BROADCAST_OK = {
     ("analytics7.py", "n"),           # single-row corpus-count aggregate (NSW entries)
     ("analytics7.py", "entries"),     # fixed _NSW_ENTRIES=32 entry rows
     ("analytics7.py", "queries"),     # fixed _NSW_Q=5 query vectors
+    ("analytics7.py", "entry2"),      # single-row min-vec-id aggregate (HNSW)
     ("streaming_ops.py", "sketch"),   # grouped by event_type: <= |types| rows
 }
 
