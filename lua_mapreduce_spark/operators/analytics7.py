@@ -863,6 +863,108 @@ def _nsw_knn_graph(long: DataFrame, degree: int) -> DataFrame:
     ).distinct()
 
 
+def _beam_score(
+    pairs: DataFrame, queries: DataFrame, nodes: DataFrame, keep_self: bool
+) -> DataFrame:
+    """(query_id, v) -> + exact integer grid distance. keep_self=False
+    drops the query's own vector BEFORE scoring (the flat query's
+    convention); the HNSW search keeps it (excluding it can strand a
+    beam when the entry equals a query id) and drops it only in the
+    final report."""
+    p = pairs if keep_self else pairs.filter(F.col("v") != F.col("query_id"))
+    return (
+        p.join(nodes, F.col("v") == F.col("vec_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "v", F.expr(_NSW_DIST_SPARK).alias("d"))
+    )
+
+
+def _beam_truncate(scored: DataFrame, width: int) -> DataFrame:
+    """Keep the best `width` rows per query by (d, v), checkpointed —
+    the per-round lineage cut of the graph-loop convention."""
+    w = Window.partitionBy("query_id").orderBy("d", "v")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= width)
+        .select("query_id", "v", "d")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _beam_rounds(
+    beam: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    nodes: DataFrame,
+    rounds: int,
+    width: int,
+    keep_self: bool,
+) -> DataFrame:
+    """The expand -> score -> merge -> truncate loop shared by the flat
+    NSW layer-0 search, the HNSW greedy descent (width=1 — pure greedy,
+    monotone because the current node stays in its own candidate set),
+    and the HNSW layer-0 beam. One implementation, so a tiebreak or
+    distance change can never desynchronize the two queries (its oracle
+    twin is _nsw_oracle_round_ctes)."""
+    for _ in range(rounds):
+        expanded = (
+            beam.join(graph, F.col("v") == F.col("src"))
+            .select("query_id", F.col("dst").alias("v"))
+            .distinct()
+        )
+        merged = (
+            _beam_score(expanded, queries, nodes, keep_self)
+            .unionByName(beam)
+            .groupBy("query_id", "v")
+            .agg(F.min("d").alias("d"))
+        )
+        beam = _beam_truncate(merged, width)
+    return beam
+
+
+def _beam_truth(queries: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Exact brute-force top-K per query — exists only for the recall
+    audit, never on the search path."""
+    w = Window.partitionBy("query_id").orderBy("d", "v")
+    return (
+        nodes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("v"),
+            F.expr(_NSW_DIST_SPARK).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NSW_K)
+        .select(F.col("query_id").alias("tq"), F.col("v").alias("tv"))
+    )
+
+
+def _beam_report(
+    beam: DataFrame, truth: DataFrame, drop_self: bool
+) -> DataFrame:
+    """Rank the final beam, join the truth set, emit the gated
+    (query_id, rank, found_id, found_dist, in_true) rows."""
+    w = Window.partitionBy("query_id").orderBy("d", "v")
+    b = beam.filter(F.col("v") != F.col("query_id")) if drop_self else beam
+    return (
+        b.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NSW_K)
+        .join(
+            truth,
+            (F.col("query_id") == F.col("tq")) & (F.col("v") == F.col("tv")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.col("v").alias("found_id"),
+            F.col("d").alias("found_dist"),
+            F.expr("tv IS NOT NULL").alias("in_true"),
+        )
+    )
+
+
 def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based approximate nearest neighbor — the NSW family
     (Malkov et al. 2014, the single-layer ancestor of HNSW), the modern
@@ -902,63 +1004,19 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = q.select("vec_id", "qv")
 
-    def _score(pairs: DataFrame) -> DataFrame:
-        """(query_id, v) -> + exact integer distance (self excluded)."""
-        return (
-            pairs.filter(F.col("v") != F.col("query_id"))
-            .join(nodes, F.col("v") == F.col("vec_id"))
-            .join(F.broadcast(queries), "query_id")
-            .select(
-                "query_id", "v", F.expr(_NSW_DIST_SPARK).alias("d")
-            )
-        )
-
-    wbeam = Window.partitionBy("query_id").orderBy("d", "v")
-    beam = (
-        _score(queries.select("query_id").crossJoin(F.broadcast(entries)))
-        .withColumn("rn", F.row_number().over(wbeam))
-        .filter(F.col("rn") <= _NSW_BEAM)
-        .select("query_id", "v", "d")
-        .localCheckpoint(eager=True)
+    beam = _beam_truncate(
+        _beam_score(
+            queries.select("query_id").crossJoin(F.broadcast(entries)),
+            queries,
+            nodes,
+            keep_self=False,
+        ),
+        _NSW_BEAM,
     )
-    for _ in range(_NSW_ROUNDS):
-        expanded = (
-            beam.join(graph, F.col("v") == F.col("src"))
-            .select("query_id", F.col("dst").alias("v"))
-            .distinct()
-        )
-        beam = (
-            _score(expanded)
-            .unionByName(beam)
-            .groupBy("query_id", "v")
-            .agg(F.min("d").alias("d"))
-            .withColumn("rn", F.row_number().over(wbeam))
-            .filter(F.col("rn") <= _NSW_BEAM)
-            .select("query_id", "v", "d")
-            .localCheckpoint(eager=True)
-        )
-    # exact truth: brute-force top-K per query for the recall audit
-    truth = (
-        nodes.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("v"),
-                F.expr(_NSW_DIST_SPARK).alias("d"))
-        .withColumn("rn", F.row_number().over(wbeam))
-        .filter(F.col("rn") <= _NSW_K)
-        .select(F.col("query_id").alias("tq"), F.col("v").alias("tv"))
+    beam = _beam_rounds(
+        beam, graph, queries, nodes, _NSW_ROUNDS, _NSW_BEAM, keep_self=False
     )
-    return (
-        beam.withColumn("rank", F.row_number().over(wbeam))
-        .filter(F.col("rank") <= _NSW_K)
-        .join(
-            truth,
-            (F.col("query_id") == F.col("tq")) & (F.col("v") == F.col("tv")),
-            "left",
-        )
-        .select("query_id", "rank", F.col("v").alias("found_id"),
-                F.col("d").alias("found_dist"),
-                F.expr("tv IS NOT NULL").alias("in_true"))
-    )
+    return _beam_report(beam, _beam_truth(queries, nodes), drop_self=False)
 
 
 # --------------------------------------------------------------------------
@@ -1018,87 +1076,23 @@ def sim_hnsw_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MIN(vec_id) AS BIGINT)").alias("v")
     )
 
-    def score(pairs: DataFrame) -> DataFrame:
-        """(query_id, v) -> + exact integer distance (self KEPT — the
-        final ranking excludes it)."""
-        return (
-            pairs.join(nodes, F.col("v") == F.col("vec_id"))
-            .join(F.broadcast(queries), "query_id")
-            .select("query_id", "v", F.expr(_NSW_DIST_SPARK).alias("d"))
-        )
-
-    wbeam = Window.partitionBy("query_id").orderBy("d", "v")
-    cur = score(
-        queries.select("query_id").crossJoin(F.broadcast(entry2))
-    ).localCheckpoint(eager=True)
+    cur = _beam_truncate(
+        _beam_score(
+            queries.select("query_id").crossJoin(F.broadcast(entry2)),
+            queries,
+            nodes,
+            keep_self=True,
+        ),
+        1,
+    )
     for g, steps in ((g2, _HNSW_T2), (g1, _HNSW_T1)):
-        for _ in range(steps):
-            nbrs = (
-                cur.join(g, F.col("v") == F.col("src"))
-                .select("query_id", F.col("dst").alias("v"))
-                .distinct()
-            )
-            cur = (
-                score(nbrs)
-                .unionByName(cur)
-                .groupBy("query_id", "v")
-                .agg(F.min("d").alias("d"))
-                .withColumn("rn", F.row_number().over(wbeam))
-                .filter(F.col("rn") == 1)
-                .select("query_id", "v", "d")
-                .localCheckpoint(eager=True)
-            )
-    beam = cur
-    for _ in range(_HNSW_R0):
-        expanded = (
-            beam.join(g0, F.col("v") == F.col("src"))
-            .select("query_id", F.col("dst").alias("v"))
-            .distinct()
+        cur = _beam_rounds(
+            cur, g, queries, nodes, steps, 1, keep_self=True
         )
-        beam = (
-            score(expanded)
-            .unionByName(beam)
-            .groupBy("query_id", "v")
-            .agg(F.min("d").alias("d"))
-            .withColumn("rn", F.row_number().over(wbeam))
-            .filter(F.col("rn") <= _HNSW_B0)
-            .select("query_id", "v", "d")
-            .localCheckpoint(eager=True)
-        )
-    truth = (
-        nodes.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            F.col("query_id").alias("tq"),
-            F.col("vec_id").alias("v"),
-            F.expr(_NSW_DIST_SPARK).alias("d"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("tq").orderBy("d", "v")
-            ),
-        )
-        .filter(F.col("rn") <= _NSW_K)
-        .select("tq", F.col("v").alias("tv"))
+    beam = _beam_rounds(
+        cur, g0, queries, nodes, _HNSW_R0, _HNSW_B0, keep_self=True
     )
-    return (
-        beam.filter(F.col("v") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(wbeam))
-        .filter(F.col("rank") <= _NSW_K)
-        .join(
-            truth,
-            (F.col("query_id") == F.col("tq")) & (F.col("v") == F.col("tv")),
-            "left",
-        )
-        .select(
-            "query_id",
-            "rank",
-            F.col("v").alias("found_id"),
-            F.col("d").alias("found_dist"),
-            F.expr("tv IS NOT NULL").alias("in_true"),
-        )
-    )
+    return _beam_report(beam, _beam_truth(queries, nodes), drop_self=True)
 
 
 def _nsw_oracle_dist(qexpr: str, nexpr: str) -> str:
@@ -1159,66 +1153,56 @@ graph{suffix} AS {m}(
     SELECT dst AS src, src AS dst FROM knn{suffix}))"""
 
 
-def _nsw_oracle() -> str:
-    from lua_mapreduce_spark.operators.analytics6 import _QGRID_DUCK
-
+def _nsw_oracle_round_ctes(
+    tag: str,
+    seed: str,
+    graph_name: str,
+    rounds: int,
+    width: int,
+    keep_self: bool,
+) -> tuple[str, str]:
+    """(ctes_text, last_name): the expand -> score -> merge -> truncate
+    CTE chain — the oracle twin of _beam_rounds, shared by the NSW and
+    HNSW oracles. Every round's expand and truncate CTEs are
+    MATERIALIZED: DuckDB re-inlines chained double-reference CTEs
+    exponentially otherwise (measured >240 s inlined vs 0.63 s
+    materialized on the 10-round HNSW chain — the analytics2 LPA-oracle
+    lesson)."""
     dist = _nsw_oracle_dist
-    sig_cols, unions = _nsw_oracle_prelude()
-    rounds = []
-    prev = "b0"
-    for r in range(1, _NSW_ROUNDS + 1):
-        rounds.append(
-            f"""e{r} AS (
+    self_filter = "" if keep_self else "\n    WHERE e.v <> e.query_id"
+    out, prev = [], seed
+    for r in range(1, rounds + 1):
+        out.append(
+            f"""{tag}e{r} AS MATERIALIZED (
   SELECT DISTINCT b.query_id, g.dst AS v
-  FROM {prev} b JOIN graph g ON b.v = g.src),
-s{r} AS (
+  FROM {prev} b JOIN {graph_name} g ON b.v = g.src),
+{tag}s{r} AS (
   SELECT query_id, v, MIN(d) AS d FROM (
     SELECT e.query_id AS query_id, e.v AS v,
            {dist("q.qqv", "nd.qv")} AS d
-    FROM e{r} e
+    FROM {tag}e{r} e
     JOIN qs q ON q.query_id = e.query_id
-    JOIN nodes nd ON nd.vec_id = e.v
-    WHERE e.v <> e.query_id
+    JOIN nodes nd ON nd.vec_id = e.v{self_filter}
     UNION ALL
     SELECT query_id, v, d FROM {prev})
   GROUP BY 1, 2),
-b{r} AS (
+{tag}b{r} AS MATERIALIZED (
   SELECT query_id, v, d FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
            AS rn
-    FROM s{r})
-  WHERE rn <= {_NSW_BEAM})"""
+    FROM {tag}s{r})
+  WHERE rn <= {width})"""
         )
-        prev = f"b{r}"
-    chain = ",\n".join(rounds)
-    return f"""
-WITH sigs AS (
-  SELECT a.vec_id AS vec_id, {_QGRID_DUCK} AS qv,
-         {sig_cols}
-  FROM embeddings a),
-long AS (
-{unions}),
-{_nsw_oracle_graph_ctes("long", "", _NSW_G)},
-qs AS (
-  SELECT vec_id AS query_id, qv AS qqv FROM sigs WHERE vec_id < {_NSW_Q}),
-n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
-entries AS (
-  SELECT CAST(range AS BIGINT) * n_vecs // {_NSW_ENTRIES} AS v
-  FROM range({_NSW_ENTRIES}), n),
-nodes AS (SELECT vec_id, qv FROM sigs),
-b0 AS (
-  SELECT query_id, v, d FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
-           AS rn
-    FROM (
-      SELECT q.query_id AS query_id, e.v AS v,
-             {dist("q.qqv", "nd.qv")} AS d
-      FROM qs q CROSS JOIN entries e
-      JOIN nodes nd ON nd.vec_id = e.v
-      WHERE e.v <> q.query_id))
-  WHERE rn <= {_NSW_BEAM}),
-{chain},
-truth AS (
+        prev = f"{tag}b{r}"
+    return ",\n".join(out), prev
+
+
+def _nsw_oracle_tail(last: str, drop_self: bool) -> str:
+    """The truth CTE + final report SELECT shared by both oracles — the
+    twin of _beam_truth/_beam_report."""
+    dist = _nsw_oracle_dist
+    self_where = f" WHERE v <> query_id" if drop_self else ""
+    return f"""truth AS (
   SELECT query_id AS tq, v AS tv FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
            AS rn
@@ -1231,9 +1215,47 @@ SELECT b.query_id AS query_id, rn AS rank, v AS found_id,
        CAST(d AS BIGINT) AS found_dist, tv IS NOT NULL AS in_true
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v) AS rn
-  FROM {prev}) b
+  FROM {last}{self_where}) b
 LEFT JOIN truth ON b.query_id = truth.tq AND b.v = truth.tv
-WHERE rn <= {_NSW_K}
+WHERE rn <= {_NSW_K}"""
+
+
+def _nsw_oracle() -> str:
+    from lua_mapreduce_spark.operators.analytics6 import _QGRID_DUCK
+
+    dist = _nsw_oracle_dist
+    sig_cols, unions = _nsw_oracle_prelude()
+    chain, last = _nsw_oracle_round_ctes(
+        "f", "b0", "graph", _NSW_ROUNDS, _NSW_BEAM, keep_self=False
+    )
+    return f"""
+WITH sigs AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, {_QGRID_DUCK} AS qv,
+         {sig_cols}
+  FROM embeddings a),
+long AS MATERIALIZED (
+{unions}),
+{_nsw_oracle_graph_ctes("long", "", _NSW_G, materialized=True)},
+qs AS (
+  SELECT vec_id AS query_id, qv AS qqv FROM sigs WHERE vec_id < {_NSW_Q}),
+n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+entries AS (
+  SELECT CAST(range AS BIGINT) * n_vecs // {_NSW_ENTRIES} AS v
+  FROM range({_NSW_ENTRIES}), n),
+nodes AS (SELECT vec_id, qv FROM sigs),
+b0 AS MATERIALIZED (
+  SELECT query_id, v, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
+           AS rn
+    FROM (
+      SELECT q.query_id AS query_id, e.v AS v,
+             {dist("q.qqv", "nd.qv")} AS d
+      FROM qs q CROSS JOIN entries e
+      JOIN nodes nd ON nd.vec_id = e.v
+      WHERE e.v <> q.query_id))
+  WHERE rn <= {_NSW_BEAM}),
+{chain},
+{_nsw_oracle_tail(last, drop_self=False)}
 """
 
 
@@ -1248,61 +1270,16 @@ def _hnsw_oracle() -> str:
     lvl = oracle_md5_bigint_expr(
         "concat('hnsw-l-', CAST(vec_id AS VARCHAR))"
     )
-    # greedy descent: _HNSW_T2 steps on graph2, then _HNSW_T1 on graph1
-    steps = []
-    prev = "c0"
-    idx = 0
-    for gname, nsteps in (("graph2", _HNSW_T2), ("graph1", _HNSW_T1)):
-        for _ in range(nsteps):
-            idx += 1
-            steps.append(
-                f"""gn{idx} AS MATERIALIZED (
-  SELECT DISTINCT c.query_id, g.dst AS v
-  FROM {prev} c JOIN {gname} g ON c.v = g.src),
-gs{idx} AS (
-  SELECT query_id, v, MIN(d) AS d FROM (
-    SELECT e.query_id AS query_id, e.v AS v,
-           {dist("q.qqv", "nd.qv")} AS d
-    FROM gn{idx} e
-    JOIN qs q ON q.query_id = e.query_id
-    JOIN nodes nd ON nd.vec_id = e.v
-    UNION ALL
-    SELECT query_id, v, d FROM {prev})
-  GROUP BY 1, 2),
-c{idx} AS MATERIALIZED (
-  SELECT query_id, v, d FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
-           AS rn
-    FROM gs{idx})
-  WHERE rn = 1)"""
-            )
-            prev = f"c{idx}"
-    # layer-0 beam rounds seeded by the descent result
-    rounds = []
-    bprev = prev
-    for r in range(1, _HNSW_R0 + 1):
-        rounds.append(
-            f"""he{r} AS MATERIALIZED (
-  SELECT DISTINCT b.query_id, g.dst AS v
-  FROM {bprev} b JOIN graph0 g ON b.v = g.src),
-hs{r} AS (
-  SELECT query_id, v, MIN(d) AS d FROM (
-    SELECT e.query_id AS query_id, e.v AS v,
-           {dist("q.qqv", "nd.qv")} AS d
-    FROM he{r} e
-    JOIN qs q ON q.query_id = e.query_id
-    JOIN nodes nd ON nd.vec_id = e.v
-    UNION ALL
-    SELECT query_id, v, d FROM {bprev})
-  GROUP BY 1, 2),
-hb{r} AS MATERIALIZED (
-  SELECT query_id, v, d FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
-           AS rn
-    FROM hs{r})
-  WHERE rn <= {_HNSW_B0})"""
-        )
-        bprev = f"hb{r}"
+    # greedy descent (_beam_rounds width=1 twins), then the layer-0 beam
+    d2, last = _nsw_oracle_round_ctes(
+        "d2", "c0", "graph2", _HNSW_T2, 1, keep_self=True
+    )
+    d1, last = _nsw_oracle_round_ctes(
+        "d1", last, "graph1", _HNSW_T1, 1, keep_self=True
+    )
+    h0, last = _nsw_oracle_round_ctes(
+        "h", last, "graph0", _HNSW_R0, _HNSW_B0, keep_self=True
+    )
     return f"""
 WITH sigs AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, {_QGRID_DUCK} AS qv,
@@ -1321,29 +1298,15 @@ nodes AS (SELECT vec_id, qv FROM sigs),
 entry2 AS (
   SELECT CAST(MIN(vec_id) AS BIGINT) AS v FROM sigs
   WHERE {lvl} % {_HNSW_L2_MOD} = 0),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT q.query_id AS query_id, e.v AS v,
          {dist("q.qqv", "nd.qv")} AS d
   FROM qs q CROSS JOIN entry2 e
   JOIN nodes nd ON nd.vec_id = e.v),
-{",".join(steps)},
-{",".join(rounds)},
-truth AS (
-  SELECT query_id AS tq, v AS tv FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v)
-           AS rn
-    FROM (
-      SELECT q.query_id AS query_id, nd.vec_id AS v,
-             {dist("q.qqv", "nd.qv")} AS d
-      FROM qs q JOIN nodes nd ON nd.vec_id <> q.query_id))
-  WHERE rn <= {_NSW_K})
-SELECT b.query_id AS query_id, rn AS rank, v AS found_id,
-       CAST(d AS BIGINT) AS found_dist, tv IS NOT NULL AS in_true
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, v) AS rn
-  FROM {bprev} WHERE v <> query_id) b
-LEFT JOIN truth ON b.query_id = truth.tq AND b.v = truth.tv
-WHERE rn <= {_NSW_K}
+{d2},
+{d1},
+{h0},
+{_nsw_oracle_tail(last, drop_self=True)}
 """
 
 

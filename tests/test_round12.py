@@ -406,11 +406,16 @@ def test_hnsw_recall_and_shape(spark):
 
 
 def test_hnsw_levels_are_nested_and_populated(spark):
-    """The md5 level assignment must produce nested, non-empty layers
-    (level-2 subset of level-1 by construction since 16 | 4) with
-    roughly geometric sizes at the parity SF."""
+    """The level MODULI must keep the layers nested (L2_MOD a multiple
+    of L1_MOD — the structural invariant a careless constant change
+    would break), and the md5 assignment must populate both upper
+    layers non-degenerately at the parity SF."""
     import hashlib
 
+    # nesting is a CONSTANT property: h % L2 == 0 implies h % L1 == 0
+    # for every h exactly when L1 divides L2 — pin the divisibility
+    assert a7._HNSW_L2_MOD % a7._HNSW_L1_MOD == 0
+    assert a7._HNSW_L2_MOD > a7._HNSW_L1_MOD > 1
     con = duckdb.connect()
     ids = [
         r[0]
@@ -425,10 +430,6 @@ def test_hnsw_levels_are_nested_and_populated(spark):
     n1 = sum(1 for h in lvl.values() if h % a7._HNSW_L1_MOD == 0)
     n2 = sum(1 for h in lvl.values() if h % a7._HNSW_L2_MOD == 0)
     assert 0 < n2 < n1 < len(ids)
-    # every level-2 node is a level-1 node (nesting)
-    for v, h in lvl.items():
-        if h % a7._HNSW_L2_MOD == 0:
-            assert h % a7._HNSW_L1_MOD == 0
 
 
 def test_mst_matches_kruskal_replay(spark):
