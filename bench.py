@@ -280,6 +280,8 @@ EXTENDED_MEDIAN = {
     # adds three graph builds + the checkpointed descent steps
     "sim_knn_graph_search",
     "sim_hnsw_layers",
+    # depth-12 recursive walk: per-level recursion fixed cost (~3 s)
+    "graph_closeness_centrality",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

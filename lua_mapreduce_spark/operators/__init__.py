@@ -96,7 +96,7 @@ _MODULES = [
 # covers the changed plans; TWO queries changed by r12 code
 # (sink_python_datasource and streaming_sink_python_datasource: the
 # shared sharded-sink abort cleanup now swallows only FileNotFoundError
-# and logs other OSErrors, r11 ADVICE item 3); TWELVE r12-NEW queries
+# and logs other OSErrors, r11 ADVICE item 3); THIRTEEN r12-NEW queries
 # (graph_scc_kosaraju — Kosaraju SCC via forward∩backward bounded
 # recursive CTEs over a pre-squared step relation, the banked §7.4 r12
 # candidate, Tarjan-replay-tested; agg_ams_f2_sketch — AMS/tug-of-war
@@ -129,19 +129,23 @@ _MODULES = [
 # query pulled forward in-round: md5-geometric nested layers, greedy
 # upper-layer descent from ONE global entry, layer-0 beam seeded by the
 # descent — beats the flat query's 32 spread entries at sf0.1, recall
-# 21/25 vs 17/25, all value-exact);
+# 21/25 vs 17/25, all value-exact;
+# graph_closeness_centrality — the r13-banked centrality complement
+# pulled forward in-round: h-bounded harmonic centrality over the SCC
+# trade graph, bounded recursive walk + integer permille, BFS-replay-
+# tested);
 # the SEVEN r4-displaced fills (q19_disjunctive_revenue,
 # agg_filtered_counts, scalar_bitwise_funcs, sim_ivf_topk,
 # window_moving_avg, window_rank_dense, window_running_total); and
-# EIGHTEEN of the 23 r5-verified third-confirmation fills (the r5
-# block minus its last names q10_returned_revenue,
-# q13_customer_distribution, q14_promo_share, q3_shipping_priority and
-# q4_priority_late_ship, displaced by the six late-wave newcomers
-# together with the provisional r6 fill agg_approx_distinct_sketch —
-# all six front the r13 fill pool).
-# 2 + 9 + 2 + 12 + 7 + 18 = 50. After a green r12, every pre-r11
+# SEVENTEEN of the 23 r5-verified third-confirmation fills (the r5
+# block minus its last names join_semi_customers_with_urgent,
+# q10_returned_revenue, q13_customer_distribution, q14_promo_share,
+# q3_shipping_priority and q4_priority_late_ship, displaced by the
+# seven late-wave newcomers together with the provisional r6 fill
+# agg_approx_distinct_sketch — all seven front the r13 fill pool).
+# 2 + 9 + 2 + 13 + 7 + 17 = 50. After a green r12, every pre-r11
 # query is driver-confirmed at least twice, the r11 newcomers twice,
-# and only the 12 r12 newcomers owe their second confirmation.
+# and only the 13 r12 newcomers owe their second confirmation.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
@@ -172,6 +176,7 @@ _DRIVER_WINDOW = [
     "sim_knn_graph_search",
     "streaming_cusum_monitor",
     "sim_hnsw_layers",
+    "graph_closeness_centrality",
     # the 7 fills displaced since r4 (front of the committed fill pool)
     "q19_disjunctive_revenue",
     "agg_filtered_counts",
@@ -180,8 +185,8 @@ _DRIVER_WINDOW = [
     "window_moving_avg",
     "window_rank_dense",
     "window_running_total",
-    # 18 of the 23 r5-verified block names (third confirmation; the
-    # last five were displaced to the r13 fill pool by late-wave work)
+    # 17 of the 23 r5-verified block names (third confirmation; the
+    # last six were displaced to the r13 fill pool by late-wave work)
     "agg_argmax_orders",
     "agg_collect_sorted_sets",
     "agg_cube_quantity",
@@ -199,7 +204,6 @@ _DRIVER_WINDOW = [
     "join_inner_basic",
     "join_left_order_counts",
     "join_right_outer_orders",
-    "join_semi_customers_with_urgent",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

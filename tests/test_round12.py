@@ -381,6 +381,43 @@ def test_streaming_cusum_equals_batch(spark):
         assert streamed == batch, sf
 
 
+def test_closeness_matches_bfs_replay(spark):
+    """Harmonic centrality must equal a pure-Python BFS replay (hop
+    distances bounded at _CC_HOPS) over the collected edges, per node,
+    at both parity SFs."""
+    from collections import deque
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = [
+            (r["src"], r["dst"]) for r in a7._scc_edges(spark, sf).collect()
+        ]
+        adj: dict[str, list[str]] = {}
+        nodes = set()
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+            nodes.add(s)
+            nodes.add(d)
+        got = {
+            r["node"]: (r["n_reached"], r["harmonic_permille"])
+            for r in a7.graph_closeness_centrality(spark, sf).collect()
+        }
+        assert set(got) == nodes, sf
+        for u in nodes:
+            dist = {u: 0}
+            dq = deque([u])
+            while dq:
+                x = dq.popleft()
+                if dist[x] >= a7._CC_HOPS:
+                    continue
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        dq.append(y)
+            reach = {v: h for v, h in dist.items() if v != u and h >= 1}
+            h_sum = sum(1000 // h for h in reach.values())
+            assert got[u] == (len(reach), h_sum), (sf, u)
+
+
 def test_hnsw_recall_and_shape(spark):
     """sim_hnsw_layers invariants: full 5x5 result, per-query distances
     non-decreasing in rank, self never reported, and recall@5 clears
