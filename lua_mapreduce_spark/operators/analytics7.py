@@ -898,6 +898,41 @@ _NSW_DIST_DUCK = (
 )
 
 
+# (sigs, layer-0 graph), materialized once per (applicationId, sf_dir) —
+# the flat NSW query and the layered HNSW query build IDENTICAL layer-0
+# k-NN graphs from the same signature scan (the _MB_ITEMS_CACHE /
+# graph-family shared-relation convention), so one build serves both.
+_NSW_BASE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def clear_nsw_cache() -> None:
+    """Drop the memoized NSW substrate (localCheckpoint blocks are freed
+    by the ContextCleaner once unreferenced)."""
+    _NSW_BASE_CACHE.clear()
+
+
+def _nsw_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(sigs, g0): the shared signature scan and the symmetrized
+    degree-_NSW_G layer-0 k-NN graph, built once per (session, sf_dir)
+    and reused by both graph-ANN queries — results are bit-identical to
+    per-query builds because the computation is deterministic."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    cached = _NSW_BASE_CACHE.get(key)
+    if cached is None:
+        # _MB_ITEMS_CACHE eviction convention: only the current
+        # (session, sf_dir) entry stays live across SF switches.
+        clear_nsw_cache()
+        q = _nsw_sigs(spark, sf_dir)
+        g0 = _nsw_knn_graph(_nsw_stack(q), _NSW_G).localCheckpoint(
+            eager=True
+        )
+        cached = (q, g0)
+        _NSW_BASE_CACHE[key] = cached
+    return cached
+
+
 def _nsw_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, qv, sig0..sigL): quantized vectors + the L multitable
     LSH signatures, one scan, localCheckpoint'd — the shared substrate
@@ -1099,10 +1134,7 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     this plan preserves that: the only corpus-wide passes are the scan
     that builds signatures and the truth pass (which exists for the
     recall audit, not the search)."""
-    q = _nsw_sigs(spark, sf_dir)
-    graph = _nsw_knn_graph(_nsw_stack(q), _NSW_G).localCheckpoint(
-        eager=True
-    )
+    q, graph = _nsw_base(spark, sf_dir)
     queries = q.filter(F.col("vec_id") < _NSW_Q).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )
@@ -1164,14 +1196,15 @@ def sim_hnsw_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparable with the flat query's.
 
     Scale shape: three bounded-bucket graph builds over one shared
-    signature scan; upper layers shrink geometrically (the HNSW size
+    signature scan — the layer-0 build is MEMOIZED with the flat NSW
+    query's (identical inputs, _nsw_base), so a process running both
+    pays for it once; upper layers shrink geometrically (the HNSW size
     argument), descent touches degree+1 rows per query per step, the
     layer-0 beam is beam x degree x rounds — all independent of corpus
     size; the truth pass exists only for the recall audit."""
-    q = _nsw_sigs(spark, sf_dir)
+    q, g0 = _nsw_base(spark, sf_dir)
     long = _nsw_stack(q)
     lvl = md5_bigint_expr(_HNSW_LVL)
-    g0 = _nsw_knn_graph(long, _NSW_G).localCheckpoint(eager=True)
     g1 = _nsw_knn_graph(
         long.filter(F.expr(f"{lvl} % {_HNSW_L1_MOD} = 0")), _HNSW_GU
     ).localCheckpoint(eager=True)
@@ -1182,8 +1215,20 @@ def sim_hnsw_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )
     nodes = q.select("vec_id", "qv")
-    entry2 = q.filter(F.expr(f"{lvl} % {_HNSW_L2_MOD} = 0")).agg(
-        F.expr("CAST(MIN(vec_id) AS BIGINT)").alias("v")
+    # Entry fallback: if no vector hashes to level 2 (possible on a
+    # small corpus — MIN over an empty filter is NULL, which would
+    # empty the seed join and silently return 0 rows), enter at the
+    # layer-1 minimum, then the global minimum. The greedy steps over
+    # a layer graph that lacks the entry are no-ops (the expand join
+    # finds no edges, the merge keeps the beam), so both engines
+    # degenerate identically; the oracle mirrors this COALESCE.
+    entry2 = q.agg(
+        F.expr(
+            f"CAST(COALESCE("
+            f"MIN(CASE WHEN {lvl} % {_HNSW_L2_MOD} = 0 THEN vec_id END),"
+            f" MIN(CASE WHEN {lvl} % {_HNSW_L1_MOD} = 0 THEN vec_id END),"
+            f" MIN(vec_id)) AS BIGINT)"
+        ).alias("v")
     )
 
     cur = _beam_truncate(
@@ -1406,8 +1451,11 @@ qs AS (
   SELECT vec_id AS query_id, qv AS qqv FROM sigs WHERE vec_id < {_NSW_Q}),
 nodes AS (SELECT vec_id, qv FROM sigs),
 entry2 AS (
-  SELECT CAST(MIN(vec_id) AS BIGINT) AS v FROM sigs
-  WHERE {lvl} % {_HNSW_L2_MOD} = 0),
+  SELECT CAST(COALESCE(
+    MIN(CASE WHEN {lvl} % {_HNSW_L2_MOD} = 0 THEN vec_id END),
+    MIN(CASE WHEN {lvl} % {_HNSW_L1_MOD} = 0 THEN vec_id END),
+    MIN(vec_id)) AS BIGINT) AS v
+  FROM sigs),
 c0 AS MATERIALIZED (
   SELECT q.query_id AS query_id, e.v AS v,
          {dist("q.qqv", "nd.qv")} AS d
@@ -1696,6 +1744,10 @@ def curation_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     objectives, > in at least one). Objectives here: length (n_chars,
     maximize) and lexical diversity (1000*distinct_words DIV words in
     permille, maximize) — both exact integers from one tokenize pass.
+    A token-free document is DEFINED to have diversity 0 (not NULL) in
+    both engines and the test replay alike: NULL would silently drop
+    the row engine-side while the oracle's NOT EXISTS dominance test
+    keeps it (no b satisfies a NULL predicate), a latent divergence.
 
     The ENGINE never tests dominance pairwise: for the 2-D case the
     skyline has a sweep-line form — per distinct length, U(c) =
@@ -1721,8 +1773,8 @@ def curation_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "c",
         F.expr(
-            f"CAST(1000 * size(array_distinct({words_expr('text')}))"
-            f" DIV size({words_expr('text')}) AS BIGINT)"
+            f"CAST(COALESCE(1000 * size(array_distinct({words_expr('text')}))"
+            f" DIV NULLIF(size({words_expr('text')}), 0), 0) AS BIGINT)"
         ).alias("u"),
     )
     hist = metrics.groupBy("c").agg(F.expr("MAX(u)").alias("u_max"))
@@ -1752,8 +1804,8 @@ def curation_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKYLINE_ORACLE = f"""
 WITH metrics AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS c,
-         CAST(1000 * len(list_distinct({oracle_words_expr("text")}))
-              // len({oracle_words_expr("text")}) AS BIGINT) AS u
+         CAST(COALESCE(1000 * len(list_distinct({oracle_words_expr("text")}))
+              // NULLIF(len({oracle_words_expr("text")}), 0), 0) AS BIGINT) AS u
   FROM documents)
 SELECT doc_id, c AS n_chars, u AS uniq_permille
 FROM metrics a

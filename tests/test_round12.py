@@ -318,7 +318,9 @@ def test_nsw_truth_labels_and_recall(spark):
     """sim_knn_graph_search invariants: the in_true verdicts must match
     an independent brute-force top-K replayed in DuckDB, found_dist must
     be non-decreasing in rank per query, and recall@5 must clear a
-    conservative floor (measured 24/25 and 23/25 at the parity SFs)."""
+    floor just below the measured values (24/25 and 23/25 at the parity
+    SFs — floor 20, tight enough that a broken symmetrization or a
+    halved-recall regression fails instead of coasting)."""
     from lua_mapreduce_spark.operators.analytics6 import _KM_SCALE
 
     for sf in (SF_SMALL, SF_MEDIUM):
@@ -359,7 +361,7 @@ def test_nsw_truth_labels_and_recall(spark):
         for qid, rs in by_q.items():
             ds = [d for _, d in sorted(rs)]
             assert all(a <= b for a, b in zip(ds, ds[1:])), (sf, qid)
-        assert n_hits >= 15, (sf, n_hits)
+        assert n_hits >= 20, (sf, n_hits)
 
 
 def test_streaming_cusum_equals_batch(spark):
@@ -420,11 +422,12 @@ def test_closeness_matches_bfs_replay(spark):
 
 def test_hnsw_recall_and_shape(spark):
     """sim_hnsw_layers invariants: full 5x5 result, per-query distances
-    non-decreasing in rank, self never reported, and recall@5 clears
-    the same conservative floor as the flat NSW query (measured 23/25
-    and 21-24/25 at the parity SFs) — the hierarchy must not be worse
-    than the flat query's floor despite seeding from ONE descent node
-    instead of 32 spread entries."""
+    non-decreasing in rank, self never reported, recall@5 clears a
+    floor just below the measured values (23/25 and 21-24/25 at the
+    parity SFs — floor 20), AND the hierarchy's recall stays within a
+    small slack of the flat NSW query's measured in the same run — the
+    routing claim (ONE descent entry replacing 32 spread entries)
+    pinned as a relative gate, not just an absolute floor."""
     for sf in (SF_SMALL, SF_MEDIUM):
         rows = a7.sim_hnsw_layers(spark, sf).collect()
         assert len(rows) == a7._NSW_Q * a7._NSW_K
@@ -439,7 +442,11 @@ def test_hnsw_recall_and_shape(spark):
         for qid, rs in by_q.items():
             ds = [d for _, d in sorted(rs)]
             assert all(a <= b for a, b in zip(ds, ds[1:])), (sf, qid)
-        assert n_hits >= 15, (sf, n_hits)
+        assert n_hits >= 20, (sf, n_hits)
+        flat_hits = sum(
+            r["in_true"] for r in a7.sim_knn_graph_search(spark, sf).collect()
+        )
+        assert n_hits >= flat_hits - 3, (sf, n_hits, flat_hits)
 
 
 def test_hnsw_levels_are_nested_and_populated(spark):
