@@ -282,6 +282,10 @@ EXTENDED_MEDIAN = {
     "sim_hnsw_layers",
     # depth-12 recursive walk: per-level recursion fixed cost (~3 s)
     "graph_closeness_centrality",
+    # r13 newcomer in the straggler band: IVF routing + PQ encode + the
+    # shortlist re-rank chains ~8 jobs over the two cached trainers —
+    # cold/warm asymmetry like its parents, start the series as medians
+    "sim_ivf_pq_hybrid",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

@@ -21,6 +21,7 @@ from lua_mapreduce_spark.operators import (
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
     curation,
     dedup,
     events,
@@ -71,6 +72,7 @@ _MODULES = [
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
     pq,
     sources_ops,
 ]
@@ -87,83 +89,60 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-12 window (executes the committed SURVEY §2.6 r12 pre-plan): the
-# two pins; the NINE r11-new queries owing their second confirmation —
-# two of which (agg_kmv_theta_sketch: err_permille guarded against an
-# empty intersection; tpch_refresh_streams: audit regrained to a LEFT
-# join + COALESCE so a fully-deleted status still reports its delta)
-# also CHANGED early-r12 per the r11 ADVICE, so this confirmation also
-# covers the changed plans; TWO queries changed by r12 code
-# (sink_python_datasource and streaming_sink_python_datasource: the
-# shared sharded-sink abort cleanup now swallows only FileNotFoundError
-# and logs other OSErrors, r11 ADVICE item 3); THIRTEEN r12-NEW queries
-# (graph_scc_kosaraju — Kosaraju SCC via forward∩backward bounded
-# recursive CTEs over a pre-squared step relation, the banked §7.4 r12
-# candidate, Tarjan-replay-tested; agg_ams_f2_sketch — AMS/tug-of-war
-# second-moment sketch, median-of-means in exact integers, F2 = the
-# events self-join size; curation_quality_auc — histogram rank-sum
-# Mann-Whitney AUC per lang in 2x integer units; curation_label_agreement
-# — Cohen's kappa between two noisy labeling passes, integer
-# cross-multiplication; layout_bloom_file_index — per-file Bloom skipping
-# index with present/absent probe workload, false-positive and
-# files-skipped accounting; streaming_countmin_totals — Count-Min sketch
-# maintained in the state store across micro-batches, order-insensitive
-# pure-sum state so the oracle replays cells and probes bit-for-bit;
-# events_changepoint_cusum — retrospective CUSUM change-point argmax,
-# integer-exact via the n-scaled statistic, Python-replay-tested;
-# curation_pareto_skyline — 2-D Pareto frontier via the sweep-line
-# histogram algebra, value-verified against the oracle's O(n²)
-# definitional NOT EXISTS dominance;
-# graph_mst_maximum_spanning — the trade backbone: maximum-spanning-
-# forest membership via the min-max/bottleneck semiring closure
-# (5 relation doublings, no union-find, no sequential Kruskal scan),
-# Kruskal-replay-tested;
-# sim_knn_graph_search — NSW-style graph ANN: beam search over an
-# LSH-built k-NN graph on the integer grid, multi-entry restarts,
-# recall@5 against the exact top-K IN the gated output;
-# streaming_cusum_monitor — the r13-banked streaming face of the CUSUM
-# detector pulled forward in-round: streamed hourly state -> snapshot
-# -> the shared cusum_argmax tail, oracle shared VERBATIM with the
-# batch query;
-# sim_hnsw_layers — the r13-banked hierarchical completion of the NSW
-# query pulled forward in-round: md5-geometric nested layers, greedy
-# upper-layer descent from ONE global entry, layer-0 beam seeded by the
-# descent — beats the flat query's 32 spread entries at sf0.1, recall
-# 21/25 vs 17/25, all value-exact;
-# graph_closeness_centrality — the r13-banked centrality complement
-# pulled forward in-round: h-bounded harmonic centrality over the SCC
-# trade graph, bounded recursive walk + integer permille, BFS-replay-
-# tested);
-# the SEVEN r4-displaced fills (q19_disjunctive_revenue,
-# agg_filtered_counts, scalar_bitwise_funcs, sim_ivf_topk,
-# window_moving_avg, window_rank_dense, window_running_total); and
-# SEVENTEEN of the 23 r5-verified third-confirmation fills (the r5
-# block minus its last names join_semi_customers_with_urgent,
-# q10_returned_revenue, q13_customer_distribution, q14_promo_share,
-# q3_shipping_priority and q4_priority_late_ship, displaced by the
-# seven late-wave newcomers together with the provisional r6 fill
-# agg_approx_distinct_sketch — all seven front the r13 fill pool).
-# 2 + 9 + 2 + 13 + 7 + 17 = 50. After a green r12, every pre-r11
-# query is driver-confirmed at least twice, the r11 newcomers twice,
-# and only the 13 r12 newcomers owe their second confirmation.
+# Round-13 window (executes the committed SURVEY §2.6 r13 pre-plan): the
+# two pins; FOUR r13-NEW queries
+# (text_minhash_containment — Broder's asymmetric containment
+# C(A,B)=|A∩B|/|A| per banded-LSH candidate pair, exact both directions
+# plus the signature-derived estimate, the quote/near-subset reading the
+# symmetric dedup family misses;
+# sim_ivf_pq_hybrid — the FAISS IVFADC composition: IVF cell routing
+# (shared sim_ivf_topk centroids) -> PQ ADC shortlist over routed
+# candidates only (shared sim_pq_adc_topk codebooks) -> exact integer-L2
+# re-rank, full-scan truth rides along so the compounded two-stage
+# recall is gated output;
+# layout_hilbert_keys — Hilbert-curve clustering keys vs z-order, both
+# on the same 10-bit scaled coordinates and judged by the same zone-map
+# skipping estimator under identical probes — curve-vs-curve locality as
+# a measured skip_permille;
+# curation_dataset_card — the release dataset card: corpus totals,
+# lang/source mix, length deciles, exact-dup rate and decontamination
+# overlap as ONE tall integer-exact report composed from existing
+# machinery);
+# the THIRTEEN r12-new queries owing their second confirmation — three
+# of which also CHANGED early-r13 per the r12 ADVICE
+# (curation_pareto_skyline: diversity defined 0 for token-free docs in
+# both engines; sim_hnsw_layers: layer-2 entry COALESCE fallback, plus
+# the memoized layer-0 graph build shared with sim_knn_graph_search —
+# which changed with it), so this confirmation also covers the changed
+# plans; and THIRTY-ONE fills from the stale pool, per the committed
+# fill order: FIRST the six r7-displaced names
+# (join_semi_customers_with_urgent, q10_returned_revenue,
+# q13_customer_distribution, q14_promo_share, q3_shipping_priority,
+# q4_priority_late_ship) and the displaced r6 fill
+# agg_approx_distinct_sketch, THEN the r6 block
+# (agg_approx_percentile_sketch, streaming_anomaly_hours,
+# streaming_session_windows, streaming_sliding_counts, text_bigrams,
+# text_boilerplate_ngrams, text_chunk_tokens, text_decontaminate,
+# text_normalize_pandas_udf, udaf_group_median_pandas), THEN fourteen of
+# the r7-verified block in name order (the scalar_* names are excluded
+# from this slice: their per-name verification rounds diverged across
+# r4/r6 displacements, so they rotate with their own recorded rounds in
+# the r14 pool instead of as a block).
+# 2 + 4 + 13 + 31 = 50. After a green r13, every pre-r12 query is
+# driver-confirmed at least twice, the r12 newcomers twice, and only
+# the 4 r13 newcomers owe their second confirmation (the r14 window's
+# first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r11-new queries (second confirmation); agg_kmv_theta_sketch and
-    # tpch_refresh_streams also early-r12-changed (r11 ADVICE items 1-2)
-    "tpch_refresh_streams",
-    "layout_vacuum_plan",
-    "sim_kmeans_lloyd",
-    "layout_zonemap_skipping",
-    "multimodal_audio_vad",
-    "agg_kmv_theta_sketch",
-    "curation_filter_drift",
-    "streaming_kmv_distinct",
-    "dedup_minhash_b_bit",
-    # r12-changed queries (shared sink abort-cleanup, r11 ADVICE item 3)
-    "sink_python_datasource",
-    "streaming_sink_python_datasource",
-    # r12-new queries
+    # r13-new queries
+    "text_minhash_containment",
+    "sim_ivf_pq_hybrid",
+    "layout_hilbert_keys",
+    "curation_dataset_card",
+    # r12-new queries (second confirmation; curation_pareto_skyline,
+    # sim_hnsw_layers and sim_knn_graph_search also r13-changed per the
+    # r12 ADVICE items 1-2 + the shared layer-0 graph memoization)
     "graph_scc_kosaraju",
     "agg_ams_f2_sketch",
     "curation_quality_auc",
@@ -177,33 +156,41 @@ _DRIVER_WINDOW = [
     "streaming_cusum_monitor",
     "sim_hnsw_layers",
     "graph_closeness_centrality",
-    # the 7 fills displaced since r4 (front of the committed fill pool)
-    "q19_disjunctive_revenue",
-    "agg_filtered_counts",
-    "scalar_bitwise_funcs",
-    "sim_ivf_topk",
-    "window_moving_avg",
-    "window_rank_dense",
-    "window_running_total",
-    # 17 of the 23 r5-verified block names (third confirmation; the
-    # last six were displaced to the r13 fill pool by late-wave work)
-    "agg_argmax_orders",
-    "agg_collect_sorted_sets",
-    "agg_cube_quantity",
-    "agg_distinct_counts",
-    "agg_exact_variance",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_histogram_bins",
-    "agg_minmax_stats",
-    "agg_rollup_revenue",
-    "asof_join_attribution",
-    "events_daily_activity",
-    "join_cross_region_status",
-    "join_full_outer_nation_presence",
-    "join_inner_basic",
-    "join_left_order_counts",
-    "join_right_outer_orders",
+    # fill pool front: the six r7-displaced names + the displaced r6
+    # fill (committed in the r12 rotation log)
+    "join_semi_customers_with_urgent",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "agg_approx_distinct_sketch",
+    # the r6 block (committed fill order, SURVEY §2.6 r13 pre-plan)
+    "agg_approx_percentile_sketch",
+    "streaming_anomaly_hours",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "text_bigrams",
+    "text_boilerplate_ngrams",
+    "text_chunk_tokens",
+    "text_decontaminate",
+    "text_normalize_pandas_udf",
+    "udaf_group_median_pandas",
+    # fourteen of the r7-verified block, name order
+    "agg_heavy_hitters_sketch",
+    "curation_pack_sequences",
+    "curation_sample_mixture",
+    "curation_shuffle_shards",
+    "multimodal_resize_thumbnail",
+    "sample_deterministic_hash",
+    "setop_union_intersect_except",
+    "sort_topk_orders",
+    "subquery_above_nation_avg",
+    "text_doc_stats",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_repetition_filter",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -208,10 +208,13 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
-    """Full replay: quantization, per-subspace Lloyd training, encoding,
-    ADC scoring — ends in the same (query_id, neighbor_id, adc_dist, rank)
-    relation."""
+def _pq_oracle_ctes() -> list[str]:
+    """The shared PQ oracle CTE chain — quantized vectors (``pq_qv``),
+    subspace split, bounded training sample, _PQ_ITERS Lloyd rounds,
+    per-vector codes (``pq_codes``) and per-query ADC lookup tables
+    (``pq_dtab``). Reused verbatim by the IVF+PQ hybrid oracle
+    (analytics8.py) so the two oracles can never train different
+    codebooks."""
     qv_sql = (
         "list_transform(embedding,"
         " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -264,21 +267,43 @@ def _pq_oracle() -> str:
   SELECT s.vec_id AS q_id, s.m, c.code, {dist} AS d
   FROM pq_sub s JOIN {cb} c ON s.m = c.m
   WHERE s.vec_id < {_PQ_QUERIES})""")
+    return ctes
+
+
+def _pq_scored_cte(from_sql: str, v: str, q: str) -> str:
+    """``pq_scored`` CTE text: ADC-score every (query, vector) row that
+    ``from_sql`` yields — ``{v}.vec_id`` / ``{q}.q_id`` name the two id
+    columns — via the M code/table joins and the left-associated sum.
+    Shared by the full-scan PQ oracle and the IVF-routed hybrid."""
     code_joins = "\n".join(
-        f"JOIN pq_codes k{m} ON k{m}.vec_id = v.vec_id AND k{m}.m = {m}\n"
-        f"JOIN pq_dtab t{m} ON t{m}.q_id = q.q_id AND t{m}.m = {m}"
+        f"JOIN pq_codes k{m} ON k{m}.vec_id = {v}.vec_id AND k{m}.m = {m}\n"
+        f"JOIN pq_dtab t{m} ON t{m}.q_id = {q}.q_id AND t{m}.m = {m}"
         f" AND t{m}.code = k{m}.code"
         for m in range(_PQ_M)
     )
     adc = "t0.d"
     for m in range(1, _PQ_M):
         adc = f"({adc}) + t{m}.d"
-    ctes.append(f"""pq_scored AS (
-  SELECT q.q_id AS query_id, v.vec_id AS neighbor_id, {adc} AS adc_dist
-  FROM (SELECT DISTINCT vec_id FROM pq_qv) v
-  CROSS JOIN (SELECT DISTINCT q_id FROM pq_dtab) q
+    return f"""pq_scored AS (
+  SELECT {q}.q_id AS query_id, {v}.vec_id AS neighbor_id, {adc} AS adc_dist
+  FROM {from_sql}
   {code_joins}
-  WHERE v.vec_id != q.q_id)""")
+  WHERE {v}.vec_id != {q}.q_id)"""
+
+
+def _pq_oracle() -> str:
+    """Full replay: quantization, per-subspace Lloyd training, encoding,
+    ADC scoring — ends in the same (query_id, neighbor_id, adc_dist, rank)
+    relation."""
+    ctes = _pq_oracle_ctes()
+    ctes.append(
+        _pq_scored_cte(
+            "(SELECT DISTINCT vec_id FROM pq_qv) v"
+            "\n  CROSS JOIN (SELECT DISTINCT q_id FROM pq_dtab) q",
+            v="v",
+            q="q",
+        )
+    )
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT query_id, neighbor_id, adc_dist, rank FROM (

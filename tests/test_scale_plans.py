@@ -116,6 +116,7 @@ _PYTHON_OK = {
     "multimodal_audio_vad",  # Arrow-batched WAV decode+segment pass by design
     "udtf_ngram_shingles",  # Python UDTF surface IS the operator
     "sim_pq_adc_topk",  # one-task PQ codebook trainer (applyInPandas)
+    "sim_ivf_pq_hybrid",  # both one-task trainers (centroids + codebooks)
 }
 # Queries allowed a nested-loop/cartesian strategy (broadcast-tiny sides or
 # intentionally non-equi join conditions).
@@ -163,6 +164,9 @@ _NESTED_LOOP_OK = {
     "layout_bloom_file_index", # 1-row max-doc-id broadcast cross join
     "sim_knn_graph_search",    # 32-row entry / 5-row query-set broadcast cross joins
     "sim_hnsw_layers",         # 1-row entry / 5-row query-set broadcast cross joins
+    "sim_ivf_pq_hybrid",       # 8-row centroid + 10-row query-vector cross joins
+    "layout_hilbert_keys",     # 1-row bounds + 20-row probe broadcast cross joins
+    "curation_dataset_card",   # 1-row totals + 9-row decile-k broadcast cross joins
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -272,6 +276,14 @@ _BROADCAST_OK = {
     ("analytics7.py", "queries"),     # fixed _NSW_Q=5 query vectors
     ("analytics7.py", "entry2"),      # single-row min-vec-id aggregate (HNSW)
     ("streaming_ops.py", "sketch"),   # grouped by event_type: <= |types| rows
+    ("analytics8.py", "cent"),        # fixed _N_CENTROIDS=8 trained centroids
+    ("analytics8.py", "cb"),          # fixed M*K codebook rows (16x16 = 256)
+    ("analytics8.py", "wide"),        # fixed query-set ADC tables (10 rows)
+    ("analytics8.py", "qa"),          # fixed query vectors (vec_id < 10)
+    ("analytics8.py", "bounds"),      # single-row global min/max aggregate
+    ("analytics8.py", "preds"),       # fixed 2 x _HC_PREDS probe predicates
+    ("analytics8.py", "tot"),         # single-row corpus-totals aggregate
+    ("analytics8.py", "ks"),          # fixed _DC_DECILES=9 decile indices
 }
 
 
