@@ -282,10 +282,13 @@ EXTENDED_MEDIAN = {
     "sim_hnsw_layers",
     # depth-12 recursive walk: per-level recursion fixed cost (~3 s)
     "graph_closeness_centrality",
-    # r13 newcomer in the straggler band: IVF routing + PQ encode + the
+    # r13 newcomers in the straggler band: IVF routing + PQ encode + the
     # shortlist re-rank chains ~8 jobs over the two cached trainers —
-    # cold/warm asymmetry like its parents, start the series as medians
+    # cold/warm asymmetry like its parents; the betweenness DP runs the
+    # depth-12 recursion plus 11 localCheckpoint'd sigma rounds (pure
+    # per-round fixed cost, the SCC/closeness band)
     "sim_ivf_pq_hybrid",
+    "graph_betweenness_centrality",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

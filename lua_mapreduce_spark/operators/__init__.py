@@ -22,6 +22,7 @@ from lua_mapreduce_spark.operators import (
     analytics6,
     analytics7,
     analytics8,
+    analytics9,
     curation,
     dedup,
     events,
@@ -73,6 +74,7 @@ _MODULES = [
     analytics6,
     analytics7,
     analytics8,
+    analytics9,
     pq,
     sources_ops,
 ]
@@ -114,7 +116,7 @@ _MODULES = [
 # both engines; sim_hnsw_layers: layer-2 entry COALESCE fallback, plus
 # the memoized layer-0 graph build shared with sim_knn_graph_search —
 # which changed with it), so this confirmation also covers the changed
-# plans; and THIRTY-ONE fills from the stale pool, per the committed
+# plans; and TWENTY-SEVEN fills from the stale pool, per the committed
 # fill order: FIRST the six r7-displaced names
 # (join_semi_customers_with_urgent, q10_returned_revenue,
 # q13_customer_distribution, q14_promo_share, q3_shipping_priority,
@@ -123,23 +125,34 @@ _MODULES = [
 # (agg_approx_percentile_sketch, streaming_anomaly_hours,
 # streaming_session_windows, streaming_sliding_counts, text_bigrams,
 # text_boilerplate_ngrams, text_chunk_tokens, text_decontaminate,
-# text_normalize_pandas_udf, udaf_group_median_pandas), THEN fourteen of
-# the r7-verified block in name order (the scalar_* names are excluded
+# text_normalize_pandas_udf, udaf_group_median_pandas), THEN ten of
+# the r7-verified block in name order — the second wave displaced the
+# block's last four names (text_fingerprint, text_langid,
+# text_quality_score, text_repetition_filter), which front the r14
+# fill pool (the scalar_* names are excluded
 # from this slice: their per-name verification rounds diverged across
 # r4/r6 displacements, so they rotate with their own recorded rounds in
 # the r14 pool instead of as a block).
-# 2 + 4 + 13 + 31 = 50. After a green r13, every pre-r12 query is
+# 2 + 8 + 13 + 27 = 50. After a green r13, every pre-r12 query is
 # driver-confirmed at least twice, the r12 newcomers twice, and only
-# the 4 r13 newcomers owe their second confirmation (the r14 window's
+# the 8 r13 newcomers owe their second confirmation (the r14 window's
 # first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r13-new queries
+    # r13-new queries (first wave: the four banked candidates)
     "text_minhash_containment",
     "sim_ivf_pq_hybrid",
     "layout_hilbert_keys",
     "curation_dataset_card",
+    # r13-new queries (second wave: the r14 bank pulled forward —
+    # explicit-register HLL, Brandes betweenness, dyadic Holt
+    # smoothing, RAKE phrases; they displace the last four r7-block
+    # fills, which front the r14 pool)
+    "agg_hll_sketch",
+    "graph_betweenness_centrality",
+    "events_holt_winters",
+    "text_rake_keywords",
     # r12-new queries (second confirmation; curation_pareto_skyline,
     # sim_hnsw_layers and sim_knn_graph_search also r13-changed per the
     # r12 ADVICE items 1-2 + the shared layer-0 graph memoization)
@@ -176,7 +189,7 @@ _DRIVER_WINDOW = [
     "text_decontaminate",
     "text_normalize_pandas_udf",
     "udaf_group_median_pandas",
-    # fourteen of the r7-verified block, name order
+    # ten of the r7-verified block, name order
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
@@ -187,10 +200,6 @@ _DRIVER_WINDOW = [
     "sort_topk_orders",
     "subquery_above_nation_avg",
     "text_doc_stats",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
-    "text_repetition_filter",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

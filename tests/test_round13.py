@@ -12,6 +12,7 @@ import re
 import duckdb
 
 from lua_mapreduce_spark.operators import analytics8 as a8
+from lua_mapreduce_spark.operators import analytics9 as a9
 from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
@@ -288,3 +289,256 @@ def test_dataset_card_internal_consistency(spark):
         )
         assert card[("corpus", "n_tokens")] > 0
         assert card[("corpus", "sum_chars")] > 0
+
+
+# --------------------------------------------------------------------------
+# agg_hll_sketch (second wave)
+# --------------------------------------------------------------------------
+
+
+def test_hll_registers_match_python_replay(spark):
+    """The register construction, the merge, the harmonic-mean estimate
+    and the error column must all equal a pure-Python replay of the md5
+    bit arithmetic and the register-ascending dyadic fold — at both
+    parity SFs."""
+    import hashlib
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        parts = [
+            r[0]
+            for r in con.execute(
+                f"SELECT l_partkey FROM '{sf}/lineitem.parquet'"
+            ).fetchall()
+        ]
+        regs: dict[str, dict[int, int]] = {}
+        exact: dict[str, set[int]] = {}
+        wbits = a9._HLL_WBITS
+        for pk in parts:
+            h = int(hashlib.md5(f"hll-{pk}".encode()).hexdigest()[:15], 16)
+            j, w = h >> wbits, h % (1 << wbits)
+            rank = (wbits + 1) if w == 0 else wbits - w.bit_length() + 1
+            name = f"bucket_{pk % 3}"
+            regs.setdefault(name, {})
+            regs[name][j] = max(regs[name].get(j, 0), rank)
+            exact.setdefault(name, set()).add(pk)
+        regs["merged"] = {}
+        for name in list(exact):
+            for j, r in regs[name].items():
+                regs["merged"][j] = max(regs["merged"].get(j, 0), r)
+        exact["merged"] = set().union(*exact.values())
+
+        def est(rd: dict[int, int]) -> int:
+            s = float(a9._HLL_M - len(rd))
+            for j in sorted(rd):
+                s += 1.0 / float(1 << rd[j])
+            return math.floor(a9._HLL_ALPHA * a9._HLL_M * a9._HLL_M / s)
+
+        rows = {r["set_name"]: r for r in a9.agg_hll_sketch(spark, sf).collect()}
+        assert set(rows) == set(regs), sf
+        for name, r in rows.items():
+            e_n = len(exact[name])
+            assert r["n_regs"] == len(regs[name]), (sf, name)
+            assert r["exact_n"] == e_n, (sf, name)
+            assert r["est_n"] == est(regs[name]), (sf, name)
+            assert r["err_permille"] == abs(r["est_n"] - e_n) * 1000 // e_n
+        # the three buckets are disjoint: exact counts sum to the merge
+        assert (
+            sum(rows[f"bucket_{b}"]["exact_n"] for b in range(3))
+            == rows["merged"]["exact_n"]
+        ), sf
+        # HLL at m=64 has ~13% relative std; 50% is a regression gate
+        assert rows["merged"]["err_permille"] <= 500, (sf, rows["merged"])
+
+
+# --------------------------------------------------------------------------
+# graph_betweenness_centrality (second wave)
+# --------------------------------------------------------------------------
+
+
+def test_betweenness_matches_python_replay(spark):
+    """Betweenness must equal an independent pure-Python replay: BFS
+    shortest-path counting per source (Brandes' sigma recurrence walked
+    forward) + the definitional per-(s,t) dependency with the SAME
+    integer truncation, hop-bounded at _BC_HOPS like both engines."""
+    from collections import deque
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+        edges = [
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        ]
+        adj: dict[str, list[str]] = {}
+        nodes: set[str] = set()
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+            nodes.add(s)
+            nodes.add(d)
+        dist: dict[tuple[str, str], int] = {}
+        sigma: dict[tuple[str, str], int] = {}
+        for s in nodes:
+            dist[(s, s)] = 0
+            sigma[(s, s)] = 1
+            dq = deque([s])
+            while dq:
+                x = dq.popleft()
+                dx = dist[(s, x)]
+                if dx >= a9._BC_HOPS:
+                    continue
+                for y in adj.get(x, ()):
+                    if (s, y) not in dist:
+                        dist[(s, y)] = dx + 1
+                        sigma[(s, y)] = 0
+                        dq.append(y)
+                    if dist[(s, y)] == dx + 1:
+                        sigma[(s, y)] += sigma[(s, x)]
+        want: dict[str, tuple[int, int]] = {v: (0, 0) for v in nodes}
+        for (s, v), d_sv in dist.items():
+            if s == v:
+                continue
+            for t in nodes:
+                if t == s or t == v:
+                    continue
+                d_vt = dist.get((v, t))
+                d_st = dist.get((s, t))
+                if d_vt is None or d_st is None or d_vt == 0:
+                    continue
+                if d_sv + d_vt == d_st:
+                    n, b = want[v]
+                    want[v] = (
+                        n + 1,
+                        b + 1000 * sigma[(s, v)] * sigma[(v, t)] // sigma[(s, t)],
+                    )
+        got = {
+            r["node"]: (r["n_pairs_through"], r["betweenness_milli"])
+            for r in a9.graph_betweenness_centrality(spark, sf).collect()
+        }
+        assert got == want, (sf, {k: (got.get(k), want.get(k)) for k in got if got.get(k) != want.get(k)})
+
+
+# --------------------------------------------------------------------------
+# events_holt_winters (second wave)
+# --------------------------------------------------------------------------
+
+
+def test_holt_weights_match_impulse_response(spark):
+    """The embedded steady-state weights must equal an INDEPENDENT
+    derivation — feeding unit impulses through a direct implementation
+    of the Holt recurrences (no matrix formulation) — and the collected
+    rows must satisfy the forecast and residual identities against the
+    raw hourly counts."""
+    from fractions import Fraction
+
+    a, b = a9._HW_ALPHA, a9._HW_BETA
+    for k in range(a9._HW_DEPTH):
+        # series: impulse at position 0, observed after k more steps
+        lvl, tr = Fraction(0), Fraction(0)
+        for i in range(k + 1):
+            x = Fraction(1) if i == 0 else Fraction(0)
+            new_lvl = a * x + (1 - a) * (lvl + tr)
+            tr = b * (new_lvl - lvl) + (1 - b) * tr
+            lvl = new_lvl
+        assert lvl == a9._HW_WL[k], k
+        assert tr == a9._HW_WT[k], k
+
+    scale = 1 << a9._HW_SCALE
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = a9.events_holt_winters(spark, sf).collect()
+        assert rows, sf
+        con = duckdb.connect()
+        hourly = {
+            (t, h): n
+            for t, h, n in con.execute(
+                f"""SELECT event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 3600, COUNT(*)
+                    FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+            ).fetchall()
+        }
+        series: dict[str, list[tuple[int, int]]] = {}
+        for (t, h), n in hourly.items():
+            series.setdefault(t, []).append((h, n))
+        for t in series:
+            series[t].sort()
+        idx = {
+            t: {h: i for i, (h, _) in enumerate(s)} for t, s in series.items()
+        }
+        for r in rows:
+            assert r["forecast_scaled"] == r["level_scaled"] + r["trend_scaled"]
+            s = series[r["event_type"]]
+            i = idx[r["event_type"]][r["hr"]]
+            lvl = sum(
+                int(a9._HW_WL[k] * scale) * s[i - k][1]
+                for k in range(a9._HW_DEPTH)
+            )
+            assert r["level_scaled"] == lvl, (sf, r)
+            assert (
+                r["residual_scaled"]
+                == s[i + 1][1] * scale - r["forecast_scaled"]
+            ), (sf, r)
+
+
+# --------------------------------------------------------------------------
+# text_rake_keywords (second wave)
+# --------------------------------------------------------------------------
+
+
+def test_rake_matches_python_replay(spark):
+    """Top-k phrases must equal a pure-Python RAKE replay: stopword
+    splitting, per-doc degree/frequency, per-word truncated permille
+    scores, the same (score DESC, phrase, island) tie-break."""
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        want: dict[int, list[tuple[int, str, int, int]]] = {}
+        for doc_id, text in docs:
+            toks = [w.lower() for w in re.findall(r"[A-Za-z]+", text)]
+            phrases: list[list[str]] = []
+            cur: list[str] = []
+            for w in toks:
+                if w in a9._RAKE_STOP:
+                    if cur:
+                        phrases.append(cur)
+                    cur = []
+                else:
+                    cur.append(w)
+            if cur:
+                phrases.append(cur)
+            freq: dict[str, int] = {}
+            deg: dict[str, int] = {}
+            for p in phrases:
+                for w in p:
+                    freq[w] = freq.get(w, 0) + 1
+                    deg[w] = deg.get(w, 0) + len(p)
+            scored = [
+                (
+                    -sum(deg[w] * 1000 // freq[w] for w in p),
+                    " ".join(p),
+                    i,
+                    len(p),
+                )
+                for i, p in enumerate(phrases)
+                if len(p) <= a9._RAKE_MAXLEN
+            ]
+            scored.sort()
+            want[doc_id] = [
+                (rank + 1, ph, k, -neg)
+                for rank, (neg, ph, _, k) in enumerate(
+                    scored[: a9._RAKE_TOPK]
+                )
+            ]
+        got: dict[int, list[tuple[int, str, int, int]]] = {}
+        for r in a9.text_rake_keywords(spark, sf).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["rank"], r["phrase"], r["n_words"], r["score_milli"])
+            )
+        for d in got:
+            got[d].sort()
+        want = {d: v for d, v in want.items() if v}
+        assert got == want, (
+            sf,
+            {d: (got.get(d), want.get(d)) for d in set(got) | set(want)
+             if got.get(d) != want.get(d)},
+        )

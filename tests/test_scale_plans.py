@@ -320,6 +320,8 @@ _COLLECT_OK = {
     ("relational4.py", "F.collect_set(F.col(\"l_linenumber\")"),  # <= 7 per order
     ("scale_ops.py", "F.collect_list(F.struct(\"w\", \"bits\"))"),  # <= _BLOOM_WORDS rows
     ("analytics6.py", "F.collect_list(F.struct(\"pos\", \"dim\"))"),  # <= _KM_DIM rows per centroid
+    ("analytics9.py", "collect_list(struct(reg, rank_bits))"),  # <= 64 registers per set (HLL domain)
+    ("analytics9.py", "collect_list(struct(pos, w))"),  # k <= _RAKE_MAXLEN filter gates rows first
 }
 
 
