@@ -23,6 +23,7 @@ from lua_mapreduce_spark.operators import (
     analytics7,
     analytics8,
     analytics9,
+    analytics10,
     curation,
     dedup,
     events,
@@ -75,6 +76,7 @@ _MODULES = [
     analytics7,
     analytics8,
     analytics9,
+    analytics10,
     pq,
     sources_ops,
 ]
@@ -116,7 +118,7 @@ _MODULES = [
 # both engines; sim_hnsw_layers: layer-2 entry COALESCE fallback, plus
 # the memoized layer-0 graph build shared with sim_knn_graph_search —
 # which changed with it), so this confirmation also covers the changed
-# plans; and TWENTY-SEVEN fills from the stale pool, per the committed
+# plans; and TWENTY-THREE fills from the stale pool, per the committed
 # fill order: FIRST the six r7-displaced names
 # (join_semi_customers_with_urgent, q10_returned_revenue,
 # q13_customer_distribution, q14_promo_share, q3_shipping_priority,
@@ -133,9 +135,9 @@ _MODULES = [
 # from this slice: their per-name verification rounds diverged across
 # r4/r6 displacements, so they rotate with their own recorded rounds in
 # the r14 pool instead of as a block).
-# 2 + 8 + 13 + 27 = 50. After a green r13, every pre-r12 query is
+# 2 + 12 + 13 + 23 = 50. After a green r13, every pre-r12 query is
 # driver-confirmed at least twice, the r12 newcomers twice, and only
-# the 8 r13 newcomers owe their second confirmation (the r14 window's
+# the 12 r13 newcomers owe their second confirmation (the r14 window's
 # first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -153,6 +155,13 @@ _DRIVER_WINDOW = [
     "graph_betweenness_centrality",
     "events_holt_winters",
     "text_rake_keywords",
+    # r13-new queries (third wave: bottom-k quantile sketch, LSH radius
+    # search, hour-of-day seasonal profile, streaming HLL registers;
+    # they displace the last four remaining fills to the r14 pool)
+    "agg_quantile_bottomk_sketch",
+    "sim_range_radius_search",
+    "events_seasonal_profile",
+    "streaming_hll_distinct",
     # r12-new queries (second confirmation; curation_pareto_skyline,
     # sim_hnsw_layers and sim_knn_graph_search also r13-changed per the
     # r12 ADVICE items 1-2 + the shared layer-0 graph memoization)
@@ -189,17 +198,15 @@ _DRIVER_WINDOW = [
     "text_decontaminate",
     "text_normalize_pandas_udf",
     "udaf_group_median_pandas",
-    # ten of the r7-verified block, name order
+    # six of the r7-verified block, name order (the third wave
+    # displaced setop_union_intersect_except, sort_topk_orders,
+    # subquery_above_nation_avg and text_doc_stats to the r14 pool)
     "agg_heavy_hitters_sketch",
     "curation_pack_sequences",
     "curation_sample_mixture",
     "curation_shuffle_shards",
     "multimodal_resize_thumbnail",
     "sample_deterministic_hash",
-    "setop_union_intersect_except",
-    "sort_topk_orders",
-    "subquery_above_nation_avg",
-    "text_doc_stats",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -36,6 +36,7 @@ from lua_mapreduce_spark.streaming.stateful import (
     drain_stream,
     stream_countmin_stateful,
     stream_dedup_events,
+    stream_hll_distinct_stateful,
     stream_kmv_distinct_stateful,
     stream_sliding_counts,
     stream_static_enrich,
@@ -456,6 +457,122 @@ def streaming_countmin_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user registers maintained ACROSS
+    micro-batches — the streaming face of agg_hll_sketch and the HLL
+    counterpart of streaming_kmv_distinct (same ground truth, different
+    sketch family: register maxima instead of K-minimum hashes, so the
+    two streaming estimates cross-check each other). After the drain
+    the settled 64-cell register array per event_type (max n_batches
+    row) feeds the dyadic harmonic-mean estimator as an index-ordered
+    array fold (cell 0 = empty register contributes exactly 1.0), the
+    exact distinct count joins in, and the error rides along in
+    permille. The oracle replays registers AND estimate from the batch
+    table — sound because register max is order-insensitive under any
+    batch slicing (the CM-sketch convention).
+
+    Estimator regime: this is the RAW harmonic-mean estimator. The
+    paper's small-range correction (linear counting, E <= 2.5m with
+    empty registers) needs ln() — a transcendental whose last-ulp
+    behavior differs across libm implementations, so it is deliberately
+    omitted to keep the estimate bit-identical cross-engine (the repo's
+    transcendental-free convention). Below n ~ m the raw estimate is
+    known-biased (the sf0.001 fixture's 15 distinct users read ~52);
+    from n >= ~2m it lands inside the 1.04/sqrt(m) band (sf0.01:
+    33-113 permille), and the err_permille column makes the regime
+    visible instead of hiding it.
+
+    Scale shape: state is 64 * 8 bytes per key regardless of stream
+    length or user cardinality; (register, rank) are JVM-side
+    expressions on the stream; the post-drain estimate folds a 64-cell
+    array over |event_types| rows."""
+    from lua_mapreduce_spark.streaming.stateful import _HLL_SM
+
+    sink = drain_stream(
+        stream_hll_distinct_stateful(_events_stream(spark, sf_dir)),
+        "stream_hll",
+        output_mode="update",
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
+    final = (
+        sink.groupBy("event_type")
+        .agg(F.max(F.struct("n_batches", "cells")).alias("s"))
+        .select("event_type", F.col("s.cells").alias("cells"))
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    # 0.709 = alpha_64 (Flajolet et al. 2007); every 2^-cell term is an
+    # exact dyadic double and the fold is index-ordered in both engines.
+    est = (
+        f"CAST(floor(0.709 * {_HLL_SM} * {_HLL_SM} /"
+        " aggregate(cells, CAST(0.0 AS DOUBLE), (acc, c) ->"
+        " acc + 1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(c AS INT))"
+        " AS DOUBLE))) AS BIGINT)"
+    )
+    return (
+        final.join(exact, "event_type")
+        .withColumn("est_distinct", F.expr(est))
+        .select(
+            "event_type",
+            F.expr("CAST(exact_distinct AS BIGINT)").alias("exact_distinct"),
+            "est_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000"
+                " DIV exact_distinct"
+            ).alias("err_permille"),
+        )
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from lua_mapreduce_spark.functions.texthash import oracle_md5_bigint_expr
+    from lua_mapreduce_spark.streaming.stateful import _HLL_SM, _HLL_SWBITS
+
+    h = oracle_md5_bigint_expr(
+        "concat('shll-', event_type, '|', CAST(user_id AS VARCHAR))"
+    )
+    est = (
+        f"CAST(floor(0.709 * {_HLL_SM} * {_HLL_SM} /"
+        " list_sum(list_transform(cells, c ->"
+        " 1.0 / CAST((CAST(1 AS BIGINT) << CAST(c AS INT)) AS DOUBLE))))"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH regged AS (
+  SELECT event_type,
+         CAST(({h}) // {1 << _HLL_SWBITS} AS BIGINT) AS reg,
+         CAST(CASE WHEN ({h}) % {1 << _HLL_SWBITS} = 0
+              THEN {_HLL_SWBITS + 1}
+              ELSE {_HLL_SWBITS} - LENGTH(BIN(({h}) % {1 << _HLL_SWBITS})) + 1
+              END AS BIGINT) AS rank_bits
+  FROM events),
+maxed AS (
+  SELECT event_type, reg, CAST(MAX(rank_bits) AS BIGINT) AS rank_bits
+  FROM regged GROUP BY 1, 2),
+grid AS (
+  SELECT et.event_type, CAST(r.reg AS BIGINT) AS reg
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT UNNEST(range({_HLL_SM})) AS reg) r),
+folded AS (
+  SELECT g.event_type,
+         list(COALESCE(m.rank_bits, 0) ORDER BY g.reg) AS cells
+  FROM grid g
+  LEFT JOIN maxed m ON m.event_type = g.event_type AND m.reg = g.reg
+  GROUP BY 1),
+exact AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1)
+SELECT f.event_type, exact_distinct, {est} AS est_distinct,
+       abs(({est}) - exact_distinct) * 1000 // exact_distinct
+         AS err_permille
+FROM folded f JOIN exact x ON f.event_type = x.event_type
+"""
+
+
 def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of events_changepoint_cusum (the r12 step
     detector): the watermarked hourly aggregation runs IN the stream
@@ -498,6 +615,7 @@ QUERIES = {
     "streaming_session_windows": streaming_session_windows,
     "streaming_kmv_distinct": streaming_kmv_distinct,
     "streaming_countmin_totals": streaming_countmin_totals,
+    "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_cusum_monitor": streaming_cusum_monitor,
 }
 
@@ -681,6 +799,7 @@ from lua_mapreduce_spark.operators.analytics7 import (  # noqa: E402
 ORACLES: dict[str, str] = {
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_countmin_totals": STREAM_CMS_ORACLE,
+    "streaming_hll_distinct": _stream_hll_oracle(),
     "streaming_cusum_monitor": STREAM_CUSUM_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,

@@ -302,6 +302,86 @@ def stream_countmin_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+# Streaming HLL register geometry — MUST equal analytics9's batch-face
+# constants (_HLL_M / _HLL_WBITS; pinned by tests/test_round13.py rather
+# than imported, to keep this subpackage import-cycle-free with the
+# operators package).
+_HLL_SM = 64  # registers (2^6)
+_HLL_SWBITS = 54  # rank bits below the 6 register-index bits (md5-60)
+
+
+def stream_hll_distinct_stateful(events: DataFrame) -> DataFrame:
+    """Per-event-type HyperLogLog registers maintained in the state
+    store across micro-batches — the HLL face of the streaming sketch
+    pair (stream_kmv_distinct_stateful counts distincts by K-minimum
+    hashes; this one by register maxima): state = the 64-cell register
+    array, each batch taking the element-wise MAX with its rows'
+    md5-derived (register, rank) pairs. Register max is a pure MAX
+    structure — order-insensitive like the CM sketch's sums — so the
+    DuckDB oracle replays the whole stream from the batch table
+    bit-for-bit, and state is a fixed 64 * 8 bytes per key regardless
+    of stream length or user cardinality. (register, rank) are computed
+    DECLARATIVELY on the stream (JVM-side md5, the LENGTH(BIN(w))
+    bit-length idiom); the Python worker only takes vectorized maxima
+    (one np.maximum.at per batch).
+
+    Emits (event_type, n_batches, cells) per key per batch in update
+    mode; the final sketch per key is the row with the highest
+    n_batches (the user_totals max-struct selection convention)."""
+    import numpy as np
+
+    from lua_mapreduce_spark.functions.texthash import md5_bigint_expr
+
+    h = md5_bigint_expr(
+        "concat('shll-', event_type, '|', CAST(user_id AS STRING))"
+    )
+    hashed = events.selectExpr(
+        "event_type",
+        f"CAST(({h}) DIV {1 << _HLL_SWBITS} AS BIGINT) AS reg",
+        f"CAST(CASE WHEN ({h}) % {1 << _HLL_SWBITS} = 0"
+        f" THEN {_HLL_SWBITS + 1}"
+        f" ELSE {_HLL_SWBITS} - LENGTH(BIN(({h}) % {1 << _HLL_SWBITS})) + 1"
+        f" END AS BIGINT) AS rank_bits",
+    )
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            cells_list, n_batches = state.get
+            cells = np.asarray(cells_list, dtype=np.int64)
+        else:
+            cells = np.zeros(_HLL_SM, dtype=np.int64)
+            n_batches = 0
+        for pdf in pdfs:
+            np.maximum.at(
+                cells,
+                pdf["reg"].to_numpy(dtype=np.int64),
+                pdf["rank_bits"].to_numpy(dtype=np.int64),
+            )
+        n_batches += 1
+        state.update(([int(x) for x in cells], n_batches))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_batches": [n_batches],
+                "cells": [[int(x) for x in cells]],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_batches long,"
+        " cells array<bigint>",
+        stateStructType="cells array<bigint>, n_batches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # Batches executed by the most recent drain_stream call (entries with input
 # rows only). Tests read this to prove multi-micro-batch execution.
 LAST_DRAIN_NUM_BATCHES = 0

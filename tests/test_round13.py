@@ -542,3 +542,176 @@ def test_rake_matches_python_replay(spark):
             {d: (got.get(d), want.get(d)) for d in set(got) | set(want)
              if got.get(d) != want.get(d)},
         )
+
+
+# --------------------------------------------------------------------------
+# agg_quantile_bottomk_sketch (third wave)
+# --------------------------------------------------------------------------
+
+
+def test_bottomk_quantiles_match_python_replay(spark):
+    """Sample selection (bottom-k by md5), order statistics, exact-rank
+    witnesses and error columns must equal a pure-Python replay; the
+    rank error must sit inside the sampling band (k=256 -> se <= ~3.1%
+    at the median; 120 permille is ~4 sigma)."""
+    import hashlib
+
+    from lua_mapreduce_spark.operators import analytics10 as a10
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100.0) AS BIGINT)
+                FROM '{sf}/orders.parquet'"""
+        ).fetchall()
+        hashed = sorted(
+            (
+                int(hashlib.md5(f"qbk-{k}".encode()).hexdigest()[:15], 16),
+                c,
+            )
+            for k, c in rows
+        )
+        sample = sorted(
+            (c, h) for h, c in hashed[: a10._QBK_K]
+        )
+        n = len(rows)
+        got = {
+            r["q_pct"]: r
+            for r in a10.agg_quantile_bottomk_sketch(spark, sf).collect()
+        }
+        assert set(got) == set(a10._QBK_QS), sf
+        for q in a10._QBK_QS:
+            idx = (q * a10._QBK_K + 99) // 100
+            est = sample[idx - 1][0]
+            r = got[q]
+            assert r["est_value_cents"] == est, (sf, q)
+            exact_le = sum(1 for _, c in rows if c <= est)
+            assert r["n_total"] == n and r["exact_le"] == exact_le, (sf, q)
+            assert r["achieved_permille"] == exact_le * 1000 // n
+            assert r["err_permille"] == abs(exact_le * 1000 // n - q * 10)
+            assert r["err_permille"] <= 120, (sf, q, r)
+
+
+# --------------------------------------------------------------------------
+# sim_range_radius_search (third wave)
+# --------------------------------------------------------------------------
+
+
+def test_radius_search_matches_brute_force(spark):
+    """Radii (exact k-th-neighbor distances), true in-radius counts and
+    the found <= true soundness must match a brute-force quantized-grid
+    replay; LSH recall must clear a floor at both parity SFs."""
+    from lua_mapreduce_spark.operators import analytics10 as a10
+    from lua_mapreduce_spark.operators.analytics6 import _KM_SCALE
+    from lua_mapreduce_spark.operators.analytics7 import _NSW_Q
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        raw = con.execute(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+        # the NSW substrate quantizes on the GLOBAL _KM_SCALE grid
+        # (floor(v*SCALE + 0.5)), not the x1e6 _KM_QV grid
+        grid = {
+            vid: [
+                int(math.floor(float(x) * _KM_SCALE + 0.5)) for x in v
+            ]
+            for vid, v in raw
+        }
+        got = {
+            r["query_id"]: r
+            for r in a10.sim_range_radius_search(spark, sf).collect()
+        }
+        assert set(got) == set(range(_NSW_Q)), sf
+        for qid in range(_NSW_Q):
+            qv = grid[qid]
+            ds = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(qv, grid[v])), v)
+                for v in grid
+                if v != qid
+            )
+            radius = ds[a10._RR_K - 1][0]
+            n_true = sum(1 for d, _ in ds if d <= radius)
+            r = got[qid]
+            assert r["radius"] == radius, (sf, qid)
+            assert r["n_true"] == n_true, (sf, qid)
+            assert 0 <= r["n_found"] <= r["n_true"], (sf, qid)
+            assert r["recall_permille"] == r["n_found"] * 1000 // n_true
+        total_recall = sum(r["n_found"] for r in got.values()) * 1000 // sum(
+            r["n_true"] for r in got.values()
+        )
+        # the same tables' top-k recall is ~0.46 (sim_ann_multitable);
+        # range recall at the 20-distance radius sits in the same band
+        assert total_recall >= 200, (sf, total_recall)
+
+
+# --------------------------------------------------------------------------
+# events_seasonal_profile (third wave)
+# --------------------------------------------------------------------------
+
+
+def test_seasonal_profile_consistency(spark):
+    """The profile must equal a DuckDB hourly replay: per (type, hod)
+    observed-hour counts and totals, integer-milli means, exactly one
+    peak per type at the argmax mean (ties to earliest hour)."""
+    from lua_mapreduce_spark.operators import analytics10 as a10
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        hourly = con.execute(
+            f"""SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+                       COUNT(*) AS x
+                FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+        ).fetchall()
+        prof: dict[tuple[str, int], list[int]] = {}
+        for t, hr, x in hourly:
+            k = (t, hr % 24)
+            prof.setdefault(k, [0, 0])
+            prof[k][0] += 1
+            prof[k][1] += x
+        rows = a10.events_seasonal_profile(spark, sf).collect()
+        peaks: dict[str, list[int]] = {}
+        for r in rows:
+            n_hours, total = prof[(r["event_type"], r["hod"])]
+            assert r["n_hours"] == n_hours, (sf, r)
+            assert r["total_events"] == total, (sf, r)
+            assert r["mean_milli"] == total * 1000 // n_hours, (sf, r)
+            if r["is_peak"]:
+                peaks.setdefault(r["event_type"], []).append(r["hod"])
+        for t, hods in peaks.items():
+            assert len(hods) == 1, (sf, t, hods)
+            best = max(
+                (tot * 1000 // nh, -hod)
+                for (tt, hod), (nh, tot) in prof.items()
+                if tt == t
+            )
+            assert hods[0] == -best[1], (sf, t)
+        assert set(peaks) == {t for (t, _) in prof}, sf
+
+
+# --------------------------------------------------------------------------
+# streaming_hll_distinct (third wave)
+# --------------------------------------------------------------------------
+
+
+def test_streaming_hll_constants_and_batches(spark):
+    """The streaming HLL face must share the batch face's register
+    geometry (the stateful module pins its own constants to stay
+    import-cycle-free — this test is the pin), run >= 3 micro-batches,
+    and land its estimates inside the raw-HLL band at the SF where the
+    cardinality clears the small-range regime."""
+    from lua_mapreduce_spark.operators import streaming_ops as so
+    from lua_mapreduce_spark.streaming import stateful
+
+    assert stateful._HLL_SM == a9._HLL_M
+    assert stateful._HLL_SWBITS == a9._HLL_WBITS
+    rows = so.streaming_hll_distinct(spark, SF_MEDIUM).collect()
+    assert stateful.LAST_DRAIN_NUM_BATCHES >= 3
+    assert len(rows) == 5
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        # sf0.01: 150 distinct users ~ 2.3x m — raw estimator regime;
+        # measured 33-113 permille, gate at 4x the 1.04/sqrt(64) band
+        assert r["err_permille"] <= 500, r

@@ -167,6 +167,8 @@ _NESTED_LOOP_OK = {
     "sim_ivf_pq_hybrid",       # 8-row centroid + 10-row query-vector cross joins
     "layout_hilbert_keys",     # 1-row bounds + 20-row probe broadcast cross joins
     "curation_dataset_card",   # 1-row totals + 9-row decile-k broadcast cross joins
+    "agg_quantile_bottomk_sketch",  # 5-row quantile-probe broadcast cross join
+    "sim_range_radius_search", # 5-row query-vector broadcast cross join (truth)
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -178,6 +180,7 @@ _SKIP_AUDIT = {
     "streaming_stream_stream_join",
     "streaming_kmv_distinct",
     "streaming_countmin_totals",
+    "streaming_hll_distinct",
 }
 
 
@@ -284,6 +287,10 @@ _BROADCAST_OK = {
     ("analytics8.py", "preds"),       # fixed 2 x _HC_PREDS probe predicates
     ("analytics8.py", "tot"),         # single-row corpus-totals aggregate
     ("analytics8.py", "ks"),          # fixed _DC_DECILES=9 decile indices
+    ("analytics10.py", "ranked"),     # the checkpointed <= _QBK_K=256-row sample
+    ("analytics10.py", "quants"),     # fixed 5-row quantile-probe relation
+    ("analytics10.py", "queries"),    # fixed _NSW_Q=5 query vectors
+    ("analytics10.py", "radii"),      # fixed 5-row per-query radius relation
 }
 
 
