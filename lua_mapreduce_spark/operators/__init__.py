@@ -24,6 +24,7 @@ from lua_mapreduce_spark.operators import (
     analytics8,
     analytics9,
     analytics10,
+    analytics11,
     curation,
     dedup,
     events,
@@ -77,6 +78,7 @@ _MODULES = [
     analytics8,
     analytics9,
     analytics10,
+    analytics11,
     pq,
     sources_ops,
 ]
@@ -118,7 +120,7 @@ _MODULES = [
 # both engines; sim_hnsw_layers: layer-2 entry COALESCE fallback, plus
 # the memoized layer-0 graph build shared with sim_knn_graph_search —
 # which changed with it), so this confirmation also covers the changed
-# plans; and TWENTY-THREE fills from the stale pool, per the committed
+# plans; and FIFTEEN fills from the stale pool (the five-wave rotation displaced text_normalize_pandas_udf, udaf_group_median_pandas, agg_heavy_hitters_sketch and curation_pack_sequences last), per the committed
 # fill order: FIRST the six r7-displaced names
 # (join_semi_customers_with_urgent, q10_returned_revenue,
 # q13_customer_distribution, q14_promo_share, q3_shipping_priority,
@@ -135,9 +137,9 @@ _MODULES = [
 # from this slice: their per-name verification rounds diverged across
 # r4/r6 displacements, so they rotate with their own recorded rounds in
 # the r14 pool instead of as a block).
-# 2 + 12 + 13 + 23 = 50. After a green r13, every pre-r12 query is
+# 2 + 20 + 13 + 15 = 50. After a green r13, every pre-r12 query is
 # driver-confirmed at least twice, the r12 newcomers twice, and only
-# the 12 r13 newcomers owe their second confirmation (the r14 window's
+# the 20 r13 newcomers owe their second confirmation (the r14 window's
 # first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -162,6 +164,20 @@ _DRIVER_WINDOW = [
     "sim_range_radius_search",
     "events_seasonal_profile",
     "streaming_hll_distinct",
+    # r13-new queries (fourth wave: cohort retention triangle,
+    # quality-score calibration/ECE, strong-bridge detection, Zipf
+    # rank-frequency profile; they displace four more fills)
+    "events_retention_cohorts",
+    "curation_quality_calibration",
+    "graph_bridge_edges",
+    "text_zipf_fit",
+    # r13-new queries (fifth wave: LSH banding tuning curve, word
+    # burstiness, reciprocity/degree profile, length-filter sweep;
+    # they displace the last four fills)
+    "dedup_lsh_tuning_curve",
+    "text_burstiness",
+    "graph_reciprocity_profile",
+    "curation_length_filter_tuning",
     # r12-new queries (second confirmation; curation_pareto_skyline,
     # sim_hnsw_layers and sim_knn_graph_search also r13-changed per the
     # r12 ADVICE items 1-2 + the shared layer-0 graph memoization)
@@ -196,17 +212,6 @@ _DRIVER_WINDOW = [
     "text_boilerplate_ngrams",
     "text_chunk_tokens",
     "text_decontaminate",
-    "text_normalize_pandas_udf",
-    "udaf_group_median_pandas",
-    # six of the r7-verified block, name order (the third wave
-    # displaced setop_union_intersect_except, sort_topk_orders,
-    # subquery_above_nation_avg and text_doc_stats to the r14 pool)
-    "agg_heavy_hitters_sketch",
-    "curation_pack_sequences",
-    "curation_sample_mixture",
-    "curation_shuffle_shards",
-    "multimodal_resize_thumbnail",
-    "sample_deterministic_hash",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

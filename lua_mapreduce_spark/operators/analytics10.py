@@ -364,14 +364,462 @@ FROM prof
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Cohort retention triangle (product-analytics weekly retention)
+# --------------------------------------------------------------------------
+
+_RC_WEEK = 604800  # epoch-week bucket (7 * 86400)
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort retention triangle — THE product-analytics report next
+    to the family's RFM / funnel / Markov / sessionization members:
+    cohort = each user's first-seen epoch-week, retention(cohort,
+    offset) = users from that cohort active `offset` weeks later, in
+    permille of the cohort size. The offset-0 row is a built-in sanity
+    witness (everyone is active in their first week, so its permille is
+    exactly 1000 — asserted in tests).
+
+    Scale shape: one scan -> DISTINCT (user, week) pairs (a map-side
+    pre-aggregated dedup); first-seen is a per-user MIN; the triangle
+    is a (weeks x offsets)-bounded rollup — output is independent of
+    event volume, and every number is an integer count or permille."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.selectExpr(
+            "user_id",
+            f"CAST(unix_timestamp(ts) DIV {_RC_WEEK} AS BIGINT) AS wk",
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.expr("MIN(wk)").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    act = (
+        uw.join(first, "user_id")
+        .groupBy("cohort", F.expr("wk - cohort").alias("offset_weeks"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return act.join(sizes, "cohort").select(
+        F.col("cohort").alias("cohort_week"),
+        "offset_weeks",
+        F.expr("CAST(n_cohort AS BIGINT)").alias("n_cohort"),
+        F.expr("CAST(n_active AS BIGINT)").alias("n_active"),
+        F.expr("n_active * 1000 DIV n_cohort").alias("retention_permille"),
+    )
+
+
+RETENTION_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // {_RC_WEEK} AS wk
+  FROM events),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id),
+sizes AS (
+  SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY cohort),
+act AS (
+  SELECT f.cohort, u.wk - f.cohort AS offset_weeks, COUNT(*) AS n_active
+  FROM uw u JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT a.cohort AS cohort_week, offset_weeks,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       CAST(n_active AS BIGINT) AS n_active,
+       n_active * 1000 // n_cohort AS retention_permille
+FROM act a JOIN sizes s ON a.cohort = s.cohort
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality-score calibration (reliability diagram + ECE)
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def curation_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error — the evaluator
+    family's CALIBRATION face next to AUC (discrimination,
+    curation_quality_auc) and kappa (agreement): the prediction is the
+    score's per-lang percentile (the PIT transform — 1000 * cum_count
+    <= score DIV n_l, from the same bounded score histogram the AUC
+    query ranks), the label is the shared noisy quality gate (the
+    _label_expr convention with its own tag so labels stay independent
+    across evaluators), and per decile bin of the prediction the report
+    carries predicted-vs-observed positive rates, their gap, and the
+    lang-level ECE = sum n_bin * gap DIV n_l — every number an integer
+    cross-multiplication, so the oracle replays the whole diagram.
+
+    Scale shape: ONE scan builds the (lang, score) histogram; the
+    percentile window runs over the bounded distinct-score domain (the
+    AUC convention); binning, the per-bin rates and the ECE rollup are
+    bounded aggregates over <= |langs| x 10 rows."""
+    from lua_mapreduce_spark.operators.analytics7 import (
+        _docs_with_lang_stats,
+        _label_expr,
+    )
+
+    labeled = _docs_with_lang_stats(spark, sf_dir).select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        F.col("n_l"),
+        F.expr(_label_expr("cal-", True)).alias("pos"),
+    )
+    hist = labeled.groupBy("lang", "score", "n_l").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_pos"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pred = (
+        hist.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn(
+            "pred_permille", F.expr("1000 * cum_n DIV n_l")
+        )
+        .withColumn(
+            "bin",
+            F.expr(f"least(pred_permille DIV 100, {_CAL_BINS - 1})"),
+        )
+    )
+    bins = pred.groupBy("lang", "bin").agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n * pred_permille) AS BIGINT)").alias("sum_pred"),
+        F.expr("CAST(SUM(n_pos) AS BIGINT)").alias("n_pos"),
+    ).select(
+        "lang",
+        "bin",
+        "n_docs",
+        F.expr("sum_pred DIV n_docs").alias("mean_pred_permille"),
+        F.expr("1000 * n_pos DIV n_docs").alias("obs_permille"),
+        F.expr(
+            "abs(sum_pred DIV n_docs - 1000 * n_pos DIV n_docs)"
+        ).alias("gap_permille"),
+    )
+    ece = bins.groupBy("lang").agg(
+        F.expr(
+            "CAST(SUM(n_docs * abs(mean_pred_permille - obs_permille))"
+            " DIV SUM(n_docs) AS BIGINT)"
+        ).alias("ece_permille")
+    )
+    return bins.join(F.broadcast(ece), "lang").select(
+        "lang",
+        "bin",
+        "n_docs",
+        "mean_pred_permille",
+        "obs_permille",
+        "gap_permille",
+        "ece_permille",
+    )
+
+
+def _calibration_oracle() -> str:
+    from lua_mapreduce_spark.operators.analytics7 import (
+        _EVAL_ORACLE_PREFIX,
+        _label_expr,
+    )
+
+    return f"""
+WITH {_EVAL_ORACLE_PREFIX},
+labeled AS (
+  SELECT d.lang, d.n_chars AS score, s.n_l,
+         {_label_expr("cal-", False)} AS pos
+  FROM docs d JOIN stats s ON d.lang = s.lang),
+hist AS (
+  SELECT lang, score, n_l, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM labeled GROUP BY 1, 2, 3),
+pred AS (
+  SELECT lang, score, n_l, n, n_pos,
+         SUM(n) OVER (PARTITION BY lang ORDER BY score
+                      ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM hist),
+binned AS (
+  -- CAST: cum_n is a windowed SUM and therefore HUGEINT in DuckDB,
+  -- which pandas canonicalizes as float64 — the round-5 driver-type
+  -- failure mode the typed compare alone would not catch
+  SELECT lang,
+         CAST(least(1000 * cum_n // n_l // 100, {_CAL_BINS - 1})
+              AS BIGINT) AS bin,
+         n, n_pos, CAST(1000 * cum_n // n_l AS BIGINT) AS pred_permille
+  FROM pred),
+bins AS (
+  SELECT lang, bin,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(n * pred_permille) AS BIGINT) AS sum_pred,
+         CAST(SUM(n_pos) AS BIGINT) AS n_pos
+  FROM binned GROUP BY 1, 2),
+rates AS (
+  SELECT lang, bin, n_docs,
+         sum_pred // n_docs AS mean_pred_permille,
+         1000 * n_pos // n_docs AS obs_permille,
+         abs(sum_pred // n_docs - 1000 * n_pos // n_docs) AS gap_permille
+  FROM bins),
+ece AS (
+  SELECT lang,
+         CAST(SUM(n_docs * gap_permille) // SUM(n_docs) AS BIGINT)
+           AS ece_permille
+  FROM rates GROUP BY lang)
+SELECT r.lang, bin, n_docs, mean_pred_permille, obs_permille,
+       gap_permille, ece_permille
+FROM rates r JOIN ece e ON r.lang = e.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Strong-bridge detection (per-edge exclusion closures, bounded graph)
+# --------------------------------------------------------------------------
+
+_BR_STEPS = 7  # depth over the per-eid pre-squared relation (the SCC bound:
+#               7 levels x 4-hop steps cover paths to length 28 > 24 = n-1)
+
+
+def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong-bridge detection on the directed trade graph (Italiano et
+    al. 2012 call (u,v) a STRONG BRIDGE when its removal breaks some
+    reachability; here the definitional per-edge test: (u,v) is a
+    bridge iff v is unreachable from u in the graph WITHOUT that edge)
+    — the connectivity-criticality complement of betweenness's traffic
+    centrality: betweenness says where shortest-path load concentrates,
+    bridges say which single links are irreplaceable.
+
+    The engine runs ALL per-edge exclusion closures in ONE bounded
+    recursion: the exclusion relation (eid, src, dst) carries every
+    edge except eid's own (|E|^2 - |E| <= 2450 rows on the <=50-edge
+    graph), is pre-squared per eid (the SCC lesson — 2 self-joins
+    replace 18 recursion levels), and a single WITH RECURSIVE walk
+    keyed by eid answers every exclusion reachability simultaneously —
+    embarrassingly parallel across eids, never one job per edge.
+
+    Scale shape: everything is schema-bounded (<= C(25,2)-scale
+    relations); on an unbounded graph the definitional form gives way
+    to Italiano's DFS-based algorithm on a sampled subgraph — stated
+    here because the per-edge closure is quadratic in |E| by
+    construction and honest about it."""
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = edges.selectExpr(
+        "concat(src, '->', dst) AS eid", "src AS u", "dst AS v"
+    )
+    excl = (
+        e.alias("a")
+        .join(
+            edges.alias("b"),
+            F.expr("NOT (a.u = b.src AND a.v = b.dst)"),
+        )
+        .select("eid", F.col("b.src").alias("src"), F.col("b.dst").alias("dst"))
+    )
+    # pre-square per eid: paths of length <= 4 in two bounded self-joins
+    sq = excl
+    for _ in range(2):
+        j = (
+            sq.alias("x")
+            .join(
+                sq.alias("y"),
+                (F.col("x.eid") == F.col("y.eid"))
+                & (F.col("x.dst") == F.col("y.src")),
+            )
+            .select(
+                F.col("x.eid").alias("eid"),
+                F.col("x.src").alias("src"),
+                F.col("y.dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        sq = sq.unionByName(j).distinct()
+    sq = sq.localCheckpoint(eager=True)
+    sq.createOrReplaceTempView("lmrs_bridge_steps_v")
+    e.createOrReplaceTempView("lmrs_bridge_edges_v")
+    reach = spark.sql(
+        f"""
+        WITH RECURSIVE r(eid, node, d) AS (
+          SELECT e.eid, s.dst, 1
+          FROM lmrs_bridge_edges_v e
+          JOIN lmrs_bridge_steps_v s ON s.eid = e.eid AND s.src = e.u
+          UNION ALL
+          SELECT DISTINCT r.eid, s.dst, r.d + 1
+          FROM r JOIN lmrs_bridge_steps_v s
+            ON s.eid = r.eid AND s.src = r.node
+          WHERE r.d < {_BR_STEPS}
+        )
+        SELECT DISTINCT eid, node FROM r
+        """
+    )
+    alt = (
+        e.join(
+            reach,
+            (e["eid"] == reach["eid"]) & (e["v"] == reach["node"]),
+            "left_semi",
+        )
+        .select("eid")
+    )
+    return (
+        e.join(alt.withColumn("has_alt", F.lit(True)), "eid", "left")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.expr("COALESCE(NOT has_alt, TRUE)").alias("is_bridge"),
+        )
+    )
+
+
+def _bridge_oracle() -> str:
+    from lua_mapreduce_spark.operators.analytics7 import _SCC_FANOUT
+
+    return f"""
+WITH RECURSIVE trade AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS n_lines
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_name <> sn.n_name
+  GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                 ORDER BY n_lines DESC, dst) AS rn
+    FROM trade)
+  WHERE rn <= {_SCC_FANOUT}),
+e AS MATERIALIZED (
+  SELECT src || '->' || dst AS eid, src AS u, dst AS v FROM edges),
+excl AS MATERIALIZED (
+  SELECT a.eid, b.src, b.dst
+  FROM e a JOIN edges b ON NOT (a.u = b.src AND a.v = b.dst)),
+s2 AS MATERIALIZED (
+  SELECT eid, src, dst FROM excl
+  UNION
+  SELECT x.eid, x.src, y.dst FROM excl x
+  JOIN excl y ON x.eid = y.eid AND x.dst = y.src
+  WHERE x.src <> y.dst),
+s4 AS MATERIALIZED (
+  SELECT eid, src, dst FROM s2
+  UNION
+  SELECT x.eid, x.src, y.dst FROM s2 x
+  JOIN s2 y ON x.eid = y.eid AND x.dst = y.src
+  WHERE x.src <> y.dst),
+r(eid, node, d) AS (
+  SELECT e.eid, s.dst, 1
+  FROM e JOIN s4 s ON s.eid = e.eid AND s.src = e.u
+  UNION ALL
+  SELECT DISTINCT r.eid, s.dst, r.d + 1
+  FROM r JOIN s4 s ON s.eid = r.eid AND s.src = r.node
+  WHERE r.d < {_BR_STEPS}),
+alt AS (
+  SELECT DISTINCT e.eid
+  FROM e JOIN (SELECT DISTINCT eid, node FROM r) rr
+    ON rr.eid = e.eid AND rr.node = e.v)
+SELECT u AS src, v AS dst, alt.eid IS NULL AS is_bridge
+FROM e LEFT JOIN alt ON e.eid = alt.eid
+"""
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency profile (doubling buckets, corpus health diagnostic)
+# --------------------------------------------------------------------------
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile: corpus unigram counts ranked by
+    frequency, bucketed by log2(rank) via LENGTH(BIN(rank)) (the RFM
+    doubling-bucket idiom) — per doubling bucket the word count, total
+    occurrences, corpus-mass permille, and the mean rank*frequency
+    product whose near-constancy across buckets IS Zipf's law (no
+    regression fit, no logs, exact integers end to end). A corpus whose
+    tail buckets' products collapse is template/boilerplate-heavy; one
+    whose head explodes is dominated by a few tokens — the corpus-health
+    diagnostic a curation pass reads before mixing sources.
+
+    Scale shape: one tokenize scan collapses to the word-TYPE table
+    (map-side partial aggs); the rank window sorts TYPES, not tokens
+    (the collocations convention — vocabulary is orders of magnitude
+    smaller than the corpus; at extreme scale the rank can bucket by
+    count ranges first); the profile is a <= log2(vocab)-row rollup."""
+    from lua_mapreduce_spark.functions.texthash import words_expr
+
+    docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.expr(words_expr("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    # unpartitioned rank over the word-TYPE table (vocab-bounded)
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(wr).cast("bigint")
+    )
+    tot = ranked.agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_tokens")
+    ).localCheckpoint(eager=True)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("CAST(LENGTH(BIN(rank)) AS BIGINT)").alias("bucket"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_words"),
+            F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total_occ"),
+            F.expr("CAST(MIN(rank) AS BIGINT)").alias("min_rank"),
+            F.expr("CAST(MAX(rank) AS BIGINT)").alias("max_rank"),
+            F.expr(
+                "CAST(SUM(cnt) * 1000 DIV MAX(n_tokens) AS BIGINT)"
+            ).alias("mass_permille"),
+            F.expr(
+                "CAST(SUM(rank * cnt) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_rank_freq"),
+        )
+    )
+
+
+def _zipf_oracle() -> str:
+    from lua_mapreduce_spark.functions.texthash import oracle_words_expr
+
+    return f"""
+WITH counts AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT UNNEST({oracle_words_expr("text")}) AS w FROM documents)
+  GROUP BY w),
+ranked AS (
+  SELECT cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rank
+  FROM counts),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM ranked)
+SELECT CAST(LENGTH(BIN(rank)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(cnt) AS BIGINT) AS total_occ,
+       CAST(MIN(rank) AS BIGINT) AS min_rank,
+       CAST(MAX(rank) AS BIGINT) AS max_rank,
+       CAST(SUM(cnt) * 1000 // MAX(n_tokens) AS BIGINT) AS mass_permille,
+       CAST(SUM(rank * cnt) // COUNT(*) AS BIGINT) AS mean_rank_freq
+FROM ranked, tot
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "agg_quantile_bottomk_sketch": agg_quantile_bottomk_sketch,
     "sim_range_radius_search": sim_range_radius_search,
     "events_seasonal_profile": events_seasonal_profile,
+    "events_retention_cohorts": events_retention_cohorts,
+    "curation_quality_calibration": curation_quality_calibration,
+    "graph_bridge_edges": graph_bridge_edges,
+    "text_zipf_fit": text_zipf_fit,
 }
 
 ORACLES = {
     "agg_quantile_bottomk_sketch": _qbk_oracle(),
     "sim_range_radius_search": _radius_oracle(),
     "events_seasonal_profile": SEASONAL_ORACLE,
+    "events_retention_cohorts": RETENTION_ORACLE,
+    "curation_quality_calibration": _calibration_oracle(),
+    "graph_bridge_edges": _bridge_oracle(),
+    "text_zipf_fit": _zipf_oracle(),
 }

@@ -715,3 +715,390 @@ def test_streaming_hll_constants_and_batches(spark):
         # sf0.01: 150 distinct users ~ 2.3x m — raw estimator regime;
         # measured 33-113 permille, gate at 4x the 1.04/sqrt(64) band
         assert r["err_permille"] <= 500, r
+
+
+# --------------------------------------------------------------------------
+# events_retention_cohorts (fourth wave)
+# --------------------------------------------------------------------------
+
+
+def test_retention_cohorts_match_replay(spark):
+    """The triangle must equal a pure-Python replay of weekly first-seen
+    cohorts, and every cohort's offset-0 row must read exactly 1000
+    permille (everyone is active in their first week)."""
+    from lua_mapreduce_spark.operators import analytics10 as a10
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        uw = set(
+            con.execute(
+                f"""SELECT DISTINCT user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) // {a10._RC_WEEK}
+                    FROM '{sf}/events.parquet'"""
+            ).fetchall()
+        )
+        first: dict[int, int] = {}
+        for u, w in uw:
+            first[u] = min(first.get(u, w), w)
+        sizes: dict[int, int] = {}
+        for u, c in first.items():
+            sizes[c] = sizes.get(c, 0) + 1
+        act: dict[tuple[int, int], int] = {}
+        for u, w in uw:
+            k = (first[u], w - first[u])
+            act[k] = act.get(k, 0) + 1
+        want = {
+            (c, o): (sizes[c], n, n * 1000 // sizes[c])
+            for (c, o), n in act.items()
+        }
+        got = {
+            (r["cohort_week"], r["offset_weeks"]): (
+                r["n_cohort"],
+                r["n_active"],
+                r["retention_permille"],
+            )
+            for r in a10.events_retention_cohorts(spark, sf).collect()
+        }
+        assert got == want, sf
+        for (c, o), (_, _, p) in got.items():
+            if o == 0:
+                assert p == 1000, (sf, c)
+
+
+# --------------------------------------------------------------------------
+# curation_quality_calibration (fourth wave)
+# --------------------------------------------------------------------------
+
+
+def test_calibration_matches_python_replay(spark):
+    """Bins, predicted/observed rates, gaps and the ECE must equal a
+    pure-Python replay of the percentile transform and the md5 noisy
+    label, per lang, at both parity SFs."""
+    import hashlib
+
+    from lua_mapreduce_spark.operators import analytics10 as a10
+    from lua_mapreduce_spark.operators.analytics7 import _EVAL_NOISE
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, lang, n_chars FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        by_lang: dict[str, list[tuple[int, int]]] = {}
+        for doc_id, lang, n_chars in docs:
+            by_lang.setdefault(lang, []).append((doc_id, n_chars))
+        want: dict[tuple[str, int], tuple] = {}
+        for lang, rows_l in by_lang.items():
+            n_l = len(rows_l)
+            total_l = sum(c for _, c in rows_l)
+            cnt: dict[int, int] = {}
+            for _, c in rows_l:
+                cnt[c] = cnt.get(c, 0) + 1
+            cum, cum_map = 0, {}
+            for c in sorted(cnt):
+                cum += cnt[c]
+                cum_map[c] = cum
+            bins: dict[int, list[int]] = {}
+            for doc_id, c in rows_l:
+                h = int(
+                    hashlib.md5(f"cal-{doc_id}".encode()).hexdigest()[:15], 16
+                )
+                pos = (c + h % _EVAL_NOISE - _EVAL_NOISE // 2) * n_l > total_l
+                pred = 1000 * cum_map[c] // n_l
+                b = min(pred // 100, a10._CAL_BINS - 1)
+                agg = bins.setdefault(b, [0, 0, 0])
+                agg[0] += 1
+                agg[1] += pred
+                agg[2] += 1 if pos else 0
+            rates = {
+                b: (
+                    n,
+                    sp // n,
+                    1000 * np_ // n,
+                    abs(sp // n - 1000 * np_ // n),
+                )
+                for b, (n, sp, np_) in bins.items()
+            }
+            ece = sum(n * g for (n, _, _, g) in rates.values()) // sum(
+                n for (n, _, _, _) in rates.values()
+            )
+            for b, (n, mp, ob, g) in rates.items():
+                want[(lang, b)] = (n, mp, ob, g, ece)
+        got = {
+            (r["lang"], r["bin"]): (
+                r["n_docs"],
+                r["mean_pred_permille"],
+                r["obs_permille"],
+                r["gap_permille"],
+                r["ece_permille"],
+            )
+            for r in a10.curation_quality_calibration(spark, sf).collect()
+        }
+        assert got == want, (
+            sf,
+            {k: (got.get(k), want.get(k)) for k in set(got) | set(want)
+             if got.get(k) != want.get(k)},
+        )
+
+
+# --------------------------------------------------------------------------
+# graph_bridge_edges (fourth wave)
+# --------------------------------------------------------------------------
+
+
+def test_bridges_match_bfs_exclusion_replay(spark):
+    """is_bridge must equal the definitional per-edge BFS replay —
+    (u,v) is a strong bridge iff v is unreachable from u without that
+    edge — and both bridge and non-bridge classes must be non-empty at
+    the parity SFs (otherwise the gate is vacuous)."""
+    from collections import deque
+
+    from lua_mapreduce_spark.operators import analytics10 as a10
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = [
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        ]
+        got = {
+            (r["src"], r["dst"]): r["is_bridge"]
+            for r in a10.graph_bridge_edges(spark, sf).collect()
+        }
+        assert set(got) == set(edges), sf
+        for u, v in edges:
+            adj: dict[str, list[str]] = {}
+            for s, d in edges:
+                if (s, d) != (u, v):
+                    adj.setdefault(s, []).append(d)
+            seen = {u}
+            dq = deque([u])
+            while dq:
+                x = dq.popleft()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        dq.append(y)
+            assert got[(u, v)] == (v not in seen), (sf, u, v)
+        vals = set(got.values())
+        assert vals == {True, False}, (sf, vals)
+
+
+# --------------------------------------------------------------------------
+# text_zipf_fit (fourth wave)
+# --------------------------------------------------------------------------
+
+
+def test_zipf_profile_matches_replay(spark):
+    """Doubling buckets, masses and mean rank*frequency products must
+    equal a pure-Python unigram replay with the same (count DESC, word)
+    rank tie-break; bucket masses must sum to ~1000 permille."""
+    from lua_mapreduce_spark.operators import analytics10 as a10
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        texts = [
+            t
+            for (t,) in con.execute(
+                f"SELECT text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        cnt: dict[str, int] = {}
+        for t in texts:
+            for w in re.findall(r"[A-Za-z]+", t):
+                w = w.lower()
+                cnt[w] = cnt.get(w, 0) + 1
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_tokens = sum(cnt.values())
+        want: dict[int, list[int]] = {}
+        for i, (w, c) in enumerate(ranked, start=1):
+            b = i.bit_length()
+            agg = want.setdefault(b, [0, 0, 10**18, 0, 0])
+            agg[0] += 1
+            agg[1] += c
+            agg[2] = min(agg[2], i)
+            agg[3] = max(agg[3], i)
+            agg[4] += i * c
+        got = {
+            r["bucket"]: r for r in a10.text_zipf_fit(spark, sf).collect()
+        }
+        assert set(got) == set(want), sf
+        for b, (nw, occ, mn, mx, rf) in want.items():
+            r = got[b]
+            assert r["n_words"] == nw and r["total_occ"] == occ, (sf, b)
+            assert r["min_rank"] == mn and r["max_rank"] == mx, (sf, b)
+            assert r["mass_permille"] == occ * 1000 // n_tokens, (sf, b)
+            assert r["mean_rank_freq"] == rf // nw, (sf, b)
+        assert 990 <= sum(r["mass_permille"] for r in got.values()) <= 1000
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_tuning_curve (fifth wave)
+# --------------------------------------------------------------------------
+
+
+def test_lsh_tuning_curve_shape_and_monotonicity(spark):
+    """The tuning trade must be VISIBLE and internally consistent:
+    candidate volume non-increasing as rows-per-band grows (the S-curve
+    cost axis), found-pair counts within [0, union], the production
+    8x4 config recovering most of the union, and every count consistent
+    with the dedup_minhash_lsh family's verified pairs."""
+    from lua_mapreduce_spark.operators import analytics11 as a11
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = {
+            r["config"]: r
+            for r in a11.dedup_lsh_tuning_curve(spark, sf).collect()
+        }
+        assert set(rows) == {"16x2", "8x4", "4x8"}, sf
+        union = {r["union_true"] for r in rows.values()}
+        assert len(union) == 1 and union.pop() > 0, sf
+        c16, c8, c4 = (
+            rows["16x2"]["n_candidates"],
+            rows["8x4"]["n_candidates"],
+            rows["4x8"]["n_candidates"],
+        )
+        assert c16 >= c8 >= c4, (sf, c16, c8, c4)
+        for r in rows.values():
+            assert 0 <= r["n_true_found"] <= r["union_true"], (sf, r)
+            assert r["n_true_found"] <= r["n_candidates"], (sf, r)
+            assert r["recall_vs_union_permille"] == (
+                r["n_true_found"] * 1000 // r["union_true"]
+            )
+        # 16x2's S-curve threshold ~0.18 makes it near-exhaustive at
+        # J >= 0.6: it must recover the whole union at these SFs
+        assert rows["16x2"]["n_true_found"] == rows["16x2"]["union_true"], sf
+        # the production config must not be the degenerate loser
+        assert rows["8x4"]["recall_vs_union_permille"] >= 500, (sf, rows["8x4"])
+
+
+# --------------------------------------------------------------------------
+# text_burstiness (fifth wave)
+# --------------------------------------------------------------------------
+
+
+def test_burstiness_matches_python_replay(spark):
+    """VMR numerators and flags must equal a pure-Python replay of the
+    per-document count statistics (zeros-included semantics via the
+    N-normalized identity), and the corpus must show a bursty word so
+    the flag is non-vacuous."""
+    from lua_mapreduce_spark.operators import analytics11 as a11
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        n_docs = len(docs)
+        per: dict[str, dict[int, int]] = {}
+        for doc_id, text in docs:
+            for w in re.findall(r"[A-Za-z]+", text):
+                w = w.lower()
+                per.setdefault(w, {})
+                per[w][doc_id] = per[w].get(doc_id, 0) + 1
+        got = {
+            r["word"]: r for r in a11.text_burstiness(spark, sf).collect()
+        }
+        want_words = {
+            w for w, m in per.items() if sum(m.values()) >= a11._BUR_MIN_TF
+        }
+        assert set(got) == want_words, sf
+        for w in want_words:
+            xs = list(per[w].values())
+            tf, ss = sum(xs), sum(x * x for x in xs)
+            r = got[w]
+            assert r["n_docs_with"] == len(xs), (sf, w)
+            assert r["tf"] == tf, (sf, w)
+            vmr = (n_docs * ss - tf * tf) * 1000 // (n_docs * tf)
+            assert r["vmr_milli"] == vmr, (sf, w)
+            assert r["bursty"] == (
+                (n_docs * ss - tf * tf) * 1000
+                > a11._BUR_POISSON_MILLI * (n_docs * tf)
+            ), (sf, w)
+        assert any(r["bursty"] for r in got.values()), sf
+
+
+# --------------------------------------------------------------------------
+# graph_reciprocity_profile (fifth wave)
+# --------------------------------------------------------------------------
+
+
+def test_reciprocity_profile_matches_replay(spark):
+    """Reciprocity and the joint degree buckets must equal a replay over
+    the collected edge list; bucket node counts must sum to the node
+    count."""
+    from lua_mapreduce_spark.operators import analytics11 as a11
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = {
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        }
+        n_recip = sum(1 for (u, v) in edges if (v, u) in edges)
+        recip = n_recip * 1000 // len(edges)
+        outd: dict[str, int] = {}
+        ind: dict[str, int] = {}
+        nodes = set()
+        for u, v in edges:
+            outd[u] = outd.get(u, 0) + 1
+            ind[v] = ind.get(v, 0) + 1
+            nodes.update((u, v))
+        want: dict[tuple[int, int], int] = {}
+        for x in nodes:
+            k = (
+                (outd.get(x, 0) + 1).bit_length(),
+                (ind.get(x, 0) + 1).bit_length(),
+            )
+            want[k] = want.get(k, 0) + 1
+        rows = a11.graph_reciprocity_profile(spark, sf).collect()
+        got = {
+            (r["out_bucket"], r["in_bucket"]): r["n_nodes"] for r in rows
+        }
+        assert got == want, (sf, got, want)
+        assert all(r["reciprocity_permille"] == recip for r in rows), sf
+        assert sum(got.values()) == len(nodes), sf
+
+
+# --------------------------------------------------------------------------
+# curation_length_filter_tuning (fifth wave)
+# --------------------------------------------------------------------------
+
+
+def test_length_filter_tuning_matches_replay(spark):
+    """Every cutoff row must equal a pure-Python replay (survivors,
+    token sums, within-survivor exact-dup counts), counts must be
+    non-increasing in the cutoff, and the zero cutoff must equal the
+    whole corpus."""
+    from lua_mapreduce_spark.operators import analytics11 as a11
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT text, n_chars FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        prepared = []
+        for text, c in docs:
+            fpv = re.sub(r"\s+", " ", text.lower()).strip()
+            n_tok = len(re.findall(r"[A-Za-z]+", text))
+            prepared.append((fpv, c, n_tok))
+        got = {
+            r["min_chars"]: r
+            for r in a11.curation_length_filter_tuning(spark, sf).collect()
+        }
+        assert set(got) == set(a11._LFT_CUTOFFS), sf
+        prev_docs = None
+        for cut in a11._LFT_CUTOFFS:
+            kept = [(f, c, t) for f, c, t in prepared if c >= cut]
+            by_fp: dict[str, int] = {}
+            for f, _, _ in kept:
+                by_fp[f] = by_fp.get(f, 0) + 1
+            n_dup = sum(n - 1 for n in by_fp.values() if n > 1)
+            r = got[cut]
+            assert r["n_docs"] == len(kept), (sf, cut)
+            assert r["n_tokens"] == sum(t for _, _, t in kept), (sf, cut)
+            assert r["n_exact_dup"] == n_dup, (sf, cut)
+            if r["n_docs"]:
+                assert r["dup_permille"] == n_dup * 1000 // len(kept)
+            if prev_docs is not None:
+                assert r["n_docs"] <= prev_docs, (sf, cut)
+            prev_docs = r["n_docs"]
+        assert got[0]["n_docs"] == len(prepared), sf

@@ -169,6 +169,11 @@ _NESTED_LOOP_OK = {
     "curation_dataset_card",   # 1-row totals + 9-row decile-k broadcast cross joins
     "agg_quantile_bottomk_sketch",  # 5-row quantile-probe broadcast cross join
     "sim_range_radius_search", # 5-row query-vector broadcast cross join (truth)
+    "graph_bridge_edges",      # NOT-equal exclusion join over the <=50-edge relation
+    "text_zipf_fit",           # 1-row token-total broadcast cross join
+    "dedup_lsh_tuning_curve",  # 1-row union-true broadcast cross join
+    "text_burstiness",         # 1-row doc-count broadcast cross join
+    "graph_reciprocity_profile",  # 1-row reciprocity/edge-count broadcast cross joins
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -291,6 +296,12 @@ _BROADCAST_OK = {
     ("analytics10.py", "quants"),     # fixed 5-row quantile-probe relation
     ("analytics10.py", "queries"),    # fixed _NSW_Q=5 query vectors
     ("analytics10.py", "radii"),      # fixed 5-row per-query radius relation
+    ("analytics10.py", "ece"),        # grouped by lang: <= |langs| rows
+    ("analytics10.py", "tot"),        # single-row token-total aggregate (Zipf)
+    ("analytics11.py", "union_true"), # single-row union-pair count
+    ("analytics11.py", "n"),          # single-row doc count (burstiness N)
+    ("analytics11.py", "edges"),      # schema-bounded <= 2*25-row trade edges (agg to 1 row)
+    ("analytics11.py", "recip"),      # single-row reciprocity aggregate
 }
 
 
