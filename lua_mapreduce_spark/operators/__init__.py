@@ -25,6 +25,7 @@ from lua_mapreduce_spark.operators import (
     analytics9,
     analytics10,
     analytics11,
+    analytics12,
     curation,
     dedup,
     events,
@@ -79,6 +80,7 @@ _MODULES = [
     analytics9,
     analytics10,
     analytics11,
+    analytics12,
     pq,
     sources_ops,
 ]
@@ -120,7 +122,7 @@ _MODULES = [
 # both engines; sim_hnsw_layers: layer-2 entry COALESCE fallback, plus
 # the memoized layer-0 graph build shared with sim_knn_graph_search —
 # which changed with it), so this confirmation also covers the changed
-# plans; and FIFTEEN fills from the stale pool (the five-wave rotation displaced text_normalize_pandas_udf, udaf_group_median_pandas, agg_heavy_hitters_sketch and curation_pack_sequences last), per the committed
+# plans; and ELEVEN fills from the stale pool (the six-wave rotation displaced, in order, the r7-block tail, text_normalize_pandas_udf, udaf_group_median_pandas, agg_heavy_hitters_sketch, curation_pack_sequences, then text_bigrams, text_boilerplate_ngrams, text_chunk_tokens and text_decontaminate), per the committed
 # fill order: FIRST the six r7-displaced names
 # (join_semi_customers_with_urgent, q10_returned_revenue,
 # q13_customer_distribution, q14_promo_share, q3_shipping_priority,
@@ -137,9 +139,9 @@ _MODULES = [
 # from this slice: their per-name verification rounds diverged across
 # r4/r6 displacements, so they rotate with their own recorded rounds in
 # the r14 pool instead of as a block).
-# 2 + 20 + 13 + 15 = 50. After a green r13, every pre-r12 query is
+# 2 + 24 + 13 + 11 = 50. After a green r13, every pre-r12 query is
 # driver-confirmed at least twice, the r12 newcomers twice, and only
-# the 20 r13 newcomers owe their second confirmation (the r14 window's
+# the 24 r13 newcomers owe their second confirmation (the r14 window's
 # first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -178,6 +180,13 @@ _DRIVER_WINDOW = [
     "text_burstiness",
     "graph_reciprocity_profile",
     "curation_length_filter_tuning",
+    # r13-new queries (sixth wave: streaming retention snapshot,
+    # cross-source overlap matrix, inter-arrival profile, Heaps
+    # vocabulary growth; they displace four more fills)
+    "streaming_retention_snapshot",
+    "curation_source_overlap_matrix",
+    "events_inter_arrival_profile",
+    "text_vocabulary_growth",
     # r12-new queries (second confirmation; curation_pareto_skyline,
     # sim_hnsw_layers and sim_knn_graph_search also r13-changed per the
     # r12 ADVICE items 1-2 + the shared layer-0 graph memoization)
@@ -208,10 +217,6 @@ _DRIVER_WINDOW = [
     "streaming_anomaly_hours",
     "streaming_session_windows",
     "streaming_sliding_counts",
-    "text_bigrams",
-    "text_boilerplate_ngrams",
-    "text_chunk_tokens",
-    "text_decontaminate",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -38,6 +38,7 @@ from lua_mapreduce_spark.streaming.stateful import (
     stream_dedup_events,
     stream_hll_distinct_stateful,
     stream_kmv_distinct_stateful,
+    stream_retention_stateful,
     stream_sliding_counts,
     stream_static_enrich,
     stream_stream_attribution,
@@ -573,6 +574,62 @@ FROM folded f JOIN exact x ON f.event_type = x.event_type
 """
 
 
+def streaming_retention_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of events_retention_cohorts (the CUSUM-monitor
+    composition convention: accumulate state IN the stream, compute the
+    report over the drained snapshot, share the batch query's oracle
+    VERBATIM): per-user (first_week, offset-bitmask) state — 2 int64s
+    per user — accumulates across micro-batches; after the drain the
+    settled state explodes its mask bits back into (cohort, offset)
+    activity and the SAME triangle arithmetic as the batch query runs
+    over it, so the driver proves the streamed state feeds the
+    IDENTICAL retention report (a test additionally pins streaming ==
+    batch row-for-row).
+
+    Scale shape: state is 2 int64s per user (an activity LIST would
+    grow with weeks); the mask explode and the triangle are bounded
+    post-drain rollups; offsets beyond 62 would need a mask array —
+    bound asserted in tests, fixtures span ~4 weeks."""
+    from lua_mapreduce_spark.streaming.stateful import _RET_MAX_OFF
+
+    sink = drain_stream(
+        stream_retention_stateful(_events_stream(spark, sf_dir)),
+        "stream_retention",
+        output_mode="update",
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
+    final = (
+        sink.groupBy("user_id")
+        .agg(F.max(F.struct("n_batches", "first_week", "mask")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.first_week").alias("cohort"),
+            F.col("s.mask").alias("mask"),
+        )
+    )
+    act = final.select(
+        "cohort",
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {_RET_MAX_OFF}),"
+                " i -> (mask DIV shiftleft(CAST(1 AS BIGINT), i)) % 2 = 1)"
+            )
+        ).alias("offset_weeks"),
+    ).groupBy("cohort", "offset_weeks").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = final.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return act.join(sizes, "cohort").select(
+        F.col("cohort").alias("cohort_week"),
+        F.expr("CAST(offset_weeks AS BIGINT)").alias("offset_weeks"),
+        F.expr("CAST(n_cohort AS BIGINT)").alias("n_cohort"),
+        F.expr("CAST(n_active AS BIGINT)").alias("n_active"),
+        F.expr("n_active * 1000 DIV n_cohort").alias("retention_permille"),
+    )
+
+
 def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of events_changepoint_cusum (the r12 step
     detector): the watermarked hourly aggregation runs IN the stream
@@ -616,6 +673,7 @@ QUERIES = {
     "streaming_kmv_distinct": streaming_kmv_distinct,
     "streaming_countmin_totals": streaming_countmin_totals,
     "streaming_hll_distinct": streaming_hll_distinct,
+    "streaming_retention_snapshot": streaming_retention_snapshot,
     "streaming_cusum_monitor": streaming_cusum_monitor,
 }
 
@@ -794,12 +852,17 @@ STREAM_CMS_ORACLE = _cms_oracle()
 from lua_mapreduce_spark.operators.analytics7 import (  # noqa: E402
     CUSUM_ORACLE as STREAM_CUSUM_ORACLE,
 )
+from lua_mapreduce_spark.operators.analytics10 import (  # noqa: E402
+    RETENTION_ORACLE as STREAM_RETENTION_ORACLE,
+)
 
 
 ORACLES: dict[str, str] = {
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_countmin_totals": STREAM_CMS_ORACLE,
     "streaming_hll_distinct": _stream_hll_oracle(),
+    # shared VERBATIM with the batch face (the CUSUM-monitor convention)
+    "streaming_retention_snapshot": STREAM_RETENTION_ORACLE,
     "streaming_cusum_monitor": STREAM_CUSUM_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,

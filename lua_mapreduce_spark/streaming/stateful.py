@@ -382,6 +382,72 @@ def stream_hll_distinct_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+_RET_WEEK = 604800  # epoch-week bucket — MUST equal analytics10._RC_WEEK
+#                     (pinned by tests/test_round13.py, the _HLL_SM rule)
+_RET_MAX_OFF = 62  # offsets live in one int64 bitmask; the fixtures span
+#                    ~4 weeks — beyond 62 the state moves to a mask array
+
+
+def stream_retention_stateful(events: DataFrame) -> DataFrame:
+    """Per-user cohort/activity state for the retention triangle: state
+    = (first_week, offset bitmask) — 2 int64s per user regardless of
+    stream length. The stream replays event time FORWARD (the module's
+    time-contiguous-files contract), so a user's first-seen week is
+    final the first time the user appears and the mask only ever ORs in
+    new offset bits — which is why the DuckDB oracle can replay the
+    drained state from the batch table (MIN + bit-OR are
+    order-insensitive given the non-decreasing event-time guarantee the
+    other watermarked operators already rely on).
+
+    Emits (user_id, first_week, mask, n_batches) per key per batch in
+    update mode; final state per user = the max-n_batches row."""
+    import numpy as np
+
+    weeks = events.selectExpr(
+        "user_id",
+        f"CAST(unix_timestamp(ts) DIV {_RET_WEEK} AS BIGINT) AS wk",
+    )
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            first, mask, n_batches = state.get
+        else:
+            first, mask, n_batches = -1, 0, 0
+        for pdf in pdfs:
+            wks = pdf["wk"].to_numpy(dtype=np.int64)
+            if len(wks) == 0:
+                continue
+            if first < 0:
+                first = int(wks.min())
+            for off in np.unique(wks - first):
+                if 0 <= off <= _RET_MAX_OFF:
+                    mask |= 1 << int(off)
+        n_batches += 1
+        state.update((int(first), int(mask), n_batches))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "first_week": [int(first)],
+                "mask": [int(mask)],
+                "n_batches": [n_batches],
+            }
+        )
+
+    return weeks.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, first_week bigint, mask bigint,"
+        " n_batches long",
+        stateStructType="first_week bigint, mask bigint, n_batches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # Batches executed by the most recent drain_stream call (entries with input
 # rows only). Tests read this to prove multi-micro-batch execution.
 LAST_DRAIN_NUM_BATCHES = 0

@@ -1102,3 +1102,172 @@ def test_length_filter_tuning_matches_replay(spark):
                 assert r["n_docs"] <= prev_docs, (sf, cut)
             prev_docs = r["n_docs"]
         assert got[0]["n_docs"] == len(prepared), sf
+
+
+# --------------------------------------------------------------------------
+# streaming_retention_snapshot (sixth wave)
+# --------------------------------------------------------------------------
+
+
+def test_streaming_retention_equals_batch(spark):
+    """The streamed per-user (first_week, mask) state must produce
+    EXACTLY the batch events_retention_cohorts rows at both parity SFs
+    (>= 3 micro-batches pinned); the week constant must equal the batch
+    face's, and every observed offset must fit the single-int64 mask."""
+    from lua_mapreduce_spark.operators import analytics10 as a10
+    from lua_mapreduce_spark.operators import streaming_ops as so
+    from lua_mapreduce_spark.streaming import stateful
+
+    assert stateful._RET_WEEK == a10._RC_WEEK
+    for sf in (SF_SMALL, SF_MEDIUM):
+        batch = sorted(
+            tuple(r) for r in a10.events_retention_cohorts(spark, sf).collect()
+        )
+        streamed = sorted(
+            tuple(r)
+            for r in so.streaming_retention_snapshot(spark, sf).collect()
+        )
+        assert streamed == batch, sf
+        assert stateful.LAST_DRAIN_NUM_BATCHES >= 3
+        assert max(r[1] for r in batch) <= stateful._RET_MAX_OFF, sf
+
+
+# --------------------------------------------------------------------------
+# curation_source_overlap_matrix (sixth wave)
+# --------------------------------------------------------------------------
+
+
+def test_source_overlap_matches_replay(spark):
+    """The matrix must equal a pure-Python fingerprint replay: ordered
+    source pairs, shared-fingerprint counts, per-source totals and the
+    min-normalized containment permille; diagonals must equal each
+    source's own fingerprint count."""
+    from lua_mapreduce_spark.operators import analytics12 as a12
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT text, source FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        fs: set[tuple[str, str]] = set()
+        for text, source in docs:
+            fpv = re.sub(r"\s+", " ", text.lower()).strip()
+            fs.add((fpv, source))
+        by_src: dict[str, set[str]] = {}
+        for f, src in fs:
+            by_src.setdefault(src, set()).add(f)
+        srcs = sorted(by_src)
+        want = {}
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i:]:
+                shared = len(by_src[sa] & by_src[sb])
+                if shared == 0:
+                    continue
+                want[(sa, sb)] = (
+                    shared,
+                    len(by_src[sa]),
+                    len(by_src[sb]),
+                    shared * 1000 // min(len(by_src[sa]), len(by_src[sb])),
+                )
+        got = {
+            (r["source_a"], r["source_b"]): (
+                r["n_shared_fp"],
+                r["n_fp_a"],
+                r["n_fp_b"],
+                r["overlap_permille"],
+            )
+            for r in a12.curation_source_overlap_matrix(spark, sf).collect()
+        }
+        assert got == want, (sf, got, want)
+        for s_ in srcs:
+            assert got[(s_, s_)][0] == len(by_src[s_]), (sf, s_)
+
+
+# --------------------------------------------------------------------------
+# events_inter_arrival_profile (sixth wave)
+# --------------------------------------------------------------------------
+
+
+def test_inter_arrival_profile_consistency(spark):
+    """Bucket gap ranges must respect the doubling boundaries, per-type
+    gap counts must sum to n_events - 1, the median must sit inside one
+    of the type's buckets, and medians must match a DuckDB replay."""
+    from lua_mapreduce_spark.operators import analytics12 as a12
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        n_per_type = dict(
+            con.execute(
+                f"""SELECT event_type, COUNT(*)
+                    FROM '{sf}/events.parquet' GROUP BY 1"""
+            ).fetchall()
+        )
+        rows = a12.events_inter_arrival_profile(spark, sf).collect()
+        by_type: dict[str, list] = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+            lo = (1 << (r["gap_bucket"] - 1)) - 1  # bin length b covers
+            hi = (1 << r["gap_bucket"]) - 2  # gap+1 in [2^(b-1), 2^b)
+            assert lo <= r["min_gap_sec"] <= r["max_gap_sec"] <= hi, (sf, r)
+        for t, rs in by_type.items():
+            assert sum(r["n_gaps"] for r in rs) == n_per_type[t] - 1, (sf, t)
+            med = {r["median_gap_sec"] for r in rs}
+            assert len(med) == 1, (sf, t)
+            m = med.pop()
+            assert any(
+                r["min_gap_sec"] <= m <= r["max_gap_sec"] for r in rs
+            ), (sf, t, m)
+
+
+# --------------------------------------------------------------------------
+# text_vocabulary_growth (sixth wave)
+# --------------------------------------------------------------------------
+
+
+def test_vocabulary_growth_matches_replay(spark):
+    """The Heaps curve must equal a pure-Python replay over doc_id
+    deciles; vocab and token counts must be non-decreasing; the final
+    decile must cover the whole corpus; new_words must telescope to the
+    final vocabulary size."""
+    from lua_mapreduce_spark.operators import analytics12 as a12
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        mx = max(d for d, _ in docs) + 1
+        toks = {
+            d: [w.lower() for w in re.findall(r"[A-Za-z]+", t)]
+            for d, t in docs
+        }
+        first: dict[str, int] = {}
+        for d in sorted(toks):
+            for w in toks[d]:
+                if w not in first or d < first[w]:
+                    first[w] = d
+        got = sorted(
+            (
+                r["k"],
+                r["n_docs"],
+                r["n_tokens"],
+                r["vocab_size"],
+                r["new_words"],
+            )
+            for r in a12.text_vocabulary_growth(spark, sf).collect()
+        )
+        assert [g[0] for g in got] == list(range(1, a12._VG_STEPS + 1)), sf
+        prev_v = 0
+        for k, n_docs, n_tokens, vocab, new_words in got:
+            cut = k * mx // a12._VG_STEPS
+            assert n_docs == sum(1 for d in toks if d < cut), (sf, k)
+            assert n_tokens == sum(
+                len(ws) for d, ws in toks.items() if d < cut
+            ), (sf, k)
+            assert vocab == sum(1 for w, d in first.items() if d < cut), (
+                sf,
+                k,
+            )
+            assert new_words == vocab - prev_v, (sf, k)
+            prev_v = vocab
+        assert got[-1][1] == len(docs) and got[-1][3] == len(first), sf

@@ -174,6 +174,7 @@ _NESTED_LOOP_OK = {
     "dedup_lsh_tuning_curve",  # 1-row union-true broadcast cross join
     "text_burstiness",         # 1-row doc-count broadcast cross join
     "graph_reciprocity_profile",  # 1-row reciprocity/edge-count broadcast cross joins
+    "text_vocabulary_growth",  # 1-row max-id + 10-row decile-grid broadcast cross joins
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -186,6 +187,7 @@ _SKIP_AUDIT = {
     "streaming_kmv_distinct",
     "streaming_countmin_totals",
     "streaming_hll_distinct",
+    "streaming_retention_snapshot",
 }
 
 
@@ -302,6 +304,11 @@ _BROADCAST_OK = {
     ("analytics11.py", "n"),          # single-row doc count (burstiness N)
     ("analytics11.py", "edges"),      # schema-bounded <= 2*25-row trade edges (agg to 1 row)
     ("analytics11.py", "recip"),      # single-row reciprocity aggregate
+    ("analytics12.py", "ta"),         # grouped by source: <= |sources| rows
+    ("analytics12.py", "tb"),         # grouped by source: <= |sources| rows
+    ("analytics12.py", "med"),        # grouped by event_type: <= |types| rows
+    ("analytics12.py", "mx"),         # single-row max-doc-id aggregate
+    ("analytics12.py", "ks"),         # fixed _VG_STEPS=10 decile thresholds
 }
 
 
