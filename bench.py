@@ -289,6 +289,11 @@ EXTENDED_MEDIAN = {
     # per-round fixed cost, the SCC/closeness band)
     "sim_ivf_pq_hybrid",
     "graph_betweenness_centrality",
+    # later r13 waves in the same bands: the bridge query runs the
+    # per-eid squared closures + a depth-7 recursion; the tuning curve
+    # runs three banded joins + three verify joins + the union
+    "graph_bridge_edges",
+    "dedup_lsh_tuning_curve",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is
