@@ -122,7 +122,7 @@ _MODULES = [
 # both engines; sim_hnsw_layers: layer-2 entry COALESCE fallback, plus
 # the memoized layer-0 graph build shared with sim_knn_graph_search —
 # which changed with it), so this confirmation also covers the changed
-# plans; and ELEVEN fills from the stale pool (the six-wave rotation displaced, in order, the r7-block tail, text_normalize_pandas_udf, udaf_group_median_pandas, agg_heavy_hitters_sketch, curation_pack_sequences, then text_bigrams, text_boilerplate_ngrams, text_chunk_tokens and text_decontaminate), per the committed
+# plans; and NINE fills from the stale pool (the six-wave rotation displaced, in order, the r7-block tail, text_normalize_pandas_udf, udaf_group_median_pandas, agg_heavy_hitters_sketch, curation_pack_sequences, then text_bigrams, text_boilerplate_ngrams, text_chunk_tokens, text_decontaminate, streaming_session_windows and streaming_sliding_counts), per the committed
 # fill order: FIRST the six r7-displaced names
 # (join_semi_customers_with_urgent, q10_returned_revenue,
 # q13_customer_distribution, q14_promo_share, q3_shipping_priority,
@@ -139,9 +139,9 @@ _MODULES = [
 # from this slice: their per-name verification rounds diverged across
 # r4/r6 displacements, so they rotate with their own recorded rounds in
 # the r14 pool instead of as a block).
-# 2 + 24 + 13 + 11 = 50. After a green r13, every pre-r12 query is
+# 2 + 26 + 13 + 9 = 50. After a green r13, every pre-r12 query is
 # driver-confirmed at least twice, the r12 newcomers twice, and only
-# the 24 r13 newcomers owe their second confirmation (the r14 window's
+# the 26 r13 newcomers owe their second confirmation (the r14 window's
 # first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
@@ -187,6 +187,10 @@ _DRIVER_WINDOW = [
     "curation_source_overlap_matrix",
     "events_inter_arrival_profile",
     "text_vocabulary_growth",
+    # r13-new queries (seventh wave: streaming seasonal profile via the
+    # shared tail, per-doc shingle novelty; two more fills displaced)
+    "streaming_seasonal_profile",
+    "text_ngram_novelty",
     # r12-new queries (second confirmation; curation_pareto_skyline,
     # sim_hnsw_layers and sim_knn_graph_search also r13-changed per the
     # r12 ADVICE items 1-2 + the shared layer-0 graph memoization)
@@ -215,8 +219,6 @@ _DRIVER_WINDOW = [
     # the r6 block (committed fill order, SURVEY §2.6 r13 pre-plan)
     "agg_approx_percentile_sketch",
     "streaming_anomaly_hours",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

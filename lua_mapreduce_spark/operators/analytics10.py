@@ -326,6 +326,15 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hr"),
     ).agg(F.count(F.lit(1)).alias("x"))
+    return seasonal_profile_tail(hourly)
+
+
+def seasonal_profile_tail(hourly: DataFrame) -> DataFrame:
+    """The hour-of-day profile over an (event_type, hr, x) hourly table
+    — shared by the batch query above and its streaming twin
+    (streaming_ops.streaming_seasonal_profile), the cusum_argmax
+    convention: one implementation, so the two faces can never
+    drift."""
     prof = hourly.groupBy(
         "event_type", F.expr("CAST(hr % 24 AS BIGINT)").alias("hod")
     ).agg(

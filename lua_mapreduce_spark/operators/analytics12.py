@@ -323,14 +323,86 @@ FROM vocab v JOIN toks t ON v.k = t.k
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Per-document n-gram novelty (incremental-ingest duplication reading)
+# --------------------------------------------------------------------------
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle NOVELTY: the fraction of a doc's distinct
+    word-3-grams whose corpus-wide FIRST occurrence (MIN doc_id, the
+    deterministic corpus order) is this document — the incremental-
+    ingest reading of duplication the pairwise dedup family does not
+    give (a doc can evade every near-dup pair yet contribute nothing
+    new), and the document-grain complement of text_vocabulary_growth's
+    corpus curve. Uses the SHARED shingle machinery (dedup's 3-gram
+    distinct sets, docs with < 3 tokens absent — the shingles-CTE
+    convention), so the novelty definition can never drift from the
+    dedup family's shingle universe.
+
+    Scale shape: one tokenize scan -> exploded (doc, shingle) rows;
+    per-shingle MIN(doc_id) is a map-side-combinable aggregate; the
+    join back to the doc rows keys on shingle (the inverted-index
+    shuffle every shingle-grain statistic pays); the per-doc rollup is
+    map-side combinable. Nothing pairwise, nothing quadratic."""
+    from lua_mapreduce_spark.operators.dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir)
+    firsts = sh.groupBy("shingle").agg(
+        F.expr("CAST(MIN(doc_id) AS BIGINT)").alias("first_doc")
+    )
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_shingles"),
+            F.expr(
+                "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000 DIV n_shingles").alias(
+                "novelty_permille"
+            ),
+        )
+    )
+
+
+def _novelty_oracle() -> str:
+    from lua_mapreduce_spark.operators.dedup import _SHINGLES_ORACLE_CTE
+
+    return f"""
+WITH {_SHINGLES_ORACLE_CTE},
+firsts AS (
+  SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+  FROM shingles GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = s.doc_id THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS novelty_permille
+FROM shingles s JOIN firsts f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "curation_source_overlap_matrix": curation_source_overlap_matrix,
     "events_inter_arrival_profile": events_inter_arrival_profile,
     "text_vocabulary_growth": text_vocabulary_growth,
+    "text_ngram_novelty": text_ngram_novelty,
 }
 
 ORACLES = {
     "curation_source_overlap_matrix": SOURCE_OVERLAP_ORACLE,
     "events_inter_arrival_profile": INTER_ARRIVAL_ORACLE,
     "text_vocabulary_growth": VOCAB_GROWTH_ORACLE,
+    "text_ngram_novelty": _novelty_oracle(),
 }

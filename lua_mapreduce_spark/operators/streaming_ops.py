@@ -630,6 +630,34 @@ def streaming_retention_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of events_seasonal_profile (the stream-aggregate
+    -> snapshot -> report composition the CUSUM monitor established):
+    the watermarked hourly aggregation runs IN the stream (true
+    cross-batch state, >= 3 micro-batches, complete-mode drain), then
+    the SHARED seasonal_profile_tail (analytics10) computes the
+    hour-of-day profile over the drained hourly table — one tail
+    implementation, so streaming and batch can never drift, and the
+    oracle is the batch query's SEASONAL_ORACLE verbatim (the driver
+    proves the streamed hourly state feeds the IDENTICAL profile)."""
+    from lua_mapreduce_spark.operators.analytics10 import (
+        seasonal_profile_tail,
+    )
+    from lua_mapreduce_spark.streaming.windows import stream_tumbling_counts
+
+    sink = drain_stream(
+        stream_tumbling_counts(_events_stream(spark, sf_dir)),
+        "stream_seasonal_hourly",
+        output_mode="complete",
+    )
+    hourly = sink.select(
+        "event_type",
+        F.expr("CAST(ws_epoch DIV 3600 AS BIGINT)").alias("hr"),
+        F.col("n_events").alias("x"),
+    )
+    return seasonal_profile_tail(hourly)
+
+
 def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of events_changepoint_cusum (the r12 step
     detector): the watermarked hourly aggregation runs IN the stream
@@ -674,6 +702,7 @@ QUERIES = {
     "streaming_countmin_totals": streaming_countmin_totals,
     "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_retention_snapshot": streaming_retention_snapshot,
+    "streaming_seasonal_profile": streaming_seasonal_profile,
     "streaming_cusum_monitor": streaming_cusum_monitor,
 }
 
@@ -854,6 +883,7 @@ from lua_mapreduce_spark.operators.analytics7 import (  # noqa: E402
 )
 from lua_mapreduce_spark.operators.analytics10 import (  # noqa: E402
     RETENTION_ORACLE as STREAM_RETENTION_ORACLE,
+    SEASONAL_ORACLE as STREAM_SEASONAL_ORACLE,
 )
 
 
@@ -863,6 +893,7 @@ ORACLES: dict[str, str] = {
     "streaming_hll_distinct": _stream_hll_oracle(),
     # shared VERBATIM with the batch face (the CUSUM-monitor convention)
     "streaming_retention_snapshot": STREAM_RETENTION_ORACLE,
+    "streaming_seasonal_profile": STREAM_SEASONAL_ORACLE,
     "streaming_cusum_monitor": STREAM_CUSUM_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,

@@ -1271,3 +1271,63 @@ def test_vocabulary_growth_matches_replay(spark):
             assert new_words == vocab - prev_v, (sf, k)
             prev_v = vocab
         assert got[-1][1] == len(docs) and got[-1][3] == len(first), sf
+
+
+# --------------------------------------------------------------------------
+# streaming_seasonal_profile + text_ngram_novelty (seventh wave)
+# --------------------------------------------------------------------------
+
+
+def test_streaming_seasonal_equals_batch(spark):
+    """The streamed hourly state must produce EXACTLY the batch
+    events_seasonal_profile rows (shared seasonal_profile_tail — the
+    cusum_argmax one-implementation convention) at both parity SFs,
+    with >= 3 micro-batches."""
+    from lua_mapreduce_spark.operators import analytics10 as a10
+    from lua_mapreduce_spark.operators import streaming_ops as so
+    from lua_mapreduce_spark.streaming import stateful
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        batch = sorted(
+            tuple(r) for r in a10.events_seasonal_profile(spark, sf).collect()
+        )
+        streamed = sorted(
+            tuple(r)
+            for r in so.streaming_seasonal_profile(spark, sf).collect()
+        )
+        assert streamed == batch, sf
+        assert stateful.LAST_DRAIN_NUM_BATCHES >= 3
+
+
+def test_ngram_novelty_matches_replay(spark):
+    """Per-doc novelty must equal a pure-Python shingle replay (3-gram
+    distinct sets, corpus-order first-seen), the doc_id-0 doc (when
+    present) must read 1000 permille, and the novelty mass must
+    telescope: total novel shingles == the distinct shingle universe."""
+    from lua_mapreduce_spark.operators import analytics12 as a12
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        sh = {d: _py_shingles(t) for d, t in docs}
+        first: dict[str, int] = {}
+        for d in sorted(sh):
+            for g in sh[d]:
+                if g not in first:
+                    first[g] = d
+        want = {}
+        for d, gs in sh.items():
+            if not gs:
+                continue
+            novel = sum(1 for g in gs if first[g] == d)
+            want[d] = (len(gs), novel, novel * 1000 // len(gs))
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_permille"])
+            for r in a12.text_ngram_novelty(spark, sf).collect()
+        }
+        assert got == want, sf
+        min_doc = min(want)
+        assert got[min_doc][2] == 1000, (sf, min_doc)
+        assert sum(v[1] for v in got.values()) == len(first), sf

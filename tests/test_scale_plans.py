@@ -188,6 +188,7 @@ _SKIP_AUDIT = {
     "streaming_countmin_totals",
     "streaming_hll_distinct",
     "streaming_retention_snapshot",
+    "streaming_seasonal_profile",
 }
 
 
