@@ -32,14 +32,18 @@ from lua_mapreduce_spark.functions.texthash import oracle_words_expr, words_expr
 
 
 def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source contamination matrix: for every (source_a <=
-    source_b) pair, how many exact-duplicate FINGERPRINTS appear in
-    both sources — the provenance leakage a corpus-level dup rate hides
-    (two 'independent' crawls sharing boilerplate inflate every mixture
-    weight computed from them), including the diagonal (fingerprints
-    duplicated WITHIN one source). overlap_permille normalizes by the
-    smaller side's distinct-fingerprint count — the containment-style
-    reading, so a small source fully swallowed by a big one reads 1000.
+    """Cross-source contamination matrix: for every DISTINCT pair
+    (source_a < source_b), how many exact-duplicate FINGERPRINTS appear
+    in both sources — the provenance leakage a corpus-level dup rate
+    hides (two 'independent' crawls sharing boilerplate inflate every
+    mixture weight computed from them). Off-diagonal only: after the
+    DISTINCT (fingerprint, source) projection a diagonal row's
+    n_shared_fp always equals n_fp_a (identically 1000 permille, zero
+    signal — r13 ADVICE), and WITHIN-source duplication is already the
+    dedup family's reading (dedup_exact_hash / curation_dataset_card).
+    overlap_permille normalizes by the smaller side's
+    distinct-fingerprint count — the containment-style reading, so a
+    small source fully swallowed by a big one reads 1000.
 
     Scale shape: one scan -> DISTINCT (fingerprint, source) pairs
     (map-side dedup); the matrix is a self-equi-join on fingerprint
@@ -56,7 +60,7 @@ def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         a.join(
             b,
             (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.source") <= F.col("b.source")),
+            & (F.col("a.source") < F.col("b.source")),
         )
         .groupBy(
             F.col("a.source").alias("source_a"),
@@ -99,7 +103,7 @@ shared AS (
   SELECT a.source AS source_a, b.source AS source_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared_fp
   FROM fs a JOIN fs b
-    ON a.fingerprint = b.fingerprint AND a.source <= b.source
+    ON a.fingerprint = b.fingerprint AND a.source < b.source
   GROUP BY 1, 2)
 SELECT source_a, source_b, n_shared_fp,
        ta.n_fp AS n_fp_a, tb.n_fp AS n_fp_b,
@@ -342,14 +346,22 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention), so the novelty definition can never drift from the
     dedup family's shingle universe.
 
-    Scale shape: one tokenize scan -> exploded (doc, shingle) rows;
-    per-shingle MIN(doc_id) is a map-side-combinable aggregate; the
-    join back to the doc rows keys on shingle (the inverted-index
-    shuffle every shingle-grain statistic pays); the per-doc rollup is
-    map-side combinable. Nothing pairwise, nothing quadratic."""
-    from lua_mapreduce_spark.operators.dedup import _shingles_df
+    Scale shape: exploded (doc, shingle) rows come from the PERSISTED
+    signature relation (`_minhash_signatures`), not a raw re-scan —
+    `sh` is referenced twice below (the firsts aggregate AND the join
+    back), and deriving it from the raw table re-ran the
+    tokenize+explode subtree per reference (the same double-pass
+    dedup_ngram_jaccard's docstring rules out; its fix measured
+    13.5 -> 2.1 s at sf0.1). Per-shingle MIN(doc_id) is a map-side-
+    combinable aggregate; the join back keys on shingle (the
+    inverted-index shuffle every shingle-grain statistic pays); the
+    per-doc rollup is map-side combinable. Nothing pairwise, nothing
+    quadratic."""
+    from lua_mapreduce_spark.operators.dedup import _minhash_signatures
 
-    sh = _shingles_df(spark, sf_dir)
+    sh = _minhash_signatures(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
     firsts = sh.groupBy("shingle").agg(
         F.expr("CAST(MIN(doc_id) AS BIGINT)").alias("first_doc")
     )

@@ -586,10 +586,12 @@ def streaming_retention_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL retention report (a test additionally pins streaming ==
     batch row-for-row).
 
-    Scale shape: state is 2 int64s per user (an activity LIST would
+    Scale shape: state is 3 int64s per user (an activity LIST would
     grow with weeks); the mask explode and the triangle are bounded
-    post-drain rollups; offsets beyond 62 would need a mask array —
-    bound asserted in tests, fixtures span ~4 weeks."""
+    post-drain rollups; offsets beyond 62 are COUNTED into the sink's
+    n_overflow column (surfaced, never silently dropped — fixtures
+    span ~4 weeks so tests assert it stays 0), and the fold re-anchors
+    on out-of-order Arrow chunks so state == batch MIN + bit-OR."""
     from lua_mapreduce_spark.streaming.stateful import _RET_MAX_OFF
 
     sink = drain_stream(

@@ -386,21 +386,57 @@ _RET_WEEK = 604800  # epoch-week bucket — MUST equal analytics10._RC_WEEK
 #                     (pinned by tests/test_round13.py, the _HLL_SM rule)
 _RET_MAX_OFF = 62  # offsets live in one int64 bitmask; the fixtures span
 #                    ~4 weeks — beyond 62 the state moves to a mask array
+_RET_FULL_MASK = (1 << (_RET_MAX_OFF + 1)) - 1  # bits 0..62 (sign bit free)
+
+
+def _ret_update_weeks(
+    first: int, mask: int, n_over: int, wk_set
+) -> Tuple[int, int, int]:
+    """Fold one micro-batch's DISTINCT week set into (first, mask,
+    n_over) retention state. Chunk-order-proof: if the batch holds a
+    week EARLIER than the current anchor (applyInPandasWithState gives
+    no intra-batch Arrow-chunk ordering guarantee, so the first chunk
+    seen is not necessarily the earliest), the anchor is RE-SET and the
+    existing offset bits shift left by the delta instead of the early
+    week being dropped. Offsets pushed (or landing) beyond
+    _RET_MAX_OFF are counted into ``n_over`` — surfaced on the emitted
+    row so a >62-week stream under-reports LOUDLY, never silently."""
+    if not wk_set:
+        return first, mask, n_over
+    lo = min(wk_set)
+    if first < 0:
+        first = lo
+    elif lo < first:
+        shifted = mask << (first - lo)
+        n_over += bin(shifted >> (_RET_MAX_OFF + 1)).count("1")
+        mask = shifted & _RET_FULL_MASK
+        first = lo
+    for wk in wk_set:
+        off = wk - first
+        if off <= _RET_MAX_OFF:
+            mask |= 1 << off
+        else:
+            n_over += 1
+    return first, mask, n_over
 
 
 def stream_retention_stateful(events: DataFrame) -> DataFrame:
     """Per-user cohort/activity state for the retention triangle: state
-    = (first_week, offset bitmask) — 2 int64s per user regardless of
-    stream length. The stream replays event time FORWARD (the module's
-    time-contiguous-files contract), so a user's first-seen week is
-    final the first time the user appears and the mask only ever ORs in
-    new offset bits — which is why the DuckDB oracle can replay the
-    drained state from the batch table (MIN + bit-OR are
-    order-insensitive given the non-decreasing event-time guarantee the
-    other watermarked operators already rely on).
+    = (first_week, offset bitmask, overflow count) — 3 int64s per user
+    regardless of stream length. The batch-wide DISTINCT week set is
+    collected across ALL Arrow chunks before anchoring (chunks within a
+    micro-batch carry no ordering guarantee), and `_ret_update_weeks`
+    re-anchors the mask when an earlier week arrives after the anchor
+    was set — so the folded state equals the batch MIN + bit-OR no
+    matter how the engine chunks a key's rows, which is what lets the
+    DuckDB RETENTION_ORACLE replay the drained state from the batch
+    table. Offsets beyond _RET_MAX_OFF are COUNTED into n_overflow on
+    the emitted row (never silently dropped), so a stream spanning >62
+    weeks is diagnosable from the sink.
 
-    Emits (user_id, first_week, mask, n_batches) per key per batch in
-    update mode; final state per user = the max-n_batches row."""
+    Emits (user_id, first_week, mask, n_overflow, n_batches) per key
+    per batch in update mode; final state per user = the max-n_batches
+    row."""
     import numpy as np
 
     weeks = events.selectExpr(
@@ -415,25 +451,24 @@ def stream_retention_stateful(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            first, mask, n_batches = state.get
+            first, mask, n_over, n_batches = state.get
         else:
-            first, mask, n_batches = -1, 0, 0
+            first, mask, n_over, n_batches = -1, 0, 0, 0
+        wk_set = set()  # distinct weeks this batch — bounded by the
+        #                 week domain, NOT the event count
         for pdf in pdfs:
             wks = pdf["wk"].to_numpy(dtype=np.int64)
-            if len(wks) == 0:
-                continue
-            if first < 0:
-                first = int(wks.min())
-            for off in np.unique(wks - first):
-                if 0 <= off <= _RET_MAX_OFF:
-                    mask |= 1 << int(off)
+            if len(wks):
+                wk_set.update(int(w) for w in np.unique(wks))
+        first, mask, n_over = _ret_update_weeks(first, mask, n_over, wk_set)
         n_batches += 1
-        state.update((int(first), int(mask), n_batches))
+        state.update((int(first), int(mask), int(n_over), n_batches))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "first_week": [int(first)],
                 "mask": [int(mask)],
+                "n_overflow": [int(n_over)],
                 "n_batches": [n_batches],
             }
         )
@@ -441,8 +476,9 @@ def stream_retention_stateful(events: DataFrame) -> DataFrame:
     return weeks.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, first_week bigint, mask bigint,"
+        " n_overflow bigint, n_batches long",
+        stateStructType="first_week bigint, mask bigint, n_overflow bigint,"
         " n_batches long",
-        stateStructType="first_week bigint, mask bigint, n_batches long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1140,8 +1140,8 @@ def test_streaming_retention_equals_batch(spark):
 def test_source_overlap_matches_replay(spark):
     """The matrix must equal a pure-Python fingerprint replay: ordered
     source pairs, shared-fingerprint counts, per-source totals and the
-    min-normalized containment permille; diagonals must equal each
-    source's own fingerprint count."""
+    min-normalized containment permille; diagonal rows are EXCLUDED
+    (post-DISTINCT they carry no signal — r13 ADVICE)."""
     from lua_mapreduce_spark.operators import analytics12 as a12
 
     for sf in (SF_SMALL, SF_MEDIUM):
@@ -1159,7 +1159,7 @@ def test_source_overlap_matches_replay(spark):
         srcs = sorted(by_src)
         want = {}
         for i, sa in enumerate(srcs):
-            for sb in srcs[i:]:
+            for sb in srcs[i + 1 :]:
                 shared = len(by_src[sa] & by_src[sb])
                 if shared == 0:
                     continue
@@ -1179,8 +1179,7 @@ def test_source_overlap_matches_replay(spark):
             for r in a12.curation_source_overlap_matrix(spark, sf).collect()
         }
         assert got == want, (sf, got, want)
-        for s_ in srcs:
-            assert got[(s_, s_)][0] == len(by_src[s_]), (sf, s_)
+        assert all(sa < sb for sa, sb in got), sf
 
 
 # --------------------------------------------------------------------------
