@@ -29,6 +29,15 @@ streaming_* drain plus EXTENDED_MEDIAN) report 3-run medians — a single
 contended run was indistinguishable from a plan regression — while the
 cheap bulk stays single-pass.
 
+PROCESS ISOLATION (round 14): the headline block and the extended sweep
+run in SEPARATE fresh python+JVM processes (r13's verdict: sharing one
+JVM let the 200+-query sweep move value_r1 10-30% via GC/code-cache
+pressure, forcing a calibration essay every round — now the probe IS the
+protocol). The orchestrator (no SPARK_GRAFT_BENCH_PHASE set) spawns one
+child per phase and merges; each phase carries its own calibration pair.
+SPARK_GRAFT_BENCH_INPROC=1 restores the old single-process mode for
+quick iteration.
+
 COMPARABILITY (round 10): HEADLINE has GROWN round-over-round (21 names
 in r1 → 80+ now), so "value" (sum of current headline medians) is NOT a
 cross-round series — it re-baselines whenever the set grows. The numbers
@@ -521,8 +530,7 @@ def _skew_bench(spark, sf_dir) -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _build_session(app: str):
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -530,20 +538,21 @@ def main() -> None:
     from lua_mapreduce_spark.session import configure_runtime
 
     spark = configure_runtime(
-        SparkSession.builder.appName("lua-mapreduce-spark-bench")
+        SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    from lua_mapreduce_spark.operators import QUERIES
 
-    # Warm the JVM/codegen paths and parquet footers once so the first timed
-    # query doesn't absorb one-time startup cost. The regex-tokenize warmup
-    # matters most: java.util.regex + UTF8String hot loops take ~2s of C2
-    # JIT before they hit steady-state throughput.
+def _warm_session(spark, sf_dir: str) -> None:
+    """Warm the JVM/codegen paths and parquet footers once so the first
+    timed query doesn't absorb one-time startup cost. The regex-tokenize
+    warmup matters most: java.util.regex + UTF8String hot loops take ~2s
+    of C2 JIT before they hit steady-state throughput."""
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(500_000).selectExpr(
         "sum(CAST(id % 10000 AS DECIMAL(12,2)) * (1 - CAST(0.05 AS DECIMAL(3,2))))"
@@ -556,6 +565,19 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
+
+
+def _headline_phase(sf_dir: str) -> dict:
+    """The headline block — 3-run medians over HEADLINE plus the
+    calibration pair and the skew A/B — in whatever JVM calls it. Run
+    via the phase protocol (below) it gets a FRESH process: r13 showed
+    the 200+-query extended sweep sharing the JVM moves value_r1 by
+    10-30% through GC/code-cache pressure, so since r14 the probe IS
+    the protocol — headline timings never share a JVM with the sweep."""
+    spark = _build_session("lua-mapreduce-spark-bench-headline")
+    _warm_session(spark, sf_dir)
+
+    from lua_mapreduce_spark.operators import QUERIES
 
     # Host-speed calibration, START sample: one untimed JIT pass, then
     # N_RUNS timed. Re-sampled at bench END; the pair brackets the run so
@@ -686,12 +708,44 @@ def main() -> None:
     # run. Judges/rounds can tell the two apart without re-running.
     runs_detail = {n: [round(t, 3) for t in ts] for n, ts in raw.items()}
 
-    # Extended tier: one timed pass over every non-headline registered
-    # query — EXCEPT the promoted slow set (_extended_runs_for), which gets
-    # N_RUNS passes and a median so host contention can't masquerade as a
-    # plan regression. Per-query errors are recorded as -1.0 rather than
-    # aborting the whole bench (the correctness gate, not the bench, owns
-    # failures).
+    skew = _skew_bench(spark, sf_dir)
+
+    # Host-speed calibration, END sample — brackets the HEADLINE block
+    # (since r14 the extended sweep runs in its own process with its own
+    # pair), so start/end drift reads on exactly the timings it wraps.
+    calib_end = _median_time(lambda: _calibration_probe(spark))
+    calibration = {
+        "start_sec": round(statistics.median(calib_start), 3),
+        "end_sec": round(statistics.median(calib_end), 3),
+        "start_runs": [round(t, 3) for t in calib_start],
+        "end_runs": [round(t, 3) for t in calib_end],
+    }
+    return {
+        "timings": timings,
+        "spread": spread,
+        "runs_detail": runs_detail,
+        "calibration": calibration,
+        "skew_join_events": skew,
+    }
+
+
+def _extended_phase(sf_dir: str) -> dict:
+    """The whole-registry radar sweep in its own JVM (phase protocol):
+    one timed pass over every non-headline registered query — EXCEPT the
+    promoted slow set (_extended_runs_for), which gets N_RUNS passes and
+    a median so host contention can't masquerade as a plan regression.
+    Per-query errors are recorded as -1.0 rather than aborting the whole
+    bench (the correctness gate, not the bench, owns failures). Carries
+    its own calibration pair so its lines normalize independently of the
+    headline process."""
+    spark = _build_session("lua-mapreduce-spark-bench-extended")
+    _warm_session(spark, sf_dir)
+
+    from lua_mapreduce_spark.operators import QUERIES
+
+    _calibration_probe(spark)
+    calib_start = _median_time(lambda: _calibration_probe(spark))
+
     extended: dict[str, float] = {}
     extended_runs_detail: dict[str, list[float]] = {}
     for name in sorted(QUERIES):
@@ -709,14 +763,7 @@ def main() -> None:
             print(f"extended bench {name} failed: {exc!r}", file=sys.stderr)
             extended[name] = -1.0
 
-    # Host-speed calibration, END sample.
     calib_end = _median_time(lambda: _calibration_probe(spark))
-    calibration = {
-        "start_sec": round(statistics.median(calib_start), 3),
-        "end_sec": round(statistics.median(calib_end), 3),
-        "start_runs": [round(t, 3) for t in calib_start],
-        "end_runs": [round(t, 3) for t in calib_end],
-    }
 
     # Restart-harness split for the streaming Python DataSource drain: its
     # bench line is dominated by n_pages+1 checkpoint-recovery restarts
@@ -724,9 +771,96 @@ def main() -> None:
     # cost; record both so nobody mistakes harness cost for a plan flaw.
     from lua_mapreduce_spark.operators import sources_ops as _sops
 
-    pds_drain = dict(getattr(_sops, "LAST_DRAIN_STATS", {}))
+    return {
+        "extended": extended,
+        "extended_runs_detail": extended_runs_detail,
+        "calibration_extended": {
+            "start_sec": round(statistics.median(calib_start), 3),
+            "end_sec": round(statistics.median(calib_end), 3),
+            "start_runs": [round(t, 3) for t in calib_start],
+            "end_runs": [round(t, 3) for t in calib_end],
+        },
+        "streaming_python_datasource_drain": dict(
+            getattr(_sops, "LAST_DRAIN_STATS", {})
+        ),
+    }
 
-    skew = _skew_bench(spark, sf_dir)
+
+_PHASES = {"headline": _headline_phase, "extended": _extended_phase}
+
+
+def _run_phase_subprocess(phase: str, sf_dir: str) -> dict:
+    """Run one bench phase in a FRESH python+JVM process and return its
+    result dict. The child re-executes this file with
+    SPARK_GRAFT_BENCH_PHASE set and writes JSON to a temp path; stdout/
+    stderr stream through so per-query failure notes stay visible."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        mode="r", suffix=f"_bench_{phase}.json", delete=False
+    ) as tf:
+        out_path = tf.name
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_PHASE"] = phase
+    env["SPARK_GRAFT_BENCH_OUT"] = out_path
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            check=True,
+            stdout=sys.stderr,  # child stdout is progress, not the ONE line
+        )
+        with open(out_path) as fh:
+            return json.load(fh)
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # Phase protocol: as a CHILD (SPARK_GRAFT_BENCH_PHASE set) run just
+    # that phase and dump JSON; as the ORCHESTRATOR spawn one fresh
+    # process per phase so the headline medians (the cross-round series)
+    # never share a JVM with the 200+-query extended sweep.
+    # SPARK_GRAFT_BENCH_INPROC=1 falls back to single-process for quick
+    # local iteration (numbers then carry the shared-JVM caveat).
+    phase = os.environ.get("SPARK_GRAFT_BENCH_PHASE")
+    if phase:
+        result = _PHASES[phase](sf_dir)
+        with open(os.environ["SPARK_GRAFT_BENCH_OUT"], "w") as fh:
+            json.dump(result, fh)
+        return
+
+    inproc = os.environ.get("SPARK_GRAFT_BENCH_INPROC") == "1"
+    if inproc:
+        head = _headline_phase(sf_dir)
+        ext = _extended_phase(sf_dir)
+    else:
+        head = _run_phase_subprocess("headline", sf_dir)
+        try:
+            ext = _run_phase_subprocess("extended", sf_dir)
+        except Exception as exc:  # noqa: BLE001 — radar tier, never fatal
+            print(f"extended phase failed: {exc!r}", file=sys.stderr)
+            ext = {
+                "extended": {},
+                "extended_runs_detail": {},
+                "calibration_extended": {},
+                "streaming_python_datasource_drain": {},
+            }
+
+    timings = head["timings"]
+    spread = head["spread"]
+    runs_detail = head["runs_detail"]
+    calibration = head["calibration"]
+    skew = head["skew_join_events"]
+    extended = ext["extended"]
+    extended_runs_detail = ext["extended_runs_detail"]
+    pds_drain = ext["streaming_python_datasource_drain"]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
@@ -780,6 +914,7 @@ def main() -> None:
                 "extended_runs_detail": extended_runs_detail,
                 "skew_join_events": skew,
                 "calibration": calibration,
+                "calibration_extended": ext.get("calibration_extended", {}),
                 "value_r1": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE_R1), 3
                 ),

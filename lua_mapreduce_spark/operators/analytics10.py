@@ -750,10 +750,19 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic a curation pass reads before mixing sources.
 
     Scale shape: one tokenize scan collapses to the word-TYPE table
-    (map-side partial aggs); the rank window sorts TYPES, not tokens
-    (the collocations convention — vocabulary is orders of magnitude
-    smaller than the corpus; at extreme scale the rank can bucket by
-    count ranges first); the profile is a <= log2(vocab)-row rollup."""
+    (map-side partial aggs); the global rank is computed DISTRIBUTED
+    (r13 verdict item): the sort key (cnt DESC, w ASC) is coarsened to
+    (cnt, first letter) buckets — a monotone coarsening of the total
+    order — whose sizes roll up to a tiny relation; bucket start
+    offsets come from one window over THAT rollup (the only
+    single-partition exchange, |distinct cnt| x 26 rows, never the
+    vocab), broadcast back; the per-word row_number is PARTITIONED by
+    bucket, so no partition ever sorts more than one bucket's slice
+    (worst case the cnt=1 hapax words sharing a letter — widen the
+    prefix to 2 chars if a vocabulary ever outgrows that). rank =
+    bucket offset + within-bucket row_number, value-identical to the
+    oracle's global ROW_NUMBER; the profile is a <= log2(vocab)-row
+    rollup."""
     from lua_mapreduce_spark.functions.texthash import words_expr
 
     docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
@@ -761,11 +770,22 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.expr(words_expr("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pfx", F.expr("substring(w, 1, 1)"))
     )
-    wr = Window.orderBy(F.desc("cnt"), F.asc("w"))
-    # unpartitioned rank over the word-TYPE table (vocab-bounded)
-    ranked = counts.withColumn(
-        "rank", F.row_number().over(wr).cast("bigint")
+    bsz = counts.groupBy("cnt", "pfx").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    woff = Window.orderBy(F.desc("cnt"), F.asc("pfx")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bsz.withColumn(
+        "off",
+        F.coalesce(F.sum("bn").over(woff), F.lit(0)).cast("bigint"),
+    ).drop("bn")
+    wrn = Window.partitionBy("cnt", "pfx").orderBy(F.asc("w"))
+    ranked = counts.join(F.broadcast(offs), ["cnt", "pfx"]).withColumn(
+        "rank",
+        (F.col("off") + F.row_number().over(wrn)).cast("bigint"),
     )
     tot = ranked.agg(
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_tokens")

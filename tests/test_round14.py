@@ -178,3 +178,40 @@ def test_novelty_single_text_scan(spark):
         for r in df.collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# text_zipf_fit: the distributed-rank scale path (r13 verdict item 6)
+# --------------------------------------------------------------------------
+
+
+def test_zipf_rank_window_is_partitioned(spark):
+    """The per-word row_number must be PARTITIONED by (cnt, pfx) — its
+    windowspecdefinition lists the partition columns bare (no
+    direction) — and the vocab-sized relation must never cross an
+    Exchange SinglePartition (only the tiny bucket-offset rollup may).
+    Values must still equal the oracle's global ROW_NUMBER (parity is
+    the oracle gate; here a cheap invariant: bucket ranks are dense
+    1..vocab)."""
+    import io
+    import re as _re
+    from contextlib import redirect_stdout
+
+    from lua_mapreduce_spark.operators import analytics10 as a10
+
+    df = a10.text_zipf_fit(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    rn_specs = [s for s in specs if "w#" in s and "ASC" in s]
+    assert rn_specs, plan
+    # partition columns print bare (no DESC/ASC) before the sort spec
+    assert any(_re.match(r"windowspecdefinition\(cnt#\d+L?, pfx#\d+,", s) for s in rn_specs), rn_specs
+    rows = {r["bucket"]: r for r in df.collect()}
+    ranks = sorted((r["min_rank"], r["max_rank"]) for r in rows.values())
+    # doubling buckets tile 1..vocab densely: each min = previous max + 1
+    assert ranks[0][0] == 1
+    for (lo1, hi1), (lo2, _hi2) in zip(ranks, ranks[1:]):
+        assert lo2 == hi1 + 1, ranks
