@@ -783,7 +783,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("bn").over(woff), F.lit(0)).cast("bigint"),
     ).drop("bn")
     wrn = Window.partitionBy("cnt", "pfx").orderBy(F.asc("w"))
-    ranked = counts.join(F.broadcast(offs), ["cnt", "pfx"]).withColumn(
+    # no broadcast hint: offs is data-dependent (~O(sqrt(corpus)) x 26
+    # rows — small in practice, but not provably constant-bounded, so
+    # the broadcast policy leaves the strategy to AQE)
+    ranked = counts.join(offs, ["cnt", "pfx"]).withColumn(
         "rank",
         (F.col("off") + F.row_number().over(wrn)).cast("bigint"),
     )
