@@ -303,6 +303,13 @@ EXTENDED_MEDIAN = {
     # runs three banded joins + three verify joins + the union
     "graph_bridge_edges",
     "dedup_lsh_tuning_curve",
+    # r14 newcomers in the straggler bands: the GN step runs the shared
+    # sigma DP plus two 5-round component closures; the cluster triage
+    # builds on the alternating-star components (the 2-4 s dedup band);
+    # TextRank chains 3 vocab-keyed join+agg rounds
+    "graph_edge_betweenness_communities",
+    "curation_dedup_cluster_stats",
+    "text_keyphrase_textrank",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

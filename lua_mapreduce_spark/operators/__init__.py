@@ -26,6 +26,7 @@ from lua_mapreduce_spark.operators import (
     analytics10,
     analytics11,
     analytics12,
+    analytics13,
     curation,
     dedup,
     events,
@@ -81,6 +82,7 @@ _MODULES = [
     analytics10,
     analytics11,
     analytics12,
+    analytics13,
     pq,
     sources_ops,
 ]
@@ -97,128 +99,81 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-13 window (executes the committed SURVEY §2.6 r13 pre-plan): the
-# two pins; FOUR r13-NEW queries
-# (text_minhash_containment — Broder's asymmetric containment
-# C(A,B)=|A∩B|/|A| per banded-LSH candidate pair, exact both directions
-# plus the signature-derived estimate, the quote/near-subset reading the
-# symmetric dedup family misses;
-# sim_ivf_pq_hybrid — the FAISS IVFADC composition: IVF cell routing
-# (shared sim_ivf_topk centroids) -> PQ ADC shortlist over routed
-# candidates only (shared sim_pq_adc_topk codebooks) -> exact integer-L2
-# re-rank, full-scan truth rides along so the compounded two-stage
-# recall is gated output;
-# layout_hilbert_keys — Hilbert-curve clustering keys vs z-order, both
-# on the same 10-bit scaled coordinates and judged by the same zone-map
-# skipping estimator under identical probes — curve-vs-curve locality as
-# a measured skip_permille;
-# curation_dataset_card — the release dataset card: corpus totals,
-# lang/source mix, length deciles, exact-dup rate and decontamination
-# overlap as ONE tall integer-exact report composed from existing
-# machinery);
-# the THIRTEEN r12-new queries owing their second confirmation — three
-# of which also CHANGED early-r13 per the r12 ADVICE
-# (curation_pareto_skyline: diversity defined 0 for token-free docs in
-# both engines; sim_hnsw_layers: layer-2 entry COALESCE fallback, plus
-# the memoized layer-0 graph build shared with sim_knn_graph_search —
-# which changed with it), so this confirmation also covers the changed
-# plans; and NINE fills from the stale pool (the six-wave rotation displaced, in order, the r7-block tail, text_normalize_pandas_udf, udaf_group_median_pandas, agg_heavy_hitters_sketch, curation_pack_sequences, then text_bigrams, text_boilerplate_ngrams, text_chunk_tokens, text_decontaminate, streaming_session_windows and streaming_sliding_counts), per the committed
-# fill order: FIRST the six r7-displaced names
-# (join_semi_customers_with_urgent, q10_returned_revenue,
-# q13_customer_distribution, q14_promo_share, q3_shipping_priority,
-# q4_priority_late_ship) and the displaced r6 fill
-# agg_approx_distinct_sketch, THEN the r6 block
-# (agg_approx_percentile_sketch, streaming_anomaly_hours,
-# streaming_session_windows, streaming_sliding_counts, text_bigrams,
-# text_boilerplate_ngrams, text_chunk_tokens, text_decontaminate,
-# text_normalize_pandas_udf, udaf_group_median_pandas), THEN ten of
-# the r7-verified block in name order — the second wave displaced the
-# block's last four names (text_fingerprint, text_langid,
-# text_quality_score, text_repetition_filter), which front the r14
-# fill pool (the scalar_* names are excluded
-# from this slice: their per-name verification rounds diverged across
-# r4/r6 displacements, so they rotate with their own recorded rounds in
-# the r14 pool instead of as a block).
-# 2 + 26 + 13 + 9 = 50. After a green r13, every pre-r12 query is
-# driver-confirmed at least twice, the r12 newcomers twice, and only
-# the 26 r13 newcomers owe their second confirmation (the r14 window's
+# Round-14 window (executes the committed SURVEY §2.6 r14 pre-plan):
+# the two pins; the TWENTY-SIX r13-new queries owing their second
+# confirmation, in wave order — five of which also CHANGED in r14
+# (text_ngram_novelty: shingles now derive from the persisted
+# signature relation, the r13 perf-weak fix; streaming_retention_snapshot:
+# the chunk-order-proof re-anchoring fold + surfaced n_overflow, the r13
+# ADVICE medium/low; curation_source_overlap_matrix: signal-free diagonal
+# dropped, the r13 ADVICE low; text_zipf_fit: the distributed
+# (cnt, prefix)-bucketed rank, r13 verdict item 6;
+# graph_betweenness_centrality: the sigma DP extracted into the memoized
+# _bc_base shared with the new edge-grain query), so this confirmation
+# also covers the changed plans; the FOUR r14-NEW queries (the committed
+# bank, SURVEY §7.4 items 25-28: pair-grain contamination evidence, the
+# Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
+# cluster triage report); and EIGHTEEN fills from the committed stale
+# pool order (the first eighteen of the twenty-two late-displaced names).
+# 2 + 26 + 4 + 18 = 50. After a green r14, every pre-r13 query is
+# driver-confirmed at least twice and the r13 newcomers twice; only the
+# four r14 newcomers owe their second confirmation (the r15 window's
 # first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r13-new queries (first wave: the four banked candidates)
+    # r13-new queries, second confirmation (wave order)
     "text_minhash_containment",
     "sim_ivf_pq_hybrid",
     "layout_hilbert_keys",
     "curation_dataset_card",
-    # r13-new queries (second wave: the r14 bank pulled forward —
-    # explicit-register HLL, Brandes betweenness, dyadic Holt
-    # smoothing, RAKE phrases; they displace the last four r7-block
-    # fills, which front the r14 pool)
     "agg_hll_sketch",
-    "graph_betweenness_centrality",
+    "graph_betweenness_centrality",  # r14-changed: memoized _bc_base
     "events_holt_winters",
     "text_rake_keywords",
-    # r13-new queries (third wave: bottom-k quantile sketch, LSH radius
-    # search, hour-of-day seasonal profile, streaming HLL registers;
-    # they displace the last four remaining fills to the r14 pool)
     "agg_quantile_bottomk_sketch",
     "sim_range_radius_search",
     "events_seasonal_profile",
     "streaming_hll_distinct",
-    # r13-new queries (fourth wave: cohort retention triangle,
-    # quality-score calibration/ECE, strong-bridge detection, Zipf
-    # rank-frequency profile; they displace four more fills)
     "events_retention_cohorts",
     "curation_quality_calibration",
     "graph_bridge_edges",
-    "text_zipf_fit",
-    # r13-new queries (fifth wave: LSH banding tuning curve, word
-    # burstiness, reciprocity/degree profile, length-filter sweep;
-    # they displace the last four fills)
+    "text_zipf_fit",  # r14-changed: distributed bucketed rank
     "dedup_lsh_tuning_curve",
     "text_burstiness",
     "graph_reciprocity_profile",
     "curation_length_filter_tuning",
-    # r13-new queries (sixth wave: streaming retention snapshot,
-    # cross-source overlap matrix, inter-arrival profile, Heaps
-    # vocabulary growth; they displace four more fills)
-    "streaming_retention_snapshot",
-    "curation_source_overlap_matrix",
+    "streaming_retention_snapshot",  # r14-changed: re-anchoring fold
+    "curation_source_overlap_matrix",  # r14-changed: diagonal dropped
     "events_inter_arrival_profile",
     "text_vocabulary_growth",
-    # r13-new queries (seventh wave: streaming seasonal profile via the
-    # shared tail, per-doc shingle novelty; two more fills displaced)
     "streaming_seasonal_profile",
-    "text_ngram_novelty",
-    # r12-new queries (second confirmation; curation_pareto_skyline,
-    # sim_hnsw_layers and sim_knn_graph_search also r13-changed per the
-    # r12 ADVICE items 1-2 + the shared layer-0 graph memoization)
-    "graph_scc_kosaraju",
-    "agg_ams_f2_sketch",
-    "curation_quality_auc",
-    "curation_label_agreement",
-    "layout_bloom_file_index",
-    "streaming_countmin_totals",
-    "events_changepoint_cusum",
-    "curation_pareto_skyline",
-    "graph_mst_maximum_spanning",
-    "sim_knn_graph_search",
-    "streaming_cusum_monitor",
-    "sim_hnsw_layers",
-    "graph_closeness_centrality",
-    # fill pool front: the six r7-displaced names + the displaced r6
-    # fill (committed in the r12 rotation log)
-    "join_semi_customers_with_urgent",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "agg_approx_distinct_sketch",
-    # the r6 block (committed fill order, SURVEY §2.6 r13 pre-plan)
-    "agg_approx_percentile_sketch",
-    "streaming_anomaly_hours",
+    "text_ngram_novelty",  # r14-changed: persisted-signature shingles
+    # r14-NEW queries (first wave: the committed bank, §7.4 items 25-28)
+    "curation_contamination_pairs_report",
+    "graph_edge_betweenness_communities",
+    "text_keyphrase_textrank",
+    "curation_dedup_cluster_stats",
+    # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
+    # the first eighteen of the twenty-two late-displaced names
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_repetition_filter",
+    "setop_union_intersect_except",
+    "sort_topk_orders",
+    "subquery_above_nation_avg",
+    "text_doc_stats",
+    "curation_sample_mixture",
+    "curation_shuffle_shards",
+    "multimodal_resize_thumbnail",
+    "sample_deterministic_hash",
+    "text_normalize_pandas_udf",
+    "udaf_group_median_pandas",
+    "agg_heavy_hitters_sketch",
+    "curation_pack_sequences",
+    "text_bigrams",
+    "text_boilerplate_ngrams",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -213,33 +213,28 @@ _BC_HOPS = 12  # hop bound — the graph_closeness_centrality truncation
 #               convention (Boldi & Vigna 2014 treat truncated variants
 #               as first-class; identical bound in engine and oracle)
 
+# Memoized (edges, dists, sigma) triple shared by the node-grain
+# betweenness and the edge-grain Girvan-Newman step (analytics13) — the
+# _nsw_base convention: localCheckpoint materializes eagerly, only the
+# current (session, sf_dir) entry is kept, so the 12-level sigma DP runs
+# once per input when both queries execute in one process (bench, the
+# driver's per-query loop).
+_BC_CACHE: dict = {}
 
-def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Betweenness centrality of the directed nation trade graph — the
-    centrality family's last classic (pagerank = influence, k-core =
-    cohesion, harmonic closeness = reach; betweenness = BROKERAGE, how
-    much shortest-path traffic a node carries): B(v) = sum over ordered
-    pairs (s, t), s != v != t, of sigma_st(v) / sigma_st, where sigma_st
-    counts shortest s->t paths and sigma_st(v) those through v. Brandes
-    1998 gives the per-pair dependency sigma_sv * sigma_vt / sigma_st
-    when d(s,v) + d(v,t) = d(s,t) (zero otherwise); each term is emitted
-    in integer permille with per-term truncation (1000 * sigma_sv *
-    sigma_vt DIV sigma_st) applied IDENTICALLY in the oracle and the
-    pure-Python replay, so the gate is value-exact.
 
-    Distances come from the closeness query's bounded recursive walk
-    (shared _scc_edges build); path COUNTS from the level-synchronous DP
-    sigma_l(u, v) = sum over edges (u, w) with d(w, v) = l - 1 of
-    sigma(w, v) — a Python-driven loop of _BC_HOPS bounded joins (the
-    graph-family convention), exact because every shortest path
-    decomposes uniquely over its first edge.
+def clear_bc_cache() -> None:
+    _BC_CACHE.clear()
 
-    Scale shape: the edge build collapses the fact join to <= 50 rows
-    before anything iterates; distances, the sigma DP, and the triple
-    dependency join all run on schema-bounded (<= 625-row, <= 25^3
-    intermediate) relations, localCheckpoint'd per level. Path counts
-    are bounded by fanout^hops <= 2^12, so the permille product stays
-    ~1e10 — far inside int64."""
+
+def _bc_base(spark: SparkSession, sf_dir: str):
+    """(edges, dists, sigma): the bounded trade-graph edge relation, the
+    <=_BC_HOPS-hop shortest distances, and the level-synchronous
+    shortest-path-count DP — all localCheckpoint'd (<= 625-row
+    relations; see graph_betweenness_centrality's scale-shape note)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BC_CACHE:
+        return _BC_CACHE[key]
+    _BC_CACHE.clear()
     from lua_mapreduce_spark.operators.analytics7 import _scc_edges
 
     edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
@@ -279,6 +274,38 @@ def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst", "sigma", "d")
         )
         sigma = sigma.unionByName(nxt).localCheckpoint(eager=True)
+    _BC_CACHE[key] = (edges, dists, sigma)
+    return _BC_CACHE[key]
+
+
+def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality of the directed nation trade graph — the
+    centrality family's last classic (pagerank = influence, k-core =
+    cohesion, harmonic closeness = reach; betweenness = BROKERAGE, how
+    much shortest-path traffic a node carries): B(v) = sum over ordered
+    pairs (s, t), s != v != t, of sigma_st(v) / sigma_st, where sigma_st
+    counts shortest s->t paths and sigma_st(v) those through v. Brandes
+    1998 gives the per-pair dependency sigma_sv * sigma_vt / sigma_st
+    when d(s,v) + d(v,t) = d(s,t) (zero otherwise); each term is emitted
+    in integer permille with per-term truncation (1000 * sigma_sv *
+    sigma_vt DIV sigma_st) applied IDENTICALLY in the oracle and the
+    pure-Python replay, so the gate is value-exact.
+
+    Distances come from the closeness query's bounded recursive walk
+    (shared _scc_edges build); path COUNTS from the level-synchronous DP
+    sigma_l(u, v) = sum over edges (u, w) with d(w, v) = l - 1 of
+    sigma(w, v) — a Python-driven loop of _BC_HOPS bounded joins (the
+    graph-family convention), exact because every shortest path
+    decomposes uniquely over its first edge.
+
+    Scale shape: the edge build collapses the fact join to <= 50 rows
+    before anything iterates; distances, the sigma DP, and the triple
+    dependency join all run on schema-bounded (<= 625-row, <= 25^3
+    intermediate) relations, localCheckpoint'd per level (the DP is
+    memoized in _bc_base, shared with the edge-grain Girvan-Newman
+    query). Path counts are bounded by fanout^hops <= 2^12, so the
+    permille product stays ~1e10 — far inside int64."""
+    edges, dists, sigma = _bc_base(spark, sf_dir)
 
     sv = sigma.select(
         F.col("src").alias("s"),
@@ -326,7 +353,12 @@ def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _betweenness_oracle() -> str:
+def _bc_oracle_prefix() -> str:
+    """The shared oracle CTE prefix through ``sigma`` (trade graph,
+    capped edges, bounded-hop distances, the unrolled path-count DP) —
+    used verbatim by both the node-grain betweenness oracle and the
+    edge-grain Girvan-Newman oracle (analytics13), so the two can never
+    train apart (the pq._pq_oracle_ctes convention)."""
     from lua_mapreduce_spark.operators.analytics7 import _SCC_FANOUT
 
     sig_ctes = [
@@ -348,8 +380,7 @@ def _betweenness_oracle() -> str:
   JOIN dists USING (src, dst)
   WHERE dists.d = {lvl})""")
     sig_chain = ",\n".join(sig_ctes)
-    return f"""
-WITH RECURSIVE trade AS (
+    return f"""trade AS (
   SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS n_lines
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
@@ -374,7 +405,12 @@ r(src, dst, d) AS (
 dists AS MATERIALIZED (
   SELECT src, dst, CAST(MIN(d) AS BIGINT) AS d FROM r GROUP BY 1, 2),
 {sig_chain},
-sigma AS MATERIALIZED (SELECT * FROM sig{_BC_HOPS}),
+sigma AS MATERIALIZED (SELECT * FROM sig{_BC_HOPS})"""
+
+
+def _betweenness_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_bc_oracle_prefix()},
 dep AS (
   SELECT sv.dst AS node,
          COUNT(*) AS n_pairs_through,

@@ -215,3 +215,313 @@ def test_zipf_rank_window_is_partitioned(spark):
     assert ranks[0][0] == 1
     for (lo1, hi1), (lo2, _hi2) in zip(ranks, ranks[1:]):
         assert lo2 == hi1 + 1, ranks
+
+
+# --------------------------------------------------------------------------
+# Round-14 first wave: the four banked queries (SURVEY §7.4 items 25-28)
+# --------------------------------------------------------------------------
+
+
+def test_contamination_pairs_match_python_replay(spark):
+    """The pair-grain evidence table must equal a pure-Python replay:
+    distinct word-4-gram shingles per doc, bench/corpus split by
+    doc_id % 31, shared counts, the (n_shared DESC, bench_doc ASC)
+    top-k truncation, and both containment permilles."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics13 as a13
+    from lua_mapreduce_spark.operators.curation import (
+        _DECON_BENCH_MOD,
+        _DECON_N,
+    )
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        sh: dict[int, set[str]] = {}
+        for d, t in docs.items():
+            toks = [w.lower() for w in _re.findall(r"[A-Za-z]+", t)]
+            if len(toks) >= _DECON_N:
+                sh[d] = {
+                    " ".join(toks[i : i + _DECON_N])
+                    for i in range(len(toks) - _DECON_N + 1)
+                }
+        bench = {d for d in sh if d % _DECON_BENCH_MOD == 0}
+        want = {}
+        for d, ss in sh.items():
+            if d in bench:
+                continue
+            partners = []
+            for b in bench:
+                n = len(ss & sh[b])
+                if n >= a13._CPR_MIN_SHARED:
+                    partners.append((-n, b))
+            partners.sort()
+            for rank, (negn, b) in enumerate(partners[: a13._CPR_TOPK], 1):
+                n = -negn
+                want[(d, b)] = (
+                    rank,
+                    n,
+                    len(ss),
+                    len(sh[b]),
+                    n * 1000 // len(ss),
+                    n * 1000 // len(sh[b]),
+                )
+        got = {
+            (r["doc_id"], r["bench_doc"]): (
+                r["pair_rank"],
+                r["n_shared"],
+                r["n_sg_doc"],
+                r["n_sg_bench"],
+                r["cont_doc_permille"],
+                r["cont_bench_permille"],
+            )
+            for r in a13.curation_contamination_pairs_report(
+                spark, sf
+            ).collect()
+        }
+        assert got == want, (sf, len(got), len(want))
+        assert got, sf  # non-vacuous: the fixtures always contaminate
+
+
+def test_edge_betweenness_gn_matches_python_replay(spark):
+    """Edge betweenness, the removed top edge, and both weak-component
+    counts must equal an independent pure-Python replay (BFS sigma
+    recurrence + the definitional per-(s,t) edge dependency with the
+    same integer truncation; union-find for components)."""
+    from collections import deque
+
+    from lua_mapreduce_spark.operators import analytics9 as a9
+    from lua_mapreduce_spark.operators import analytics13 as a13
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = [
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        ]
+        adj: dict[str, list[str]] = {}
+        nodes: set[str] = set()
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+            nodes.add(s)
+            nodes.add(d)
+        dist: dict[tuple[str, str], int] = {}
+        sigma: dict[tuple[str, str], int] = {}
+        for s in nodes:
+            dist[(s, s)] = 0
+            sigma[(s, s)] = 1
+            dq = deque([s])
+            while dq:
+                x = dq.popleft()
+                dx = dist[(s, x)]
+                if dx >= a9._BC_HOPS:
+                    continue
+                for y in adj.get(x, ()):
+                    if (s, y) not in dist:
+                        dist[(s, y)] = dx + 1
+                        sigma[(s, y)] = 0
+                        dq.append(y)
+                    if dist[(s, y)] == dx + 1:
+                        sigma[(s, y)] += sigma[(s, x)]
+        eb: dict[tuple[str, str], tuple[int, int]] = {
+            e: (0, 0) for e in edges
+        }
+        for (u, v) in edges:
+            n_pairs, milli = 0, 0
+            for s in nodes:
+                d_su = dist.get((s, u))
+                if d_su is None:
+                    continue
+                for t in nodes:
+                    if s == t:
+                        continue
+                    d_vt = dist.get((v, t))
+                    d_st = dist.get((s, t))
+                    if d_vt is None or d_st is None:
+                        continue
+                    if d_su + 1 + d_vt == d_st:
+                        n_pairs += 1
+                        milli += (
+                            1000 * sigma[(s, u)] * sigma[(v, t)]
+                            // sigma[(s, t)]
+                        )
+            eb[(u, v)] = (n_pairs, milli)
+        top = min(eb, key=lambda e: (-eb[e][1], e))
+
+        def _ncomp(edge_set):
+            parent = {n: n for n in nodes}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for u, v in edge_set:
+                parent[find(u)] = find(v)
+            return len({find(n) for n in nodes})
+
+        nb = _ncomp(edges)
+        na = _ncomp(
+            [e for e in edges if e != top and e != (top[1], top[0])]
+        )
+        rows = a13.graph_edge_betweenness_communities(spark, sf).collect()
+        got = {
+            (r["src"], r["dst"]): (
+                r["n_pairs_through"],
+                r["edge_betweenness_milli"],
+                r["is_removed"],
+                r["n_comp_before"],
+                r["n_comp_after"],
+            )
+            for r in rows
+        }
+        want = {
+            e: (eb[e][0], eb[e][1], e == top, nb, na) for e in edges
+        }
+        assert got == want, (
+            sf,
+            {k: (got.get(k), want.get(k)) for k in got if got.get(k) != want.get(k)},
+        )
+        # every edge is its own length-1 shortest path
+        assert all(v[1] >= 1000 for v in got.values()), sf
+
+
+def test_textrank_matches_python_replay(spark):
+    """The top-k TextRank words must equal a pure-Python fixed-point
+    integer PageRank over the stopword-filtered window-2 co-occurrence
+    graph — same scale, truncation, iteration count and tie order."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics13 as a13
+    from lua_mapreduce_spark.operators.analytics9 import _RAKE_STOP
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        texts = [
+            t
+            for (t,) in con.execute(
+                f"SELECT text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        stop = set(_RAKE_STOP)
+        w_edges: dict[tuple[str, str], int] = {}
+        for t in texts:
+            toks = [
+                w.lower()
+                for w in _re.findall(r"[A-Za-z]+", t)
+                if w.lower() not in stop
+            ]
+            for a, b in zip(toks, toks[1:]):
+                if a == b:
+                    continue
+                w_edges[(a, b)] = w_edges.get((a, b), 0) + 1
+                w_edges[(b, a)] = w_edges.get((b, a), 0) + 1
+        ow: dict[str, int] = {}
+        nbr: dict[str, int] = {}
+        for (u, _v), w in w_edges.items():
+            ow[u] = ow.get(u, 0) + w
+            nbr[u] = nbr.get(u, 0) + 1
+        trans = {
+            (u, v): w * a13._TR_SCALE // ow[u]
+            for (u, v), w in w_edges.items()
+        }
+        n = len(ow)
+        r = {u: a13._TR_SCALE // n for u in ow}
+        for _ in range(a13._TR_ITERS):
+            m: dict[str, int] = {}
+            for (u, v), t_ in trans.items():
+                m[v] = m.get(v, 0) + t_ * r[u]
+            r = {
+                u: (15 * a13._TR_SCALE) // (100 * n)
+                + (85 * (m.get(u, 0) // a13._TR_SCALE)) // 100
+                for u in ow
+            }
+        want_order = sorted(r, key=lambda u: (-r[u], u))[: a13._TR_TOPK]
+        want = {u: (r[u], nbr[u], ow[u]) for u in want_order}
+        got = {
+            row["word"]: (
+                row["pr_scaled"],
+                row["n_neighbors"],
+                row["cooc_total"],
+            )
+            for row in a13.text_keyphrase_textrank(spark, sf).collect()
+        }
+        assert got == want, (sf, got, want)
+
+
+def test_dedup_cluster_stats_match_union_find(spark):
+    """The triage report must equal a union-find replay over the
+    engine's OWN verified near-dup pairs (dedup_minhash_lsh is
+    value-gated elsewhere): cluster sizes, doubling buckets, removable
+    mass permille of the corpus, per-bucket largest cluster."""
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics13 as a13
+    from lua_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        pairs = [
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_minhash_lsh(spark, sf).collect()
+        ]
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        clusters: dict[int, list[int]] = {}
+        for d in parent:
+            clusters.setdefault(find(d), []).append(d)
+        con = duckdb.connect()
+        (n_corpus,) = con.execute(
+            f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
+        ).fetchone()
+        sizes = {min(v): len(v) for v in clusters.values()}
+        buckets: dict[int, list[tuple[int, int]]] = {}
+        for cid, sz in sizes.items():
+            buckets.setdefault(sz.bit_length(), []).append((sz, cid))
+        want = {}
+        for bkt, members in buckets.items():
+            n_docs = sum(s for s, _ in members)
+            n_rm = sum(s - 1 for s, _ in members)
+            top_sz, top_id = max(
+                ((s, -c) for s, c in members)
+            )
+            want[bkt] = (
+                len(members),
+                n_docs,
+                n_rm,
+                n_rm * 1000 // n_corpus,
+                -top_id,
+                top_sz,
+            )
+        got = {
+            r["size_bucket"]: (
+                r["n_clusters"],
+                r["n_docs"],
+                r["n_removable"],
+                r["removable_permille"],
+                r["top_cluster_id"],
+                r["top_cluster_size"],
+            )
+            for r in a13.curation_dedup_cluster_stats(spark, sf).collect()
+        }
+        assert got == want, (sf, got, want)
+        assert got, sf  # fixtures always carry near-dup clusters

@@ -175,6 +175,9 @@ _NESTED_LOOP_OK = {
     "text_burstiness",         # 1-row doc-count broadcast cross join
     "graph_reciprocity_profile",  # 1-row reciprocity/edge-count broadcast cross joins
     "text_vocabulary_growth",  # 1-row max-id + 10-row decile-grid broadcast cross joins
+    "graph_edge_betweenness_communities",  # two 1-row component-count cross joins
+    "text_keyphrase_textrank",  # 1-row node-count broadcast cross join
+    "curation_dedup_cluster_stats",  # 1-row corpus-count broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -310,6 +313,10 @@ _BROADCAST_OK = {
     ("analytics12.py", "med"),        # grouped by event_type: <= |types| rows
     ("analytics12.py", "mx"),         # single-row max-doc-id aggregate
     ("analytics12.py", "ks"),         # fixed _VG_STEPS=10 decile thresholds
+    ("analytics13.py", "nb"),         # single-row component count (GN before)
+    ("analytics13.py", "na"),         # single-row component count (GN after)
+    ("analytics13.py", "nn"),         # single-row node count (TextRank teleport)
+    ("analytics13.py", "tot"),        # single-row corpus-count aggregate
 }
 
 
