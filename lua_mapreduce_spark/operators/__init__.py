@@ -27,6 +27,7 @@ from lua_mapreduce_spark.operators import (
     analytics11,
     analytics12,
     analytics13,
+    analytics14,
     curation,
     dedup,
     events,
@@ -83,6 +84,7 @@ _MODULES = [
     analytics11,
     analytics12,
     analytics13,
+    analytics14,
     pq,
     sources_ops,
 ]
@@ -115,7 +117,7 @@ _MODULES = [
 # Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
 # cluster triage report); and EIGHTEEN fills from the committed stale
 # pool order (the first eighteen of the twenty-two late-displaced names).
-# 2 + 26 + 4 + 18 = 50. After a green r14, every pre-r13 query is
+# 2 + 26 + 8 + 14 = 50 (second wave displaced the last four fills). After a green r14, every pre-r13 query is
 # driver-confirmed at least twice and the r13 newcomers twice; only the
 # four r14 newcomers owe their second confirmation (the r15 window's
 # first obligation).
@@ -154,6 +156,14 @@ _DRIVER_WINDOW = [
     "graph_edge_betweenness_communities",
     "text_keyphrase_textrank",
     "curation_dedup_cluster_stats",
+    # r14-NEW queries (second wave: the refilled bank pulled forward,
+    # §7.4 items 29-32 — degree assortativity, moments sketch, stopword
+    # discovery, token-budget apportionment; they displace the last
+    # four fills, which front the r15 pool)
+    "graph_assortativity_degree",
+    "agg_moments_sketch",
+    "text_stopword_discovery",
+    "curation_token_budget_allocation",
     # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
     # the first eighteen of the twenty-two late-displaced names
     "text_fingerprint",
@@ -170,10 +180,6 @@ _DRIVER_WINDOW = [
     "sample_deterministic_hash",
     "text_normalize_pandas_udf",
     "udaf_group_median_pandas",
-    "agg_heavy_hitters_sketch",
-    "curation_pack_sequences",
-    "text_bigrams",
-    "text_boilerplate_ngrams",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

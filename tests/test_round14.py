@@ -525,3 +525,180 @@ def test_dedup_cluster_stats_match_union_find(spark):
         }
         assert got == want, (sf, got, want)
         assert got, sf  # fixtures always carry near-dup clusters
+
+
+# --------------------------------------------------------------------------
+# Round-14 second wave: the r15 bank pulled forward (§7.4 items 29-32)
+# --------------------------------------------------------------------------
+
+
+def test_assortativity_matches_python_replay(spark):
+    """The power sums and the floored micro coefficient must equal a
+    pure-Python replay over the shared capped edge list."""
+    import math
+
+    from lua_mapreduce_spark.operators import analytics14 as a14
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = [
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        ]
+        outd: dict[str, int] = {}
+        ind: dict[str, int] = {}
+        for s, d in edges:
+            outd[s] = outd.get(s, 0) + 1
+            ind[d] = ind.get(d, 0) + 1
+        xs = [(outd[s], ind[d]) for s, d in edges]
+        m = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        syy = sum(y * y for _, y in xs)
+        vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+        want_micro = (
+            None
+            if vx == 0 or vy == 0
+            else math.floor(
+                1_000_000.0 * float(m * sxy - sx * sy)
+                / math.sqrt(float(vx) * float(vy))
+            )
+        )
+        row = a14.graph_assortativity_degree(spark, sf).collect()[0]
+        assert (
+            row["m"], row["sx"], row["sy"], row["sxy"], row["sxx"], row["syy"]
+        ) == (m, sx, sy, sxy, sxx, syy), sf
+        assert row["cov_num"] == m * sxy - sx * sy
+        assert row["assortativity_micro"] == want_micro, sf
+        if want_micro is not None:
+            assert -1_000_000 <= row["assortativity_micro"] <= 1_000_000
+
+
+def test_moments_sketch_merge_and_exactness(spark):
+    """Power sums must equal a DuckDB direct recount per group, and the
+    merged row must equal BOTH the sum of group rows AND a direct
+    full-table recount (the mergeable-summary property)."""
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics14 as a14
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        truth = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(
+                f"""SELECT l_returnflag, COUNT(*),
+                       SUM(q), SUM(q*q), SUM(q*q*q), SUM(q*q*q*q)
+                    FROM (SELECT l_returnflag,
+                                 CAST(l_quantity AS BIGINT) AS q
+                          FROM '{sf}/lineitem.parquet')
+                    GROUP BY 1"""
+            ).fetchall()
+        }
+        rows = {
+            r["set_name"]: (r["n"], r["s1"], r["s2"], r["s3"], r["s4"])
+            for r in a14.agg_moments_sketch(spark, sf).collect()
+        }
+        for flag, t in truth.items():
+            assert rows[flag] == t, (sf, flag)
+        merged = tuple(
+            sum(rows[f][i] for f in truth) for i in range(5)
+        )
+        assert rows["merged"] == merged, sf
+        full = con.execute(
+            f"""SELECT COUNT(*), SUM(q), SUM(q*q), SUM(q*q*q),
+                       SUM(q*q*q*q)
+                FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                      FROM '{sf}/lineitem.parquet')"""
+        ).fetchone()
+        assert rows["merged"] == tuple(full), sf
+
+
+def test_stopword_discovery_coverage_curve(spark):
+    """The head must be the true top-DF words (Python replay), the
+    cumulative curve must be non-decreasing and telescoping (each
+    cum >= previous, final = sum of head mass within truncation), and
+    the RAKE stoplist's non-generic members must appear in the head —
+    the measured justification the stoplist cites."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics14 as a14
+    from lua_mapreduce_spark.operators.analytics9 import _RAKE_STOP
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        df: dict[str, int] = {}
+        tf: dict[str, int] = {}
+        total_tokens = 0
+        for t in docs.values():
+            toks = [w.lower() for w in _re.findall(r"[A-Za-z]+", t)]
+            total_tokens += len(toks)
+            for w in set(toks):
+                df[w] = df.get(w, 0) + 1
+            for w in toks:
+                tf[w] = tf.get(w, 0) + 1
+        order = sorted(df, key=lambda w: (-df[w], -tf[w], w))[
+            : a14._SWD_TOPK
+        ]
+        rows = sorted(
+            a14.text_stopword_discovery(spark, sf).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["w"] for r in rows] == order, sf
+        cum = 0
+        for r in rows:
+            assert r["df"] == df[r["w"]] and r["tf"] == tf[r["w"]], sf
+            assert r["mass_permille"] == r["tf"] * 1000 // total_tokens
+            cum += r["tf"]
+            assert r["cum_mass_permille"] == cum * 1000 // total_tokens
+        head_set = {r["w"] for r in rows}
+        in_head = [w for w in _RAKE_STOP if w in df and w in head_set]
+        assert in_head, sf  # the stoplist's corpus words rank in the head
+
+
+def test_token_budget_sums_exactly(spark):
+    """Quotas must sum EXACTLY to the budget, match a pure-Python
+    Hamilton replay, and respect the quality-weighted token masses."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics14 as a14
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"SELECT source, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        weight: dict[str, int] = {}
+        for src, t in recs:
+            n_tok = len(_re.findall(r"[A-Za-z]+", t))
+            n_alpha = len(_re.findall(r"[A-Za-z]", t))
+            n_space = len(_re.findall(r"\s", t))
+            q = (n_alpha * 700 + n_space * 300) // len(t)
+            weight[src] = weight.get(src, 0) + n_tok * q
+        tot = sum(weight.values())
+        B = a14._TBA_BUDGET
+        base = {s: B * w // tot for s, w in weight.items()}
+        rem = {s: B * w % tot for s, w in weight.items()}
+        short = B - sum(base.values())
+        order = sorted(weight, key=lambda s: (-rem[s], s))
+        want = {
+            s: base[s] + (1 if i < short else 0)
+            for i, s in enumerate(order)
+        }
+        rows = a14.curation_token_budget_allocation(spark, sf).collect()
+        got = {r["source"]: r["quota_tokens"] for r in rows}
+        assert got == want, sf
+        assert sum(got.values()) == B, sf
+        for r in rows:
+            assert r["weight"] == weight[r["source"]], sf
+            assert r["quota_tokens"] == r["base_quota"] + r["extra"], sf

@@ -178,6 +178,8 @@ _NESTED_LOOP_OK = {
     "graph_edge_betweenness_communities",  # two 1-row component-count cross joins
     "text_keyphrase_textrank",  # 1-row node-count broadcast cross join
     "curation_dedup_cluster_stats",  # 1-row corpus-count broadcast cross join
+    "text_stopword_discovery",  # two 1-row totals broadcast cross joins
+    "curation_token_budget_allocation",  # 1-row weight-total broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -317,6 +319,9 @@ _BROADCAST_OK = {
     ("analytics13.py", "na"),         # single-row component count (GN after)
     ("analytics13.py", "nn"),         # single-row node count (TextRank teleport)
     ("analytics13.py", "tot"),        # single-row corpus-count aggregate
+    ("analytics14.py", "nd"),         # single-row doc-count aggregate
+    ("analytics14.py", "tt"),         # single-row token-count aggregate
+    ("analytics14.py", "tot"),        # single-row weight-total aggregate
 }
 
 
