@@ -28,6 +28,7 @@ from lua_mapreduce_spark.operators import (
     analytics12,
     analytics13,
     analytics14,
+    analytics15,
     curation,
     dedup,
     events,
@@ -85,6 +86,7 @@ _MODULES = [
     analytics12,
     analytics13,
     analytics14,
+    analytics15,
     pq,
     sources_ops,
 ]
@@ -117,7 +119,7 @@ _MODULES = [
 # Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
 # cluster triage report); and EIGHTEEN fills from the committed stale
 # pool order (the first eighteen of the twenty-two late-displaced names).
-# 2 + 26 + 8 + 14 = 50 (second wave displaced the last four fills). After a green r14, every pre-r13 query is
+# 2 + 26 + 12 + 10 = 50 (waves 2-3 displaced the last eight fills). After a green r14, every pre-r13 query is
 # driver-confirmed at least twice and the r13 newcomers twice; only the
 # four r14 newcomers owe their second confirmation (the r15 window's
 # first obligation).
@@ -164,6 +166,14 @@ _DRIVER_WINDOW = [
     "agg_moments_sketch",
     "text_stopword_discovery",
     "curation_token_budget_allocation",
+    # r14-NEW queries (third wave: the second refill pulled forward,
+    # §7.4 items 33-36 — streaming moments sketch, filter interaction
+    # matrix, audience Jaccard, compressibility proxy; they displace
+    # the last four fills, which front the r15 pool)
+    "streaming_moments_sketch",
+    "curation_filter_interaction_matrix",
+    "events_user_overlap_jaccard",
+    "text_compression_ratio_proxy",
     # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
     # the first eighteen of the twenty-two late-displaced names
     "text_fingerprint",
@@ -176,10 +186,6 @@ _DRIVER_WINDOW = [
     "text_doc_stats",
     "curation_sample_mixture",
     "curation_shuffle_shards",
-    "multimodal_resize_thumbnail",
-    "sample_deterministic_hash",
-    "text_normalize_pandas_udf",
-    "udaf_group_median_pandas",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -660,6 +660,89 @@ def streaming_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_profile_tail(hourly)
 
 
+def streaming_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch maintained ACROSS micro-batches — the
+    streaming face of agg_moments_sketch (Gan et al., VLDB 2018) and
+    the sum-structure sibling of streaming_countmin_totals: per
+    event_type the state is the five exact integer power sums
+    (n, Σv..Σv⁴) over v = floor(value) % 128, a pure SUM structure —
+    order-insensitive under any batch slicing, so the DuckDB oracle
+    replays the whole stream from the batch table bit-for-bit. After
+    the drain the settled sums per key (max n_batches row) carry the
+    batch face's derived mean/variance (same fixed-order IEEE
+    expression text), and a 'merged' row composed from the PER-KEY
+    sums only proves the mergeable-summary property over the streamed
+    state exactly as the batch face proves it over groups.
+
+    Scale shape: state is 5 int64 per key regardless of stream length;
+    the value bucketing is a JVM-side expression on the stream; the
+    post-drain merge aggregates |event_types| rows."""
+    from lua_mapreduce_spark.streaming.stateful import stream_moments_stateful
+
+    sink = drain_stream(
+        stream_moments_stateful(_events_stream(spark, sf_dir)),
+        "stream_moments",
+        output_mode="update",
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
+    final = (
+        sink.groupBy("event_type")
+        .agg(F.max(F.struct("n_batches", "n", "s1", "s2", "s3", "s4")).alias("s"))
+        .select(
+            F.col("event_type").alias("set_name"),
+            F.col("s.n").alias("n"),
+            F.col("s.s1").alias("s1"),
+            F.col("s.s2").alias("s2"),
+            F.col("s.s3").alias("s3"),
+            F.col("s.s4").alias("s4"),
+        )
+    )
+    merged = final.agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(s1) AS BIGINT)").alias("s1"),
+        F.expr("CAST(SUM(s2) AS BIGINT)").alias("s2"),
+        F.expr("CAST(SUM(s3) AS BIGINT)").alias("s3"),
+        F.expr("CAST(SUM(s4) AS BIGINT)").alias("s4"),
+    ).select(F.lit("merged").alias("set_name"), "n", "s1", "s2", "s3", "s4")
+    from lua_mapreduce_spark.operators.analytics14 import _MS_DERIVED
+
+    return final.unionByName(merged).selectExpr(
+        "set_name", "n", "s1", "s2", "s3", "s4", *_MS_DERIVED
+    )
+
+
+def _stream_moments_oracle() -> str:
+    from lua_mapreduce_spark.operators.analytics14 import _MS_DERIVED
+    from lua_mapreduce_spark.streaming.stateful import _MOM_DOMAIN
+
+    return f"""
+WITH vals AS (
+  SELECT event_type,
+         CAST(floor(value) AS BIGINT) % {_MOM_DOMAIN} AS v
+  FROM events),
+grp AS (
+  SELECT event_type AS set_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2,
+         CAST(SUM(v * v * v) AS BIGINT) AS s3,
+         CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+  FROM vals GROUP BY 1),
+allrows AS (
+  SELECT * FROM grp
+  UNION ALL
+  SELECT 'merged',
+         CAST(SUM(n) AS BIGINT), CAST(SUM(s1) AS BIGINT),
+         CAST(SUM(s2) AS BIGINT), CAST(SUM(s3) AS BIGINT),
+         CAST(SUM(s4) AS BIGINT)
+  FROM grp)
+SELECT set_name, n, s1, s2, s3, s4,
+       {_MS_DERIVED[0]},
+       {_MS_DERIVED[1]}
+FROM allrows
+"""
+
+
 def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of events_changepoint_cusum (the r12 step
     detector): the watermarked hourly aggregation runs IN the stream
@@ -706,6 +789,7 @@ QUERIES = {
     "streaming_retention_snapshot": streaming_retention_snapshot,
     "streaming_seasonal_profile": streaming_seasonal_profile,
     "streaming_cusum_monitor": streaming_cusum_monitor,
+    "streaming_moments_sketch": streaming_moments_sketch,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -896,6 +980,7 @@ ORACLES: dict[str, str] = {
     # shared VERBATIM with the batch face (the CUSUM-monitor convention)
     "streaming_retention_snapshot": STREAM_RETENTION_ORACLE,
     "streaming_seasonal_profile": STREAM_SEASONAL_ORACLE,
+    "streaming_moments_sketch": _stream_moments_oracle(),
     "streaming_cusum_monitor": STREAM_CUSUM_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,

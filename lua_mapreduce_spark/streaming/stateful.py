@@ -382,6 +382,73 @@ def stream_hll_distinct_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+_MOM_DOMAIN = 128  # moments value domain: floor(value) bucketed to 7
+#                    bits (the CM fixed-domain discipline) so the 4th
+#                    power sum stays int64-safe: 128^4 * n <= 2.7e8 * n
+#                    — safe to ~3.4e10 rows per event type.
+
+
+def stream_moments_stateful(events: DataFrame) -> DataFrame:
+    """Per-event-type mergeable moments sketch maintained across
+    micro-batches (Gan et al., VLDB 2018 — the streaming face of
+    agg_moments_sketch): state = the five exact integer power sums
+    (n, Σv..Σv⁴) over v = floor(value) % _MOM_DOMAIN. Power sums are
+    pure SUM structures — order-insensitive under any batch slicing —
+    so the DuckDB oracle replays the full stream from the batch table
+    bit-for-bit (the Count-Min convention). State is 5 int64 per key
+    regardless of stream length.
+
+    Emits (event_type, n_batches, n, s1..s4) per key per batch in
+    update mode; final sketch per key = the max-n_batches row."""
+    import numpy as np
+
+    vals = events.selectExpr(
+        "event_type",
+        f"CAST(floor(value) AS BIGINT) % {_MOM_DOMAIN} AS v",
+    )
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            n, s1, s2, s3, s4, n_batches = state.get
+        else:
+            n, s1, s2, s3, s4, n_batches = 0, 0, 0, 0, 0, 0
+        for pdf in pdfs:
+            v = pdf["v"].to_numpy(dtype=np.int64)
+            n += len(v)
+            s1 += int(v.sum())
+            s2 += int((v * v).sum())
+            s3 += int((v * v * v).sum())
+            s4 += int((v * v * v * v).sum())
+        n_batches += 1
+        state.update((n, s1, s2, s3, s4, n_batches))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_batches": [n_batches],
+                "n": [n],
+                "s1": [s1],
+                "s2": [s2],
+                "s3": [s3],
+                "s4": [s4],
+            }
+        )
+
+    return vals.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_batches long, n bigint,"
+        " s1 bigint, s2 bigint, s3 bigint, s4 bigint",
+        stateStructType="n bigint, s1 bigint, s2 bigint, s3 bigint,"
+        " s4 bigint, n_batches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _RET_WEEK = 604800  # epoch-week bucket — MUST equal analytics10._RC_WEEK
 #                     (pinned by tests/test_round13.py, the _HLL_SM rule)
 _RET_MAX_OFF = 62  # offsets live in one int64 bitmask; the fixtures span

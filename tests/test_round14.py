@@ -702,3 +702,204 @@ def test_token_budget_sums_exactly(spark):
         for r in rows:
             assert r["weight"] == weight[r["source"]], sf
             assert r["quota_tokens"] == r["base_quota"] + r["extra"], sf
+
+
+# --------------------------------------------------------------------------
+# Round-14 third wave: §7.4 items 33-36 pulled forward
+# --------------------------------------------------------------------------
+
+
+def test_filter_interaction_matches_python_replay(spark):
+    """The pairwise fail counts and redundancy permilles must equal a
+    pure-Python replay of all four filters, and the integer repetition
+    threshold must equal curation's float constant."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics15 as a15
+    from lua_mapreduce_spark.operators.curation import _REP_MAX_DUP_WORD_FRAC
+
+    assert a15._FIM_REP_PCT == int(_REP_MAX_DUP_WORD_FRAC * 100)
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        keeper: dict[str, int] = {}
+        for d, t in recs:
+            fpv = _re.sub(r"\s+", " ", t.lower()).strip()
+            keeper[fpv] = min(keeper.get(fpv, d), d)
+        fails: dict[str, list[bool]] = {f: [] for f in a15._FIM_FILTERS}
+        for d, t in recs:
+            toks = [w.lower() for w in _re.findall(r"[A-Za-z]+", t)]
+            n_alpha = len(_re.findall(r"[A-Za-z]", t))
+            fpv = _re.sub(r"\s+", " ", t.lower()).strip()
+            fails["length"].append(len(toks) < a15._FIM_MIN_TOK)
+            fails["alpha"].append(
+                n_alpha * 100 < a15._FIM_ALPHA_PCT * len(t)
+            )
+            fails["dup"].append(d != keeper[fpv])
+            fails["repetition"].append(
+                (len(toks) - len(set(toks))) * 100
+                > a15._FIM_REP_PCT * len(toks)
+            )
+        want = {}
+        fs = a15._FIM_FILTERS
+        for i, fa in enumerate(fs):
+            for fb in fs[i + 1 :]:
+                na = sum(fails[fa])
+                nb = sum(fails[fb])
+                nboth = sum(
+                    1 for x, y in zip(fails[fa], fails[fb]) if x and y
+                )
+                union = na + nb - nboth
+                want[(fa, fb)] = (
+                    len(recs),
+                    na,
+                    nb,
+                    nboth,
+                    union,
+                    nboth * 1000 // union if union else 0,
+                )
+        got = {
+            (r["filter_a"], r["filter_b"]): (
+                r["n_docs"],
+                r["fail_a"],
+                r["fail_b"],
+                r["fail_both"],
+                r["fail_union"],
+                r["redundancy_permille"],
+            )
+            for r in a15.curation_filter_interaction_matrix(
+                spark, sf
+            ).collect()
+        }
+        assert got == want, (sf, got, want)
+        assert len(got) == 6, sf
+
+
+def test_user_overlap_matches_python_replay(spark):
+    """Pairwise audience Jaccard must equal a pure-Python set replay."""
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics15 as a15
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"SELECT DISTINCT user_id, event_type"
+            f" FROM '{sf}/events.parquet'"
+        ).fetchall()
+        by_type: dict[str, set[int]] = {}
+        for u, t in recs:
+            by_type.setdefault(t, set()).add(u)
+        types = sorted(by_type)
+        want = {}
+        for i, ta in enumerate(types):
+            for tb in types[i + 1 :]:
+                inter = len(by_type[ta] & by_type[tb])
+                if inter == 0:
+                    continue
+                union = len(by_type[ta] | by_type[tb])
+                want[(ta, tb)] = (
+                    len(by_type[ta]),
+                    len(by_type[tb]),
+                    inter,
+                    union,
+                    inter * 1000 // union,
+                )
+        got = {
+            (r["type_a"], r["type_b"]): (
+                r["n_a"],
+                r["n_b"],
+                r["n_both"],
+                r["n_union"],
+                r["jaccard_permille"],
+            )
+            for r in a15.events_user_overlap_jaccard(spark, sf).collect()
+        }
+        assert got == want, sf
+
+
+def test_compression_proxy_matches_python_replay(spark):
+    """Bigram distinctness and the longest same-token run must equal a
+    pure-Python replay; docs with < 2 tokens must be absent."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics15 as a15
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        want = {}
+        for d, t in docs.items():
+            toks = [w.lower() for w in _re.findall(r"[A-Za-z]+", t)]
+            if len(toks) < 2:
+                continue
+            bigs = [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            best = cur = 1
+            for a, b in zip(toks, toks[1:]):
+                cur = cur + 1 if a == b else 1
+                best = max(best, cur)
+            want[d] = (
+                len(bigs),
+                len(set(bigs)),
+                len(set(bigs)) * 1000 // len(bigs),
+                best,
+            )
+        got = {
+            r["doc_id"]: (
+                r["n_bigrams"],
+                r["n_distinct_bigrams"],
+                r["distinct_permille"],
+                r["max_token_run"],
+            )
+            for r in a15.text_compression_ratio_proxy(spark, sf).collect()
+        }
+        assert got == want, sf
+
+
+def test_streaming_moments_equals_batch_replay(spark):
+    """The streamed power sums must equal a direct batch replay per
+    event type, the merged row must equal the sum of the per-type rows
+    AND a full-table replay (mergeability over streamed state), and
+    >= 3 micro-batches must have run."""
+    import duckdb
+
+    from lua_mapreduce_spark.operators import streaming_ops as so
+    from lua_mapreduce_spark.streaming import stateful
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        truth = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(
+                f"""SELECT event_type, COUNT(*), SUM(v), SUM(v*v),
+                           SUM(v*v*v), SUM(v*v*v*v)
+                    FROM (SELECT event_type,
+                                 CAST(floor(value) AS BIGINT)
+                                   % {stateful._MOM_DOMAIN} AS v
+                          FROM '{sf}/events.parquet')
+                    GROUP BY 1"""
+            ).fetchall()
+        }
+        rows = {
+            r["set_name"]: (r["n"], r["s1"], r["s2"], r["s3"], r["s4"])
+            for r in so.QUERIES["streaming_moments_sketch"](
+                spark, sf
+            ).collect()
+        }
+        assert stateful.LAST_DRAIN_NUM_BATCHES >= 3, sf
+        for t, tr in truth.items():
+            assert rows[t] == tr, (sf, t)
+        merged = tuple(sum(rows[t][i] for t in truth) for i in range(5))
+        assert rows["merged"] == merged, sf

@@ -194,6 +194,7 @@ _SKIP_AUDIT = {
     "streaming_hll_distinct",
     "streaming_retention_snapshot",
     "streaming_seasonal_profile",
+    "streaming_moments_sketch",
 }
 
 
@@ -322,6 +323,8 @@ _BROADCAST_OK = {
     ("analytics14.py", "nd"),         # single-row doc-count aggregate
     ("analytics14.py", "tt"),         # single-row token-count aggregate
     ("analytics14.py", "tot"),        # single-row weight-total aggregate
+    ("analytics15.py", "sa"),         # grouped by event_type: <= |types| rows
+    ("analytics15.py", "sb"),         # grouped by event_type: <= |types| rows
 }
 
 
