@@ -310,6 +310,8 @@ EXTENDED_MEDIAN = {
     "graph_edge_betweenness_communities",
     "curation_dedup_cluster_stats",
     "text_keyphrase_textrank",
+    # wave-4: the (source, word) self-join sits in the 2-4 s dedup band
+    "text_js_divergence_sources",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

@@ -29,6 +29,7 @@ from lua_mapreduce_spark.operators import (
     analytics13,
     analytics14,
     analytics15,
+    analytics16,
     curation,
     dedup,
     events,
@@ -87,6 +88,7 @@ _MODULES = [
     analytics13,
     analytics14,
     analytics15,
+    analytics16,
     pq,
     sources_ops,
 ]
@@ -119,7 +121,7 @@ _MODULES = [
 # Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
 # cluster triage report); and EIGHTEEN fills from the committed stale
 # pool order (the first eighteen of the twenty-two late-displaced names).
-# 2 + 26 + 12 + 10 = 50 (waves 2-3 displaced the last eight fills). After a green r14, every pre-r13 query is
+# 2 + 26 + 16 + 6 = 50 (waves 2-4 displaced the last twelve fills). After a green r14, every pre-r13 query is
 # driver-confirmed at least twice and the r13 newcomers twice; only the
 # four r14 newcomers owe their second confirmation (the r15 window's
 # first obligation).
@@ -174,6 +176,14 @@ _DRIVER_WINDOW = [
     "curation_filter_interaction_matrix",
     "events_user_overlap_jaccard",
     "text_compression_ratio_proxy",
+    # r14-NEW queries (fourth wave: the third refill pulled forward,
+    # §7.4 items 37-40 — power-user Pareto, source L1 divergence,
+    # sort-key advisor, annotation-budget split; four more fills
+    # displaced to the r15 pool)
+    "events_power_users_pareto",
+    "text_js_divergence_sources",
+    "layout_sort_key_advisor",
+    "curation_annotation_budget_split",
     # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
     # the first eighteen of the twenty-two late-displaced names
     "text_fingerprint",
@@ -182,10 +192,6 @@ _DRIVER_WINDOW = [
     "text_repetition_filter",
     "setop_union_intersect_except",
     "sort_topk_orders",
-    "subquery_above_nation_avg",
-    "text_doc_stats",
-    "curation_sample_mixture",
-    "curation_shuffle_shards",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -903,3 +903,210 @@ def test_streaming_moments_equals_batch_replay(spark):
             assert rows[t] == tr, (sf, t)
         merged = tuple(sum(rows[t][i] for t in truth) for i in range(5))
         assert rows["merged"] == merged, sf
+
+
+# --------------------------------------------------------------------------
+# Round-14 fourth wave: §7.4 items 37-40 pulled forward
+# --------------------------------------------------------------------------
+
+
+def test_pareto_matches_sorted_replay(spark):
+    """The histogram-derived decile shares must equal the DEFINITIONAL
+    replay — actually sorting users by activity and summing the top
+    k/10 — proving the partial-class arithmetic exact, plus Lorenz
+    invariants (non-decreasing, k=10 = 1000-permille total)."""
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics16 as a16
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        counts = sorted(
+            (
+                n
+                for (n,) in con.execute(
+                    f"SELECT COUNT(*) FROM '{sf}/events.parquet'"
+                    " GROUP BY user_id"
+                ).fetchall()
+            ),
+            reverse=True,
+        )
+        u, total = len(counts), sum(counts)
+        rows = {
+            r["k"]: r
+            for r in a16.events_power_users_pareto(spark, sf).collect()
+        }
+        prev = 0
+        for k in range(1, 11):
+            r_k = k * u // 10
+            want = sum(counts[:r_k])
+            row = rows[k]
+            assert row["n_top_users"] == r_k, (sf, k)
+            assert row["cum_events_topk"] == want, (sf, k)
+            assert row["share_permille"] == want * 1000 // total
+            assert row["cum_events_topk"] >= prev
+            prev = row["cum_events_topk"]
+        assert rows[10]["cum_events_topk"] == total, sf
+        assert rows[10]["share_permille"] == 1000, sf
+
+
+def test_js_divergence_matches_python_replay(spark):
+    """Pairwise L1 micro-distances must equal a pure-Python replay of
+    the truncated-probability arithmetic, including absent-word mass,
+    and obey the [0, 2e6] bound."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics16 as a16
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"SELECT source, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        tf: dict[str, dict[str, int]] = {}
+        for src, t in recs:
+            d = tf.setdefault(src, {})
+            for w in _re.findall(r"[A-Za-z]+", t):
+                w = w.lower()
+                d[w] = d.get(w, 0) + 1
+        p = {
+            src: {
+                w: c * 1_000_000 // sum(d.values()) for w, c in d.items()
+            }
+            for src, d in tf.items()
+        }
+        got = {
+            (r["source_a"], r["source_b"]): (
+                r["n_shared_words"],
+                r["l1_micro"],
+            )
+            for r in a16.text_js_divergence_sources(spark, sf).collect()
+        }
+        srcs = sorted(p)
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i + 1 :]:
+                shared = set(p[sa]) & set(p[sb])
+                if not shared:
+                    assert (sa, sb) not in got
+                    continue
+                l1 = (
+                    sum(abs(p[sa][w] - p[sb][w]) for w in shared)
+                    + sum(v for w, v in p[sa].items() if w not in shared)
+                    + sum(v for w, v in p[sb].items() if w not in shared)
+                )
+                assert got[(sa, sb)] == (len(shared), l1), (sf, sa, sb)
+                assert 0 <= l1 <= 2_000_000
+
+
+def test_sort_key_advisor_diagonal_dominates(spark):
+    """Each sort key must skip at least as well on its OWN probe
+    dimension as any other layout does on that dimension (the
+    diagonal-dominance property that makes the table an advisor), and
+    a Python zone-map replay must agree exactly."""
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics16 as a16
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        evs = con.execute(
+            f"""SELECT CAST(user_id AS BIGINT),
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600,
+                       CAST(floor(value) AS BIGINT)
+                FROM '{sf}/events.parquet'"""
+        ).fetchall()
+        dims = list(zip(*evs))  # u, h, v columns
+        lo = [min(c) for c in dims]
+        hi = [max(c) + 1 for c in dims]
+        F_, P = a16._SKA_FILES, a16._SKA_PREDS
+        want = {}
+        for si, sk in enumerate(a16._SKA_DIMS):
+            zones: dict[int, list] = {}
+            for row in evs:
+                fid = (row[si] - lo[si]) * F_ // (hi[si] - lo[si])
+                z = zones.setdefault(fid, [0] + [None] * 6)
+                z[0] += 1
+                for di in range(3):
+                    v = row[di]
+                    if z[1 + 2 * di] is None or v < z[1 + 2 * di]:
+                        z[1 + 2 * di] = v
+                    if z[2 + 2 * di] is None or v > z[2 + 2 * di]:
+                        z[2 + 2 * di] = v
+            for di, pd in enumerate(a16._SKA_DIMS):
+                n_probes = n_scanned = rows_ub = 0
+                for pid in range(P):
+                    plo = lo[di] + pid * (hi[di] - lo[di]) // P
+                    phi = plo + (hi[di] - lo[di]) // 20
+                    for z in zones.values():
+                        n_probes += 1
+                        if z[2 + 2 * di] >= plo and z[1 + 2 * di] < phi:
+                            n_scanned += 1
+                            rows_ub += z[0]
+                want[(sk, pd)] = (
+                    n_probes,
+                    n_scanned,
+                    (n_probes - n_scanned) * 1000 // n_probes,
+                    rows_ub,
+                )
+        got = {
+            (r["sort_key"], r["probe_dim"]): (
+                r["n_file_probes"],
+                r["n_scanned"],
+                r["skip_permille"],
+                r["rows_scanned_ub"],
+            )
+            for r in a16.layout_sort_key_advisor(spark, sf).collect()
+        }
+        assert got == want, (sf, got, want)
+        for d in a16._SKA_DIMS:
+            diag = got[(d, d)][2]
+            for other in a16._SKA_DIMS:
+                if other != d:
+                    assert diag >= got[(other, d)][2], (sf, d, other)
+
+
+def test_annotation_budget_identity(spark):
+    """granted + undistributed must equal the quota per stratum, quotas
+    must sum exactly to the budget, and the whole allocation must match
+    a pure-Python Neyman/Hamilton replay."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics16 as a16
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"SELECT lang, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        qs: dict[str, list[int]] = {}
+        for lang, t in recs:
+            n_alpha = len(_re.findall(r"[A-Za-z]", t))
+            n_space = len(_re.findall(r"\s", t))
+            qs.setdefault(lang, []).append(
+                (n_alpha * 700 + n_space * 300) // len(t)
+            )
+        weight = {
+            lang: len(v) * (max(v) - min(v) + 1) for lang, v in qs.items()
+        }
+        tot = sum(weight.values())
+        B = a16._ABS_BUDGET
+        base = {s: B * w // tot for s, w in weight.items()}
+        rem = {s: B * w % tot for s, w in weight.items()}
+        short = B - sum(base.values())
+        order = sorted(weight, key=lambda s: (-rem[s], s))
+        quota = {
+            s: base[s] + (1 if i < short else 0)
+            for i, s in enumerate(order)
+        }
+        rows = a16.curation_annotation_budget_split(spark, sf).collect()
+        got = {r["lang"]: r for r in rows}
+        assert {s: r["quota"] for s, r in got.items()} == quota, sf
+        assert sum(r["quota"] for r in rows) == B, sf
+        for r in rows:
+            assert r["granted"] == min(r["quota"], r["n_docs"]), sf
+            assert r["granted"] + r["undistributed"] == r["quota"], sf
+            assert r["weight"] == weight[r["lang"]], sf

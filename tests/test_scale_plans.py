@@ -180,6 +180,9 @@ _NESTED_LOOP_OK = {
     "curation_dedup_cluster_stats",  # 1-row corpus-count broadcast cross join
     "text_stopword_discovery",  # two 1-row totals broadcast cross joins
     "curation_token_budget_allocation",  # 1-row weight-total broadcast cross join
+    "events_power_users_pareto",  # 1-row totals + 10-row decile-grid cross joins
+    "layout_sort_key_advisor",  # 1-row bounds + 30-row probe broadcast cross joins
+    "curation_annotation_budget_split",  # 1-row weight-total broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -325,6 +328,13 @@ _BROADCAST_OK = {
     ("analytics14.py", "tot"),        # single-row weight-total aggregate
     ("analytics15.py", "sa"),         # grouped by event_type: <= |types| rows
     ("analytics15.py", "sb"),         # grouped by event_type: <= |types| rows
+    ("analytics16.py", "tot"),        # single-row totals (pareto N / budget weight)
+    ("analytics16.py", "ks"),         # fixed _PP_STEPS=10 decile grid
+    ("analytics16.py", "totals"),     # grouped by source: <= |sources| rows
+    ("analytics16.py", "pa"),         # grouped by source: <= |sources| rows
+    ("analytics16.py", "pb"),         # grouped by source: <= |sources| rows
+    ("analytics16.py", "bounds"),     # single-row 3-dim min/max aggregate
+    ("analytics16.py", "preds"),      # fixed 3 x _SKA_PREDS probe predicates
 }
 
 
