@@ -312,6 +312,8 @@ EXTENDED_MEDIAN = {
     "text_keyphrase_textrank",
     # wave-4: the (source, word) self-join sits in the 2-4 s dedup band
     "text_js_divergence_sources",
+    # wave-5: the bigram inverted-index join (the novelty-query shape)
+    "text_ngram_lm_perplexity_proxy",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

@@ -30,6 +30,7 @@ from lua_mapreduce_spark.operators import (
     analytics14,
     analytics15,
     analytics16,
+    analytics17,
     curation,
     dedup,
     events,
@@ -89,6 +90,7 @@ _MODULES = [
     analytics14,
     analytics15,
     analytics16,
+    analytics17,
     pq,
     sources_ops,
 ]
@@ -121,7 +123,7 @@ _MODULES = [
 # Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
 # cluster triage report); and EIGHTEEN fills from the committed stale
 # pool order (the first eighteen of the twenty-two late-displaced names).
-# 2 + 26 + 16 + 6 = 50 (waves 2-4 displaced the last twelve fills). After a green r14, every pre-r13 query is
+# 2 + 26 + 20 + 2 = 50 (waves 2-5 displaced the last sixteen fills). After a green r14, every pre-r13 query is
 # driver-confirmed at least twice and the r13 newcomers twice; only the
 # four r14 newcomers owe their second confirmation (the r15 window's
 # first obligation).
@@ -184,14 +186,18 @@ _DRIVER_WINDOW = [
     "text_js_divergence_sources",
     "layout_sort_key_advisor",
     "curation_annotation_budget_split",
+    # r14-NEW queries (fifth wave: the fourth refill pulled forward,
+    # §7.4 items 41-44 — Jaccard link prediction, streaming Pareto
+    # snapshot, bigram-surprisal proxy, boilerplate cluster report;
+    # four more fills displaced to the r15 pool)
+    "graph_jaccard_link_prediction",
+    "streaming_pareto_snapshot",
+    "text_ngram_lm_perplexity_proxy",
+    "curation_boilerplate_cluster_report",
     # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
     # the first eighteen of the twenty-two late-displaced names
     "text_fingerprint",
     "text_langid",
-    "text_quality_score",
-    "text_repetition_filter",
-    "setop_union_intersect_except",
-    "sort_topk_orders",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

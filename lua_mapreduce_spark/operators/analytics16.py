@@ -64,6 +64,14 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     users; the 10-row grid broadcast cross-joins it."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return pareto_tail(per_user)
+
+
+def pareto_tail(per_user: DataFrame) -> DataFrame:
+    """The histogram/decile machinery over a (user_id, cnt) relation —
+    SHARED by the batch query above and streaming_pareto_snapshot (the
+    seasonal_profile_tail one-implementation convention), so streaming
+    and batch can never drift."""
     hist = per_user.groupBy("cnt").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("m")
     )
@@ -82,7 +90,7 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_events"),
     ).localCheckpoint(eager=True)
     ks = (
-        spark.range(1, _PP_STEPS + 1)
+        per_user.sparkSession.range(1, _PP_STEPS + 1)
         .select(F.col("id").alias("k"))
         .crossJoin(F.broadcast(tot))
         .selectExpr(

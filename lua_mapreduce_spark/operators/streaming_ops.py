@@ -743,6 +743,40 @@ FROM allrows
 """
 
 
+def streaming_pareto_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of events_power_users_pareto (the retention-
+    snapshot composition convention: accumulate state IN the stream,
+    compute the report over the drained snapshot, share the batch
+    query's oracle VERBATIM): per-user event counts accumulate in the
+    state store across micro-batches (additive integers — order-
+    insensitive, so the full-stream DuckDB replay is sound; the
+    user-totals state machinery with the user cap lifted), then the
+    SHARED pareto_tail computes the Lorenz decile table over the
+    settled snapshot — one histogram/decile implementation, so
+    streaming and batch can never drift.
+
+    Scale shape: state is 2 int64s per user; the histogram/decile tail
+    runs over the bounded distinct-count domain post-drain."""
+    from lua_mapreduce_spark.operators.analytics16 import pareto_tail
+    from lua_mapreduce_spark.streaming.stateful import (
+        stream_user_totals_stateful,
+    )
+
+    sink = drain_stream(
+        stream_user_totals_stateful(
+            _events_stream(spark, sf_dir), max_users=1 << 62
+        ),
+        "stream_pareto",
+        output_mode="update",
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
+    per_user = (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events").alias("cnt"))  # n_events is monotone per key
+    )
+    return pareto_tail(per_user)
+
+
 def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of events_changepoint_cusum (the r12 step
     detector): the watermarked hourly aggregation runs IN the stream
@@ -790,6 +824,7 @@ QUERIES = {
     "streaming_seasonal_profile": streaming_seasonal_profile,
     "streaming_cusum_monitor": streaming_cusum_monitor,
     "streaming_moments_sketch": streaming_moments_sketch,
+    "streaming_pareto_snapshot": streaming_pareto_snapshot,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -967,6 +1002,9 @@ STREAM_CMS_ORACLE = _cms_oracle()
 from lua_mapreduce_spark.operators.analytics7 import (  # noqa: E402
     CUSUM_ORACLE as STREAM_CUSUM_ORACLE,
 )
+from lua_mapreduce_spark.operators.analytics16 import (  # noqa: E402
+    PARETO_ORACLE as STREAM_PARETO_ORACLE,
+)
 from lua_mapreduce_spark.operators.analytics10 import (  # noqa: E402
     RETENTION_ORACLE as STREAM_RETENTION_ORACLE,
     SEASONAL_ORACLE as STREAM_SEASONAL_ORACLE,
@@ -981,6 +1019,7 @@ ORACLES: dict[str, str] = {
     "streaming_retention_snapshot": STREAM_RETENTION_ORACLE,
     "streaming_seasonal_profile": STREAM_SEASONAL_ORACLE,
     "streaming_moments_sketch": _stream_moments_oracle(),
+    "streaming_pareto_snapshot": STREAM_PARETO_ORACLE,
     "streaming_cusum_monitor": STREAM_CUSUM_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,

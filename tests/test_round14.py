@@ -1110,3 +1110,185 @@ def test_annotation_budget_identity(spark):
             assert r["granted"] == min(r["quota"], r["n_docs"]), sf
             assert r["granted"] + r["undistributed"] == r["quota"], sf
             assert r["weight"] == weight[r["lang"]], sf
+
+
+# --------------------------------------------------------------------------
+# Round-14 fifth wave: §7.4 items 41-44 pulled forward
+# --------------------------------------------------------------------------
+
+
+def test_link_prediction_matches_python_replay(spark):
+    """Jaccard scores, the non-adjacency constraint, and the top-k
+    prediction flags must equal a pure-Python neighbor-set replay."""
+    from lua_mapreduce_spark.operators import analytics17 as a17
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = [
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        ]
+        nbr: dict[str, set[str]] = {}
+        for s, d in edges:
+            nbr.setdefault(s, set()).add(d)
+            nbr.setdefault(d, set()).add(s)
+        nodes = sorted(nbr)
+        scored = {}
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                if v in nbr[u]:
+                    continue
+                inter = len(nbr[u] & nbr[v])
+                if inter == 0:
+                    continue
+                union = len(nbr[u] | nbr[v])
+                scored[(u, v)] = (inter, union, inter * 1000 // union)
+        order = sorted(scored, key=lambda p: (-scored[p][2], p))
+        topk = set(order[: a17._LP_TOPK])
+        got = {
+            (r["node_a"], r["node_b"]): (
+                r["n_common"],
+                r["n_union"],
+                r["jaccard_permille"],
+                r["is_predicted"],
+            )
+            for r in a17.graph_jaccard_link_prediction(spark, sf).collect()
+        }
+        want = {p: (*v, p in topk) for p, v in scored.items()}
+        assert got == want, (sf, got, want)
+        # no candidate pair is an existing undirected edge
+        for u, v in got:
+            assert v not in nbr[u], (sf, u, v)
+
+
+def test_perplexity_proxy_matches_python_replay(spark):
+    """Per-doc surprisal buckets must equal a pure-Python bigram-model
+    replay, and a repeated-template doc must score BELOW the corpus
+    mean (the boilerplate-scores-low property that makes it a filter
+    signal)."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics17 as a17
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        bigs: dict[int, list[str]] = {}
+        counts: dict[str, int] = {}
+        for d, t in docs.items():
+            toks = [w.lower() for w in _re.findall(r"[A-Za-z]+", t)]
+            if len(toks) < 2:
+                continue
+            bl = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            bigs[d] = bl
+            for b in bl:
+                counts[b] = counts.get(b, 0) + 1
+        total = sum(counts.values())
+        want = {}
+        for d, bl in bigs.items():
+            s = sum((total // counts[b]).bit_length() for b in bl)
+            want[d] = (len(bl), s, s * 1000 // len(bl))
+        got = {
+            r["doc_id"]: (
+                r["n_bigrams"],
+                r["total_surprisal"],
+                r["surprisal_milli"],
+            )
+            for r in a17.text_ngram_lm_perplexity_proxy(spark, sf).collect()
+        }
+        assert got == want, sf
+
+
+def test_boilerplate_clusters_match_python_replay(spark):
+    """Cluster assignment (highest-DF boilerplate shingle per doc),
+    source spread and mean length must equal a pure-Python replay
+    sharing text_boilerplate_ngrams' constants."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics17 as a17
+    from lua_mapreduce_spark.operators.curation import _BOILER_N, _BOILER_TOPK
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"SELECT doc_id, source, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        doc_sg: dict[int, set[str]] = {}
+        meta = {}
+        df: dict[str, int] = {}
+        for d, src, t in recs:
+            toks = [w.lower() for w in _re.findall(r"[A-Za-z]+", t)]
+            meta[d] = (src, len(t))
+            if len(toks) < _BOILER_N:
+                continue
+            sgs = {
+                " ".join(toks[i : i + _BOILER_N])
+                for i in range(len(toks) - _BOILER_N + 1)
+            }
+            doc_sg[d] = sgs
+            for sg in sgs:
+                df[sg] = df.get(sg, 0) + 1
+        top = sorted(df, key=lambda sg: (-df[sg], sg))[:_BOILER_TOPK]
+        top_set = set(top)
+        clusters: dict[str, list[int]] = {}
+        for d, sgs in doc_sg.items():
+            hits = sorted(
+                (sg for sg in sgs if sg in top_set),
+                key=lambda sg: (-df[sg], sg),
+            )
+            if hits:
+                clusters.setdefault(hits[0], []).append(d)
+        want = {}
+        for sg, ds in clusters.items():
+            srcs = {meta[d][0] for d in ds}
+            chars = sum(meta[d][1] for d in ds)
+            want[sg] = (
+                df[sg],
+                len(ds),
+                len(srcs),
+                chars,
+                chars // len(ds),
+            )
+        got = {
+            r["shingle"]: (
+                r["df"],
+                r["n_docs"],
+                r["n_sources"],
+                r["total_chars"],
+                r["mean_chars"],
+            )
+            for r in a17.curation_boilerplate_cluster_report(
+                spark, sf
+            ).collect()
+        }
+        assert got == want, (sf, got, want)
+
+
+def test_streaming_pareto_equals_batch(spark):
+    """The streamed per-user counts must feed the IDENTICAL Lorenz
+    decile table as the batch query (shared pareto_tail), row-for-row,
+    with >= 3 micro-batches pinned."""
+    from lua_mapreduce_spark.operators import analytics16 as a16
+    from lua_mapreduce_spark.operators import streaming_ops as so
+    from lua_mapreduce_spark.streaming import stateful
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        batch = sorted(
+            tuple(r)
+            for r in a16.events_power_users_pareto(spark, sf).collect()
+        )
+        streamed = sorted(
+            tuple(r)
+            for r in so.QUERIES["streaming_pareto_snapshot"](
+                spark, sf
+            ).collect()
+        )
+        assert streamed == batch, sf
+        assert stateful.LAST_DRAIN_NUM_BATCHES >= 3, sf

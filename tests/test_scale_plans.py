@@ -183,6 +183,7 @@ _NESTED_LOOP_OK = {
     "events_power_users_pareto",  # 1-row totals + 10-row decile-grid cross joins
     "layout_sort_key_advisor",  # 1-row bounds + 30-row probe broadcast cross joins
     "curation_annotation_budget_split",  # 1-row weight-total broadcast cross join
+    "text_ngram_lm_perplexity_proxy",  # 1-row bigram-total broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -198,6 +199,7 @@ _SKIP_AUDIT = {
     "streaming_retention_snapshot",
     "streaming_seasonal_profile",
     "streaming_moments_sketch",
+    "streaming_pareto_snapshot",
 }
 
 
@@ -335,6 +337,7 @@ _BROADCAST_OK = {
     ("analytics16.py", "pb"),         # grouped by source: <= |sources| rows
     ("analytics16.py", "bounds"),     # single-row 3-dim min/max aggregate
     ("analytics16.py", "preds"),      # fixed 3 x _SKA_PREDS probe predicates
+    ("analytics17.py", "tot"),        # single-row bigram-total aggregate
 }
 
 
