@@ -314,6 +314,10 @@ EXTENDED_MEDIAN = {
     "text_js_divergence_sources",
     # wave-5: the bigram inverted-index join (the novelty-query shape)
     "text_ngram_lm_perplexity_proxy",
+    # wave-6: the banded-candidate join over cached signatures, and the
+    # 6-level walk DP (localCheckpoint per level)
+    "curation_near_dup_precision_audit",
+    "graph_katz_centrality",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

@@ -31,6 +31,7 @@ from lua_mapreduce_spark.operators import (
     analytics15,
     analytics16,
     analytics17,
+    analytics18,
     curation,
     dedup,
     events,
@@ -91,6 +92,7 @@ _MODULES = [
     analytics15,
     analytics16,
     analytics17,
+    analytics18,
     pq,
     sources_ops,
 ]
@@ -123,7 +125,8 @@ _MODULES = [
 # Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
 # cluster triage report); and EIGHTEEN fills from the committed stale
 # pool order (the first eighteen of the twenty-two late-displaced names).
-# 2 + 26 + 20 + 2 = 50 (waves 2-5 displaced the last sixteen fills). After a green r14, every pre-r13 query is
+# 2 + 24 + 24 = 50 (waves 2-6 displaced every fill; two unchanged r13
+# confirmations deferred to r15 per the committed split rule). After a green r14, every pre-r13 query is
 # driver-confirmed at least twice and the r13 newcomers twice; only the
 # four r14 newcomers owe their second confirmation (the r15 window's
 # first obligation).
@@ -154,8 +157,6 @@ _DRIVER_WINDOW = [
     "streaming_retention_snapshot",  # r14-changed: re-anchoring fold
     "curation_source_overlap_matrix",  # r14-changed: diagonal dropped
     "events_inter_arrival_profile",
-    "text_vocabulary_growth",
-    "streaming_seasonal_profile",
     "text_ngram_novelty",  # r14-changed: persisted-signature shingles
     # r14-NEW queries (first wave: the committed bank, §7.4 items 25-28)
     "curation_contamination_pairs_report",
@@ -194,10 +195,20 @@ _DRIVER_WINDOW = [
     "streaming_pareto_snapshot",
     "text_ngram_lm_perplexity_proxy",
     "curation_boilerplate_cluster_report",
+    # r14-NEW queries (sixth wave: the fifth refill pulled forward,
+    # §7.4 items 45-48 — Katz centrality, near-dup precision audit,
+    # lite burst detection, positional n-gram profile). The window is
+    # full: the last two fills AND two UNCHANGED r13 seventh/sixth-wave
+    # confirmations (text_vocabulary_growth, streaming_seasonal_profile)
+    # are deferred to r15 per the committed split rule (SURVEY §2.6
+    # r14 pre-plan: "split the confirmations across r14/r15 by wave
+    # order ... and record the split here").
+    "graph_katz_centrality",
+    "curation_near_dup_precision_audit",
+    "events_burst_detection_kleinberg_lite",
+    "text_anchor_ngram_profile",
     # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
     # the first eighteen of the twenty-two late-displaced names
-    "text_fingerprint",
-    "text_langid",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

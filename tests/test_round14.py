@@ -1292,3 +1292,213 @@ def test_streaming_pareto_equals_batch(spark):
         )
         assert streamed == batch, sf
         assert stateful.LAST_DRAIN_NUM_BATCHES >= 3, sf
+
+
+# --------------------------------------------------------------------------
+# Round-14 sixth wave: §7.4 items 45-48 pulled forward
+# --------------------------------------------------------------------------
+
+
+def test_katz_matches_python_replay(spark):
+    """Katz scores must equal a pure-Python truncated walk-counting
+    replay with the same dyadic scaling, and dominate 2^K - weighting
+    invariants (every node with an in-edge scores >= 2^(K-1))."""
+    from lua_mapreduce_spark.operators import analytics18 as a18
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = [
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        ]
+        nodes = sorted({n for e in edges for n in e})
+        K = a18._KATZ_K
+        w = {n: 1 for n in nodes}
+        score = {n: 0 for n in nodes}
+        for k in range(1, K + 1):
+            nw = {n: 0 for n in nodes}
+            for u, v in edges:
+                nw[v] += w[u]
+            w = nw
+            for n in nodes:
+                score[n] += (1 << (K - k)) * w[n]
+        got = {
+            r["node"]: r["katz_scaled"]
+            for r in a18.graph_katz_centrality(spark, sf).collect()
+        }
+        assert got == score, (sf, got, score)
+        with_in = {v for _, v in edges}
+        for n in with_in:
+            assert got[n] >= 1 << (K - 1), (sf, n)
+
+
+def test_precision_audit_matches_python_replay(spark):
+    """Per-band confusion counts must equal a pure-Python replay over
+    the engine's own candidate pairs (signature match counts + exact
+    Jaccard from shingle sets), and precision must be monotone
+    non-decreasing in the signature band on the fixtures."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics18 as a18
+    from lua_mapreduce_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _match_sum_expr,
+        _banded_keys,
+        _minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    gate = int(_JACCARD_THRESHOLD * 1000)
+    for sf in (SF_SMALL, SF_MEDIUM):
+        mh = _minhash_signatures(spark, sf)
+        banded = _banded_keys(mh)
+        a, b = banded.alias("a"), banded.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        )
+        sigs = {
+            r["doc_id"]: (set(r["shingles"]), [r[f"m{i}"] for i in range(32)])
+            for r in mh.collect()
+        }
+        want: dict[int, list[int]] = {}
+        for r in cands:
+            sa, ma = sigs[r["doc_a"]]
+            sb, mb = sigs[r["doc_b"]]
+            s = sum(1 for x, y in zip(ma, mb) if x == y)
+            inter = len(sa & sb)
+            j = inter * 1000 // (len(sa) + len(sb) - inter)
+            band = s // a18._NPA_BAND_W
+            cell = want.setdefault(band, [0, 0])
+            cell[0] += 1
+            cell[1] += 1 if j >= gate else 0
+        rows = sorted(
+            a18.curation_near_dup_precision_audit(spark, sf).collect(),
+            key=lambda r: r["sig_band"],
+        )
+        got = {
+            r["sig_band"]: [r["n_pairs"], r["n_true"]] for r in rows
+        }
+        assert got == want, (sf, got, want)
+        precs = [r["precision_permille"] for r in rows]
+        assert precs == sorted(precs), (sf, precs)
+
+
+def test_burst_episodes_match_python_replay(spark):
+    """Burst episodes must equal a pure-Python trailing-mean replay:
+    same integer cross-multiplication threshold, same full-window
+    guard, same island grouping."""
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics18 as a18
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"""SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+                       COUNT(*) AS cnt
+                FROM '{sf}/events.parquet' GROUP BY 1, 2
+                ORDER BY 1, 2"""
+        ).fetchall()
+        series: dict[str, list[tuple[int, int]]] = {}
+        for t, hr, cnt in recs:
+            series.setdefault(t, []).append((hr, cnt))
+        want = {}
+        W, Q = a18._KB_WIN, a18._KB_Q
+        for t, rows_ in series.items():
+            flagged = []
+            for i, (hr, cnt) in enumerate(rows_):
+                trail = rows_[max(0, i - W) : i]
+                if len(trail) == W and cnt * W > Q * sum(c for _, c in trail):
+                    flagged.append((hr, cnt))
+            # islands over flagged hour sequence
+            for j, (hr, cnt) in enumerate(flagged):
+                iid = hr - (j + 1)
+                key = (t, iid)
+                if key not in want:
+                    want[key] = [hr, hr, 0, 0, 0]
+                w = want[key]
+                w[0] = min(w[0], hr)
+                w[1] = max(w[1], hr)
+                w[2] += 1
+                w[3] = max(w[3], cnt)
+                w[4] += cnt
+        want_set = {
+            (t, *vals) for (t, _), vals in
+            ((k, tuple(v)) for k, v in want.items())
+        }
+        got_set = {
+            (
+                r["event_type"],
+                r["start_hr"],
+                r["end_hr"],
+                r["n_hours"],
+                r["peak_count"],
+                r["total_events"],
+            )
+            for r in a18.events_burst_detection_kleinberg_lite(
+                spark, sf
+            ).collect()
+        }
+        assert got_set == want_set, (sf, len(got_set), len(want_set))
+
+
+def test_anchor_profile_matches_python_replay(spark):
+    """Top-bigram positional thirds must equal a pure-Python replay,
+    and front + middle + back must sum to n_occ on every row."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics18 as a18
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        texts = [
+            t
+            for (t,) in con.execute(
+                f"SELECT text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        occ: dict[str, list[int]] = {}
+        for t in texts:
+            toks = [w.lower() for w in _re.findall(r"[A-Za-z]+", t)]
+            if len(toks) < 2:
+                continue
+            n_bg = len(toks) - 1
+            for i in range(n_bg):
+                bg = f"{toks[i]} {toks[i+1]}"
+                occ.setdefault(bg, []).append(3 * i // n_bg)
+        top = sorted(occ, key=lambda b: (-len(occ[b]), b))[: a18._ANP_TOPK]
+        want = {}
+        for bg in top:
+            thirds = occ[bg]
+            want[bg] = (
+                len(thirds),
+                sum(1 for x in thirds if x == 0),
+                sum(1 for x in thirds if x == 1),
+                sum(1 for x in thirds if x == 2),
+            )
+        got = {}
+        for r in a18.text_anchor_ngram_profile(spark, sf).collect():
+            got[r["bigram"]] = (
+                r["n_occ"],
+                r["n_front"],
+                r["n_middle"],
+                r["n_back"],
+            )
+            assert r["n_front"] + r["n_middle"] + r["n_back"] == r["n_occ"]
+            assert r["front_permille"] == r["n_front"] * 1000 // r["n_occ"]
+        assert got == want, sf
