@@ -318,6 +318,12 @@ EXTENDED_MEDIAN = {
     # 6-level walk DP (localCheckpoint per level)
     "curation_near_dup_precision_audit",
     "graph_katz_centrality",
+    # r13 verdict item 4: the bottom-k sample line needs a median series
+    # (its r13 5.2-5.9 s singles vs the r14 2.9 s single show exactly the
+    # spread a median absorbs); the boilerplate cluster report runs the
+    # shingle top-k + argmax chain in the same 2-4 s band
+    "agg_quantile_bottomk_sketch",
+    "curation_boilerplate_cluster_report",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is
