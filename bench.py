@@ -324,6 +324,10 @@ EXTENDED_MEDIAN = {
     # shingle top-k + argmax chain in the same 2-4 s band
     "agg_quantile_bottomk_sketch",
     "curation_boilerplate_cluster_report",
+    # wave-7: the executor chains the allocation aggregate + the ranked
+    # window; the chunk-mass query pays the inverted-index join
+    "curation_quota_sampling_executor",
+    "text_duplicate_sentence_mass",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

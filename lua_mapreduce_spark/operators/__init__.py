@@ -32,6 +32,7 @@ from lua_mapreduce_spark.operators import (
     analytics16,
     analytics17,
     analytics18,
+    analytics19,
     curation,
     dedup,
     events,
@@ -93,6 +94,7 @@ _MODULES = [
     analytics16,
     analytics17,
     analytics18,
+    analytics19,
     pq,
     sources_ops,
 ]
@@ -125,7 +127,7 @@ _MODULES = [
 # Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
 # cluster triage report); and EIGHTEEN fills from the committed stale
 # pool order (the first eighteen of the twenty-two late-displaced names).
-# 2 + 24 + 24 = 50 (waves 2-6 displaced every fill; two unchanged r13
+# 2 + 20 + 28 = 50 (waves 2-7 displaced every fill; six unchanged r13
 # confirmations deferred to r15 per the committed split rule). After a green r14, every pre-r13 query is
 # driver-confirmed at least twice and the r13 newcomers twice; only the
 # four r14 newcomers owe their second confirmation (the r15 window's
@@ -151,12 +153,8 @@ _DRIVER_WINDOW = [
     "graph_bridge_edges",
     "text_zipf_fit",  # r14-changed: distributed bucketed rank
     "dedup_lsh_tuning_curve",
-    "text_burstiness",
-    "graph_reciprocity_profile",
-    "curation_length_filter_tuning",
     "streaming_retention_snapshot",  # r14-changed: re-anchoring fold
     "curation_source_overlap_matrix",  # r14-changed: diagonal dropped
-    "events_inter_arrival_profile",
     "text_ngram_novelty",  # r14-changed: persisted-signature shingles
     # r14-NEW queries (first wave: the committed bank, §7.4 items 25-28)
     "curation_contamination_pairs_report",
@@ -207,6 +205,17 @@ _DRIVER_WINDOW = [
     "curation_near_dup_precision_audit",
     "events_burst_detection_kleinberg_lite",
     "text_anchor_ngram_profile",
+    # r14-NEW queries (seventh wave: the sixth refill pulled forward,
+    # §7.4 items 49-52 — streaming burst monitor, SimRank-lite, the
+    # quota-sampling executor, duplicated-sentence mass). Four MORE
+    # unchanged r13 confirmations deferred to r15 under the split rule
+    # (text_burstiness, graph_reciprocity_profile,
+    # curation_length_filter_tuning, events_inter_arrival_profile —
+    # recorded in SURVEY §2.6 with the earlier two).
+    "streaming_burst_monitor",
+    "graph_node_similarity_simrank_lite",
+    "curation_quota_sampling_executor",
+    "text_duplicate_sentence_mass",
     # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
     # the first eighteen of the twenty-two late-displaced names
 ]

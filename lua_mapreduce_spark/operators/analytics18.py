@@ -329,6 +329,15 @@ def events_burst_detection_kleinberg_lite(
         "event_type",
         F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hr"),
     ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt"))
+    return burst_tail(hourly)
+
+
+def burst_tail(hourly: DataFrame) -> DataFrame:
+    """The threshold + episode machinery over an (event_type, hr, cnt)
+    relation — SHARED by the batch query above and
+    streaming_burst_monitor (the seasonal_profile_tail one-
+    implementation convention), so streaming and batch can never
+    drift."""
     wt = Window.partitionBy("event_type").orderBy("hr")
     wtrail = wt.rowsBetween(-_KB_WIN, -1)
     flagged = (

@@ -777,6 +777,32 @@ def streaming_pareto_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_tail(per_user)
 
 
+def streaming_burst_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of events_burst_detection_kleinberg_lite (the
+    stream-aggregate -> snapshot -> report composition the CUSUM and
+    seasonal monitors established): the watermarked hourly aggregation
+    runs IN the stream (true cross-batch state, >= 3 micro-batches,
+    complete-mode drain), then the SHARED burst_tail (analytics18)
+    flags bursting hours and groups the episodes over the drained
+    hourly table — one threshold/episode implementation, so streaming
+    and batch can never drift, and the oracle is the batch query's
+    BURST_ORACLE verbatim."""
+    from lua_mapreduce_spark.operators.analytics18 import burst_tail
+    from lua_mapreduce_spark.streaming.windows import stream_tumbling_counts
+
+    sink = drain_stream(
+        stream_tumbling_counts(_events_stream(spark, sf_dir)),
+        "stream_burst_hourly",
+        output_mode="complete",
+    )
+    hourly = sink.select(
+        "event_type",
+        F.expr("CAST(ws_epoch DIV 3600 AS BIGINT)").alias("hr"),
+        F.expr("CAST(n_events AS BIGINT)").alias("cnt"),
+    )
+    return burst_tail(hourly)
+
+
 def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of events_changepoint_cusum (the r12 step
     detector): the watermarked hourly aggregation runs IN the stream
@@ -825,6 +851,7 @@ QUERIES = {
     "streaming_cusum_monitor": streaming_cusum_monitor,
     "streaming_moments_sketch": streaming_moments_sketch,
     "streaming_pareto_snapshot": streaming_pareto_snapshot,
+    "streaming_burst_monitor": streaming_burst_monitor,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -1005,6 +1032,9 @@ from lua_mapreduce_spark.operators.analytics7 import (  # noqa: E402
 from lua_mapreduce_spark.operators.analytics16 import (  # noqa: E402
     PARETO_ORACLE as STREAM_PARETO_ORACLE,
 )
+from lua_mapreduce_spark.operators.analytics18 import (  # noqa: E402
+    BURST_ORACLE as STREAM_BURST_ORACLE,
+)
 from lua_mapreduce_spark.operators.analytics10 import (  # noqa: E402
     RETENTION_ORACLE as STREAM_RETENTION_ORACLE,
     SEASONAL_ORACLE as STREAM_SEASONAL_ORACLE,
@@ -1020,6 +1050,7 @@ ORACLES: dict[str, str] = {
     "streaming_seasonal_profile": STREAM_SEASONAL_ORACLE,
     "streaming_moments_sketch": _stream_moments_oracle(),
     "streaming_pareto_snapshot": STREAM_PARETO_ORACLE,
+    "streaming_burst_monitor": STREAM_BURST_ORACLE,
     "streaming_cusum_monitor": STREAM_CUSUM_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,

@@ -1502,3 +1502,172 @@ def test_anchor_profile_matches_python_replay(spark):
             assert r["n_front"] + r["n_middle"] + r["n_back"] == r["n_occ"]
             assert r["front_permille"] == r["n_front"] * 1000 // r["n_occ"]
         assert got == want, sf
+
+
+# --------------------------------------------------------------------------
+# Round-14 seventh wave: §7.4 items 49-52 pulled forward
+# --------------------------------------------------------------------------
+
+
+def test_simrank_lite_matches_python_replay(spark):
+    """One-iteration SimRank scores must equal a pure-Python in-neighbor
+    replay with the dyadic C = 1/2 truncation."""
+    from lua_mapreduce_spark.operators import analytics19 as a19
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = [
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        ]
+        inn: dict[str, set[str]] = {}
+        for s, d in edges:
+            inn.setdefault(d, set()).add(s)
+        nodes = sorted(inn)
+        want = {}
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                c = len(inn[u] & inn[v])
+                if c == 0:
+                    continue
+                want[(u, v)] = (
+                    c,
+                    len(inn[u]),
+                    len(inn[v]),
+                    500 * c // (len(inn[u]) * len(inn[v])),
+                )
+        got = {
+            (r["node_a"], r["node_b"]): (
+                r["n_common_in"],
+                r["indeg_a"],
+                r["indeg_b"],
+                r["simrank_permille"],
+            )
+            for r in a19.graph_node_similarity_simrank_lite(
+                spark, sf
+            ).collect()
+        }
+        assert got == want, (sf, got, want)
+
+
+def test_quota_executor_identities(spark):
+    """Per source: exactly one 'cut' doc (when the quota is exceeded at
+    all), take-mass <= quota < take+cut mass, decisions partition the
+    corpus, and the quota column matches the allocation query."""
+    from lua_mapreduce_spark.operators import analytics14 as a14
+    from lua_mapreduce_spark.operators import analytics19 as a19
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        quota = {
+            r["source"]: r["quota_tokens"]
+            for r in a14.curation_token_budget_allocation(
+                spark, sf
+            ).collect()
+        }
+        rows = a19.curation_quota_sampling_executor(spark, sf).collect()
+        by_src: dict[str, list] = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+            assert r["quota_tokens"] == quota[r["source"]], sf
+        n_docs = sum(len(v) for v in by_src.values())
+        import duckdb
+
+        con = duckdb.connect()
+        (n_corpus,) = con.execute(
+            f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
+        ).fetchone()
+        assert n_docs == n_corpus, sf
+        for src, rs in by_src.items():
+            rs.sort(key=lambda r: r["rn"])
+            cuts = [r for r in rs if r["decision"] == "cut"]
+            takes = [r for r in rs if r["decision"] == "take"]
+            take_mass = sum(r["n_tok"] for r in takes)
+            assert take_mass <= quota[src], (sf, src)
+            if cuts:
+                assert len(cuts) == 1, (sf, src)
+                assert take_mass + cuts[0]["n_tok"] > quota[src], (sf, src)
+            # decisions are monotone: take* cut? skip*
+            pattern = "".join(
+                {"take": "t", "cut": "c", "skip": "s"}[r["decision"]]
+                for r in rs
+            )
+            assert "st" not in pattern and "ct" not in pattern and "sc" not in pattern, (sf, src, pattern)
+
+
+def test_dup_sentence_mass_matches_python_replay(spark):
+    """Per-doc duplicated-chunk counts and mass must equal a pure-Python
+    chunk-hash replay (W-token non-overlapping windows, tail ignored)."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics19 as a19
+
+    W = a19._DSM_W
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        chunks: dict[int, list[str]] = {}
+        counts: dict[str, int] = {}
+        n_toks = {}
+        for d, t in docs.items():
+            toks = [w.lower() for w in _re.findall(r"[A-Za-z]+", t)]
+            if len(toks) < W:
+                continue
+            n_toks[d] = len(toks)
+            cl = [
+                " ".join(toks[c * W : c * W + W])
+                for c in range(len(toks) // W)
+            ]
+            chunks[d] = cl
+            for c in cl:
+                counts[c] = counts.get(c, 0) + 1
+        want = {}
+        for d, cl in chunks.items():
+            dup = sum(1 for c in cl if counts[c] >= 2)
+            want[d] = (
+                n_toks[d],
+                len(cl),
+                dup,
+                dup * W,
+                dup * W * 1000 // n_toks[d],
+            )
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_chunks"],
+                r["n_dup_chunks"],
+                r["dup_token_mass"],
+                r["dup_mass_permille"],
+            )
+            for r in a19.text_duplicate_sentence_mass(spark, sf).collect()
+        }
+        assert got == want, sf
+
+
+def test_streaming_burst_equals_batch(spark):
+    """The streamed hourly state must feed the IDENTICAL burst-episode
+    report as the batch query (shared burst_tail), row-for-row, with
+    >= 3 micro-batches pinned."""
+    from lua_mapreduce_spark.operators import analytics18 as a18
+    from lua_mapreduce_spark.operators import streaming_ops as so
+    from lua_mapreduce_spark.streaming import stateful
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        batch = sorted(
+            tuple(r)
+            for r in a18.events_burst_detection_kleinberg_lite(
+                spark, sf
+            ).collect()
+        )
+        streamed = sorted(
+            tuple(r)
+            for r in so.QUERIES["streaming_burst_monitor"](
+                spark, sf
+            ).collect()
+        )
+        assert streamed == batch, sf
+        assert stateful.LAST_DRAIN_NUM_BATCHES >= 3, sf

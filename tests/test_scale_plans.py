@@ -184,6 +184,7 @@ _NESTED_LOOP_OK = {
     "layout_sort_key_advisor",  # 1-row bounds + 30-row probe broadcast cross joins
     "curation_annotation_budget_split",  # 1-row weight-total broadcast cross join
     "text_ngram_lm_perplexity_proxy",  # 1-row bigram-total broadcast cross join
+    "curation_quota_sampling_executor",  # the allocation's 1-row total cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -200,6 +201,7 @@ _SKIP_AUDIT = {
     "streaming_seasonal_profile",
     "streaming_moments_sketch",
     "streaming_pareto_snapshot",
+    "streaming_burst_monitor",
 }
 
 
@@ -338,6 +340,7 @@ _BROADCAST_OK = {
     ("analytics16.py", "bounds"),     # single-row 3-dim min/max aggregate
     ("analytics16.py", "preds"),      # fixed 3 x _SKA_PREDS probe predicates
     ("analytics17.py", "tot"),        # single-row bigram-total aggregate
+    ("analytics19.py", "quota"),      # grouped by source: <= |sources| rows
 }
 
 
