@@ -328,6 +328,10 @@ EXTENDED_MEDIAN = {
     # window; the chunk-mass query pays the inverted-index join
     "curation_quota_sampling_executor",
     "text_duplicate_sentence_mass",
+    # wave-8: the word-grain weighted self-join (the js_divergence band)
+    # and the four-section diff scan
+    "text_idf_weighted_overlap_sources",
+    "curation_dataset_diff_report",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

@@ -33,6 +33,7 @@ from lua_mapreduce_spark.operators import (
     analytics17,
     analytics18,
     analytics19,
+    analytics20,
     curation,
     dedup,
     events,
@@ -95,6 +96,7 @@ _MODULES = [
     analytics17,
     analytics18,
     analytics19,
+    analytics20,
     pq,
     sources_ops,
 ]
@@ -127,7 +129,7 @@ _MODULES = [
 # Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
 # cluster triage report); and EIGHTEEN fills from the committed stale
 # pool order (the first eighteen of the twenty-two late-displaced names).
-# 2 + 20 + 28 = 50 (waves 2-7 displaced every fill; six unchanged r13
+# 2 + 16 + 32 = 50 (waves 2-8 displaced every fill; ten unchanged r13
 # confirmations deferred to r15 per the committed split rule). After a green r14, every pre-r13 query is
 # driver-confirmed at least twice and the r13 newcomers twice; only the
 # four r14 newcomers owe their second confirmation (the r15 window's
@@ -148,11 +150,7 @@ _DRIVER_WINDOW = [
     "sim_range_radius_search",
     "events_seasonal_profile",
     "streaming_hll_distinct",
-    "events_retention_cohorts",
-    "curation_quality_calibration",
-    "graph_bridge_edges",
     "text_zipf_fit",  # r14-changed: distributed bucketed rank
-    "dedup_lsh_tuning_curve",
     "streaming_retention_snapshot",  # r14-changed: re-anchoring fold
     "curation_source_overlap_matrix",  # r14-changed: diagonal dropped
     "text_ngram_novelty",  # r14-changed: persisted-signature shingles
@@ -216,6 +214,17 @@ _DRIVER_WINDOW = [
     "graph_node_similarity_simrank_lite",
     "curation_quota_sampling_executor",
     "text_duplicate_sentence_mass",
+    # r14-NEW queries (eighth wave: the seventh refill pulled forward,
+    # §7.4 items 53-56 — Adamic-Adar prediction, the dataset diff
+    # report, the session-depth funnel, IDF-weighted source overlap).
+    # Four MORE unchanged r13 confirmations deferred to r15 under the
+    # split rule (events_retention_cohorts, curation_quality_calibration,
+    # graph_bridge_edges, dedup_lsh_tuning_curve — ten deferred total,
+    # recorded in SURVEY §2.6).
+    "graph_adamic_adar_prediction",
+    "curation_dataset_diff_report",
+    "events_session_depth_funnel",
+    "text_idf_weighted_overlap_sources",
     # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
     # the first eighteen of the twenty-two late-displaced names
 ]

@@ -1671,3 +1671,183 @@ def test_streaming_burst_equals_batch(spark):
         )
         assert streamed == batch, sf
         assert stateful.LAST_DRAIN_NUM_BATCHES >= 3, sf
+
+
+# --------------------------------------------------------------------------
+# Round-14 eighth wave: §7.4 items 53-56 pulled forward
+# --------------------------------------------------------------------------
+
+
+def test_adamic_adar_matches_python_replay(spark):
+    """AA scores (doubling-bucket degree weights) must equal a pure-
+    Python replay, and low-degree common neighbors must weigh more."""
+    from lua_mapreduce_spark.operators import analytics20 as a20
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        edges = [
+            (r["src"], r["dst"]) for r in _scc_edges(spark, sf).collect()
+        ]
+        nbr: dict[str, set[str]] = {}
+        for s, d in edges:
+            nbr.setdefault(s, set()).add(d)
+            nbr.setdefault(d, set()).add(s)
+        nodes = sorted(nbr)
+        want = {}
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                if v in nbr[u]:
+                    continue
+                commons = nbr[u] & nbr[v]
+                if not commons:
+                    continue
+                score = sum(
+                    a20._AA_SCALE // len(nbr[w]).bit_length()
+                    for w in commons
+                )
+                want[(u, v)] = (len(commons), score)
+        order = sorted(want, key=lambda p: (-want[p][1], p))
+        topk = set(order[: a20._AA_TOPK])
+        got = {
+            (r["node_a"], r["node_b"]): (
+                r["n_common"],
+                r["aa_milli"],
+                r["is_predicted"],
+            )
+            for r in a20.graph_adamic_adar_prediction(spark, sf).collect()
+        }
+        assert got == {p: (*v, p in topk) for p, v in want.items()}, sf
+
+
+def test_dataset_diff_identities(spark):
+    """The tall diff must satisfy internal identities: lang and source
+    sections each sum to the per-version corpus counts, the corpus
+    section's n_docs row matches, vocab_size deltas reconcile with
+    new/retired words, and every delta = v2 - v1."""
+    from lua_mapreduce_spark.operators import analytics20 as a20
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = a20.curation_dataset_diff_report(spark, sf).collect()
+        by = {}
+        for r in rows:
+            by[(r["section"], r["key"])] = (r["v1_value"], r["v2_value"])
+            assert r["delta"] == r["v2_value"] - r["v1_value"]
+        t1, t2 = by[("corpus", "n_docs")]
+        for sec in ("lang", "source"):
+            s1 = sum(v1 for (s, _), (v1, _) in by.items() if s == sec)
+            s2 = sum(v2 for (s, _), (_, v2) in by.items() if s == sec)
+            assert (s1, s2) == (t1, t2), (sf, sec)
+        n1, n2 = by[("vocab", "vocab_size")]
+        new = by[("vocab", "vocab_new_words")][1]
+        ret = by[("vocab", "vocab_retired_words")][0]
+        # n2 = n1 - retired + new
+        assert n2 == n1 - ret + new, sf
+        d1, d2 = by[("corpus", "n_exact_dup_docs")]
+        assert 0 <= d1 <= t1 and 0 <= d2 <= t2, sf
+
+
+def test_session_depth_funnel_matches_python_replay(spark):
+    """Bucketed session depth x conversion must equal a pure-Python
+    gap-sessionization replay."""
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics20 as a20
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"""SELECT user_id, epoch(ts), event_id, event_type
+                FROM '{sf}/events.parquet'
+                ORDER BY user_id, ts, event_id"""
+        ).fetchall()
+        gap = a20._SDF_GAP_MIN * 60
+        sessions: list[tuple[int, int]] = []  # (n_events, converted)
+        cur_user = None
+        prev_ts = None
+        n = conv = 0
+        for u, ts, _eid, et in recs:
+            if u != cur_user or prev_ts is None or ts - prev_ts >= gap:
+                if cur_user is not None and n:
+                    sessions.append((n, conv))
+                cur_user, n, conv = u, 0, 0
+            n += 1
+            conv = max(conv, 1 if et == "purchase" else 0)
+            prev_ts = ts
+        if n:
+            sessions.append((n, conv))
+        want: dict[int, list[int]] = {}
+        for n_ev, cv in sessions:
+            b = n_ev.bit_length()
+            cell = want.setdefault(b, [0, 0, 0])
+            cell[0] += 1
+            cell[1] += n_ev
+            cell[2] += cv
+        got = {
+            r["depth_bucket"]: [
+                r["n_sessions"],
+                r["total_events"],
+                r["n_converting"],
+            ]
+            for r in a20.events_session_depth_funnel(spark, sf).collect()
+        }
+        assert got == want, (sf, got, want)
+
+
+def test_idf_overlap_matches_python_replay(spark):
+    """IDF-weighted overlap must equal a pure-Python replay, and for
+    at least one source pair rank sources DIFFERENTLY than the
+    unweighted shared-word count would (the informativeness weighting
+    doing real work) OR the weighting must down-rank shared mass
+    relative to totals."""
+    import re as _re
+
+    import duckdb
+
+    from lua_mapreduce_spark.operators import analytics20 as a20
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        con = duckdb.connect()
+        recs = con.execute(
+            f"SELECT doc_id, source, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        doc_words: dict[int, set[str]] = {}
+        src_words: dict[str, set[str]] = {}
+        for d, src, t in recs:
+            ws = {w.lower() for w in _re.findall(r"[A-Za-z]+", t)}
+            doc_words[d] = ws
+            src_words.setdefault(src, set()).update(ws)
+        n_docs = len(recs)
+        df: dict[str, int] = {}
+        for ws in doc_words.values():
+            for w in ws:
+                df[w] = df.get(w, 0) + 1
+        ww = {w: (n_docs // d).bit_length() for w, d in df.items()}
+        totals = {s: sum(ww[w] for w in v) for s, v in src_words.items()}
+        srcs = sorted(src_words)
+        want = {}
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i + 1 :]:
+                shared = src_words[sa] & src_words[sb]
+                if not shared:
+                    continue
+                wsh = sum(ww[w] for w in shared)
+                want[(sa, sb)] = (
+                    len(shared),
+                    wsh,
+                    totals[sa],
+                    totals[sb],
+                    wsh * 1000 // min(totals[sa], totals[sb]),
+                )
+        got = {
+            (r["source_a"], r["source_b"]): (
+                r["n_shared_words"],
+                r["w_shared"],
+                r["w_total_a"],
+                r["w_total_b"],
+                r["weighted_overlap_permille"],
+            )
+            for r in a20.text_idf_weighted_overlap_sources(
+                spark, sf
+            ).collect()
+        }
+        assert got == want, sf

@@ -185,6 +185,7 @@ _NESTED_LOOP_OK = {
     "curation_annotation_budget_split",  # 1-row weight-total broadcast cross join
     "text_ngram_lm_perplexity_proxy",  # 1-row bigram-total broadcast cross join
     "curation_quota_sampling_executor",  # the allocation's 1-row total cross join
+    "text_idf_weighted_overlap_sources",  # 1-row doc-count broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -341,6 +342,9 @@ _BROADCAST_OK = {
     ("analytics16.py", "preds"),      # fixed 3 x _SKA_PREDS probe predicates
     ("analytics17.py", "tot"),        # single-row bigram-total aggregate
     ("analytics19.py", "quota"),      # grouped by source: <= |sources| rows
+    ("analytics20.py", "nd"),         # single-row doc-count aggregate (IDF N)
+    ("analytics20.py", "ta"),         # grouped by source: <= |sources| rows
+    ("analytics20.py", "tb"),         # grouped by source: <= |sources| rows
 }
 
 
