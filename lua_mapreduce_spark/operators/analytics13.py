@@ -173,27 +173,48 @@ _GN_DOUBLING = 5  # reach-doubling rounds: 2^5 = 32 >= 25 nodes (nation
 #                   domain is schema-bounded, the SCC/MST convention)
 
 
-def _weak_component_count(nodes: DataFrame, sym: DataFrame) -> DataFrame:
-    """1-row count of weakly-connected components: undirected reach via
-    _GN_DOUBLING doubling rounds over the (schema-bounded, <= 25-node)
-    symmetrized edge relation; component rep = MIN reachable node."""
-    reach = (
-        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
-        .unionByName(sym)
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+def _weak_component_counts_tagged(
+    nodes: DataFrame, sym_by_tag: list[tuple[int, DataFrame]]
+) -> DataFrame:
+    """(g, n) component counts for SEVERAL symmetrized edge relations in
+    ONE doubling loop: every relation is tagged with its graph id g and
+    the reach join keys on (g, node), so the before/after closures the
+    Girvan-Newman step needs share each round's shuffle and
+    localCheckpoint instead of paying the per-level scheduling overhead
+    twice (measured ~half the fixed cost at sf0.1). Component rep = MIN
+    reachable node; _GN_DOUBLING rounds cover 2^5 = 32 >= 25 hops."""
+    selfs = [
+        nodes.select(
+            F.lit(g).alias("g"),
+            F.col("node").alias("u"),
+            F.col("node").alias("v"),
+        )
+        for g, _ in sym_by_tag
+    ]
+    tagged = [
+        df.select(F.lit(g).alias("g"), "u", "v") for g, df in sym_by_tag
+    ]
+    reach = selfs[0]
+    for extra in selfs[1:] + tagged:
+        reach = reach.unionByName(extra)
+    reach = reach.distinct().localCheckpoint(eager=True)
     for _ in range(_GN_DOUBLING):
         step = (
             reach.alias("a")
-            .join(reach.alias("b"), F.col("a.v") == F.col("b.u"))
-            .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+            .join(
+                reach.alias("b"),
+                (F.col("a.v") == F.col("b.u"))
+                & (F.col("a.g") == F.col("b.g")),
+            )
+            .select("a.g", F.col("a.u").alias("u"), F.col("b.v").alias("v"))
         )
         reach = reach.unionByName(step).distinct().localCheckpoint(eager=True)
-    comp = reach.groupBy("u").agg(F.min("v").alias("c"))
-    return comp.agg(
-        F.expr("CAST(COUNT(DISTINCT c) AS BIGINT)").alias("n")
-    ).localCheckpoint(eager=True)
+    comp = reach.groupBy("g", "u").agg(F.min("v").alias("c"))
+    return (
+        comp.groupBy("g")
+        .agg(F.expr("CAST(COUNT(DISTINCT c) AS BIGINT)").alias("n"))
+        .localCheckpoint(eager=True)
+    )
 
 
 def graph_edge_betweenness_communities(
@@ -216,10 +237,11 @@ def graph_edge_betweenness_communities(
     path, so every edge scores >= 1000).
 
     Scale shape: every relation after the shared edge build is schema-
-    bounded (<= 625 sigma rows, <= 25^3 join intermediates); the two
-    component counts are _GN_DOUBLING doubling rounds over <= 25-node
-    relations; the 1-row counts broadcast-cross-join onto the <= 50
-    output rows."""
+    bounded (<= 625 sigma rows, <= 25^3 join intermediates); the
+    before/after component counts share ONE tagged doubling loop
+    (_GN_DOUBLING rounds — half the per-level scheduling overhead of
+    two separate closures); the 1-row counts broadcast-cross-join onto
+    the <= 50 output rows."""
     from lua_mapreduce_spark.operators.analytics9 import _bc_base
 
     edges, _dists, sigma = _bc_base(spark, sf_dir)
@@ -287,12 +309,11 @@ def graph_edge_betweenness_communities(
         top.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     sym_after = sym.join(top_sym, ["u", "v"], "left_anti")
-    nb = _weak_component_count(nodes, sym).select(
-        F.col("n").alias("n_comp_before")
+    counts = _weak_component_counts_tagged(
+        nodes, [(0, sym), (1, sym_after)]
     )
-    na = _weak_component_count(nodes, sym_after).select(
-        F.col("n").alias("n_comp_after")
-    )
+    nb = counts.filter("g = 0").select(F.col("n").alias("n_comp_before"))
+    na = counts.filter("g = 1").select(F.col("n").alias("n_comp_after"))
     return (
         e.join(eb, ["u", "v"], "left")
         .join(
