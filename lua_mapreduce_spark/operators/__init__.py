@@ -34,6 +34,7 @@ from lua_mapreduce_spark.operators import (
     analytics18,
     analytics19,
     analytics20,
+    analytics21,
     curation,
     dedup,
     events,
@@ -97,6 +98,7 @@ _MODULES = [
     analytics18,
     analytics19,
     analytics20,
+    analytics21,
     pq,
     sources_ops,
 ]
@@ -113,120 +115,85 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-14 window (executes the committed SURVEY §2.6 r14 pre-plan):
-# the two pins; the TWENTY-SIX r13-new queries owing their second
-# confirmation, in wave order — five of which also CHANGED in r14
-# (text_ngram_novelty: shingles now derive from the persisted
-# signature relation, the r13 perf-weak fix; streaming_retention_snapshot:
-# the chunk-order-proof re-anchoring fold + surfaced n_overflow, the r13
-# ADVICE medium/low; curation_source_overlap_matrix: signal-free diagonal
-# dropped, the r13 ADVICE low; text_zipf_fit: the distributed
-# (cnt, prefix)-bucketed rank, r13 verdict item 6;
-# graph_betweenness_centrality: the sigma DP extracted into the memoized
-# _bc_base shared with the new edge-grain query), so this confirmation
-# also covers the changed plans; the FOUR r14-NEW queries (the committed
-# bank, SURVEY §7.4 items 25-28: pair-grain contamination evidence, the
-# Girvan-Newman edge-betweenness step, TextRank keyphrases, the near-dup
-# cluster triage report); and EIGHTEEN fills from the committed stale
-# pool order (the first eighteen of the twenty-two late-displaced names).
-# 2 + 16 + 32 = 50 (waves 2-8 displaced every fill; ten unchanged r13
-# confirmations deferred to r15 per the committed split rule). After a green r14, every pre-r13 query is
-# driver-confirmed at least twice and the r13 newcomers twice; only the
-# four r14 newcomers owe their second confirmation (the r15 window's
-# first obligation).
+# Round-15 window (executes the committed SURVEY §2.6 r15 pre-plan —
+# a CONSOLIDATION round clearing the confirmation debt): the two pins;
+# the TEN unchanged r13 queries whose second confirmations were
+# deferred from r14 under the committed split rule (pre-plan order);
+# the THIRTY-TWO r14-new queries owing their second confirmation, in
+# wave order — two of which also CHANGED in r15
+# (events_burst_detection_kleinberg_lite and streaming_burst_monitor:
+# the shared burst_tail now densifies the per-type hour grid before the
+# trailing window, so the threshold is a true wall-clock trailing-24h
+# mean — the r14 ADVICE low on analytics18.py; both faces and the
+# shared BURST_ORACLE changed together), so this confirmation also
+# covers the changed plans; the FOUR r15-NEW queries (the committed
+# bank, SURVEY §7.4 items 57-60: the streaming session-depth snapshot,
+# the resource-allocation link predictor, contamination severity
+# tiers, affix productivity); and TWO fills from the committed stale
+# pool order (agg_heavy_hitters_sketch — also this round's
+# drift-probe subject — and curation_pack_sequences).
+# 2 + 10 + 32 + 4 + 2 = 50. streaming_retention_snapshot's r15 change
+# is docstring-only (n_overflow semantics documented, no behavior
+# change) and takes no slot. After a green r15, every r13 and r14
+# query is driver-confirmed at least twice; only the four r15
+# newcomers owe their second confirmation (the r16 window's first
+# obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r13-new queries, second confirmation (wave order)
-    "text_minhash_containment",
-    "sim_ivf_pq_hybrid",
-    "layout_hilbert_keys",
-    "curation_dataset_card",
-    "agg_hll_sketch",
-    "graph_betweenness_centrality",  # r14-changed: memoized _bc_base
-    "events_holt_winters",
-    "text_rake_keywords",
-    "agg_quantile_bottomk_sketch",
-    "sim_range_radius_search",
-    "events_seasonal_profile",
-    "streaming_hll_distinct",
-    "text_zipf_fit",  # r14-changed: distributed bucketed rank
-    "streaming_retention_snapshot",  # r14-changed: re-anchoring fold
-    "curation_source_overlap_matrix",  # r14-changed: diagonal dropped
-    "text_ngram_novelty",  # r14-changed: persisted-signature shingles
-    # r14-NEW queries (first wave: the committed bank, §7.4 items 25-28)
+    # r13-new queries, second confirmation (the ten deferred from r14
+    # under the split rule, pre-plan order)
+    "text_vocabulary_growth",
+    "streaming_seasonal_profile",
+    "text_burstiness",
+    "graph_reciprocity_profile",
+    "curation_length_filter_tuning",
+    "events_inter_arrival_profile",
+    "events_retention_cohorts",
+    "curation_quality_calibration",
+    "graph_bridge_edges",
+    "dedup_lsh_tuning_curve",
+    # r14-new queries, second confirmation (wave order)
     "curation_contamination_pairs_report",
     "graph_edge_betweenness_communities",
     "text_keyphrase_textrank",
     "curation_dedup_cluster_stats",
-    # r14-NEW queries (second wave: the refilled bank pulled forward,
-    # §7.4 items 29-32 — degree assortativity, moments sketch, stopword
-    # discovery, token-budget apportionment; they displace the last
-    # four fills, which front the r15 pool)
     "graph_assortativity_degree",
     "agg_moments_sketch",
     "text_stopword_discovery",
     "curation_token_budget_allocation",
-    # r14-NEW queries (third wave: the second refill pulled forward,
-    # §7.4 items 33-36 — streaming moments sketch, filter interaction
-    # matrix, audience Jaccard, compressibility proxy; they displace
-    # the last four fills, which front the r15 pool)
     "streaming_moments_sketch",
     "curation_filter_interaction_matrix",
     "events_user_overlap_jaccard",
     "text_compression_ratio_proxy",
-    # r14-NEW queries (fourth wave: the third refill pulled forward,
-    # §7.4 items 37-40 — power-user Pareto, source L1 divergence,
-    # sort-key advisor, annotation-budget split; four more fills
-    # displaced to the r15 pool)
     "events_power_users_pareto",
     "text_js_divergence_sources",
     "layout_sort_key_advisor",
     "curation_annotation_budget_split",
-    # r14-NEW queries (fifth wave: the fourth refill pulled forward,
-    # §7.4 items 41-44 — Jaccard link prediction, streaming Pareto
-    # snapshot, bigram-surprisal proxy, boilerplate cluster report;
-    # four more fills displaced to the r15 pool)
     "graph_jaccard_link_prediction",
     "streaming_pareto_snapshot",
     "text_ngram_lm_perplexity_proxy",
     "curation_boilerplate_cluster_report",
-    # r14-NEW queries (sixth wave: the fifth refill pulled forward,
-    # §7.4 items 45-48 — Katz centrality, near-dup precision audit,
-    # lite burst detection, positional n-gram profile). The window is
-    # full: the last two fills AND two UNCHANGED r13 seventh/sixth-wave
-    # confirmations (text_vocabulary_growth, streaming_seasonal_profile)
-    # are deferred to r15 per the committed split rule (SURVEY §2.6
-    # r14 pre-plan: "split the confirmations across r14/r15 by wave
-    # order ... and record the split here").
     "graph_katz_centrality",
     "curation_near_dup_precision_audit",
-    "events_burst_detection_kleinberg_lite",
+    "events_burst_detection_kleinberg_lite",  # r15-changed: dense hour grid
     "text_anchor_ngram_profile",
-    # r14-NEW queries (seventh wave: the sixth refill pulled forward,
-    # §7.4 items 49-52 — streaming burst monitor, SimRank-lite, the
-    # quota-sampling executor, duplicated-sentence mass). Four MORE
-    # unchanged r13 confirmations deferred to r15 under the split rule
-    # (text_burstiness, graph_reciprocity_profile,
-    # curation_length_filter_tuning, events_inter_arrival_profile —
-    # recorded in SURVEY §2.6 with the earlier two).
-    "streaming_burst_monitor",
+    "streaming_burst_monitor",  # r15-changed: dense hour grid (shared tail)
     "graph_node_similarity_simrank_lite",
     "curation_quota_sampling_executor",
     "text_duplicate_sentence_mass",
-    # r14-NEW queries (eighth wave: the seventh refill pulled forward,
-    # §7.4 items 53-56 — Adamic-Adar prediction, the dataset diff
-    # report, the session-depth funnel, IDF-weighted source overlap).
-    # Four MORE unchanged r13 confirmations deferred to r15 under the
-    # split rule (events_retention_cohorts, curation_quality_calibration,
-    # graph_bridge_edges, dedup_lsh_tuning_curve — ten deferred total,
-    # recorded in SURVEY §2.6).
     "graph_adamic_adar_prediction",
     "curation_dataset_diff_report",
     "events_session_depth_funnel",
     "text_idf_weighted_overlap_sources",
-    # fills: the committed stale-pool order (SURVEY §2.6 r14 pre-plan) —
-    # the first eighteen of the twenty-two late-displaced names
+    # r15-NEW queries (the committed bank, §7.4 items 57-60)
+    "streaming_session_depth_snapshot",
+    "graph_resource_allocation_index",
+    "curation_contamination_severity_tiers",
+    "text_affix_productivity",
+    # fills: the committed stale-pool order (SURVEY §2.6 r15 pre-plan)
+    "agg_heavy_hitters_sketch",
+    "curation_pack_sequences",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

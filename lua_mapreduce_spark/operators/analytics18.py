@@ -316,14 +316,21 @@ def events_burst_detection_kleinberg_lite(
     (cnt x window_hours > q x window_sum — the MAD-family convention,
     no division, no floats); consecutive bursting hours group into
     EPISODES via gaps-and-islands (hr - row_number), each reporting
-    span, peak and total volume. Hours with no full trailing window
-    (the series head) are never flagged — both engines apply the same
-    guard.
+    span, peak and total volume. The per-type hour grid is DENSIFIED
+    (zero-count hours gap-filled inside each type's [min, max] span,
+    r15) so the trailing window is a true wall-clock trailing day —
+    on sparse types, empty hours dilute the mean instead of silently
+    stretching the window across days. Hours with no full trailing
+    window (each type's first 24 wall-clock hours) are never flagged —
+    both engines apply the same guard.
 
     Scale shape: one scan -> per-(type, hour) counts (map-side
-    combinable); the trailing sum and the island id are two windows
-    over the SAME per-type hour ordering (one sort shuffle); episodes
-    are a bounded rollup."""
+    combinable); the gap-fill is a lead() + sequence() explode over
+    the SAME per-type hour ordering the trailing sum needs (one sort
+    shuffle total, no self-join, no second scan — output bounded by
+    types x span-hours, a time-bounded grid, not a data-bounded one);
+    the island id is a second window on that ordering; episodes are a
+    bounded rollup."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",
@@ -337,11 +344,35 @@ def burst_tail(hourly: DataFrame) -> DataFrame:
     relation — SHARED by the batch query above and
     streaming_burst_monitor (the seasonal_profile_tail one-
     implementation convention), so streaming and batch can never
-    drift."""
+    drift. Densifies the per-type hour grid first (lead + sequence
+    gap-fill, zero counts for absent hours) so the ROWS trailing
+    window equals the wall-clock trailing 24 h on sparse series."""
     wt = Window.partitionBy("event_type").orderBy("hr")
+    dense = (
+        hourly.withColumn("nxt", F.lead("hr").over(wt))
+        .select(
+            "event_type",
+            F.col("hr").alias("ohr"),
+            F.col("cnt").alias("ocnt"),
+            F.explode(
+                F.sequence(
+                    F.col("hr"),
+                    F.coalesce(F.col("nxt") - 1, F.col("hr")),
+                )
+            ).alias("hr"),
+        )
+        .select(
+            "event_type",
+            "hr",
+            F.when(F.col("hr") == F.col("ohr"), F.col("ocnt"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("cnt"),
+        )
+    )
     wtrail = wt.rowsBetween(-_KB_WIN, -1)
     flagged = (
-        hourly.withColumn("trail_sum", F.sum("cnt").over(wtrail))
+        dense.withColumn("trail_sum", F.sum("cnt").over(wtrail))
         .withColumn("trail_n", F.count(F.lit(1)).over(wtrail))
         .filter(
             f"trail_n = {_KB_WIN} AND cnt * {_KB_WIN} > {_KB_Q} * trail_sum"
@@ -378,6 +409,18 @@ WITH hourly AS (
          CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1, 2),
+gaps AS (
+  SELECT event_type, hr, cnt,
+         lead(hr) OVER (PARTITION BY event_type ORDER BY hr) AS nxt
+  FROM hourly),
+filled AS (
+  SELECT event_type, hr AS ohr, cnt AS ocnt,
+         unnest(generate_series(hr, coalesce(nxt - 1, hr))) AS hr
+  FROM gaps),
+dense AS (
+  SELECT event_type, hr,
+         CAST(CASE WHEN hr = ohr THEN ocnt ELSE 0 END AS BIGINT) AS cnt
+  FROM filled),
 trail AS (
   SELECT event_type, hr, cnt,
          SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
@@ -386,7 +429,7 @@ trail AS (
          COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
                         ROWS BETWEEN {_KB_WIN} PRECEDING AND 1 PRECEDING)
            AS trail_n
-  FROM hourly),
+  FROM dense),
 flagged AS (
   SELECT event_type, hr, cnt,
          hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)

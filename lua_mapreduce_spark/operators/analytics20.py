@@ -346,6 +346,15 @@ def events_session_depth_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INT)"
         ).alias("converted"),
     )
+    return session_depth_tail(sess)
+
+
+def session_depth_tail(sess: DataFrame) -> DataFrame:
+    """The depth-bucket x conversion rollup over an
+    (n_events, converted) session relation — SHARED by the batch query
+    above and streaming_session_depth_snapshot (the burst/seasonal
+    one-implementation convention), so streaming and batch can never
+    drift. Bounded output: <= log2(max session depth) rows."""
     return (
         sess.groupBy(
             F.expr("CAST(LENGTH(BIN(n_events)) AS BIGINT)").alias(

@@ -784,9 +784,10 @@ def streaming_burst_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs IN the stream (true cross-batch state, >= 3 micro-batches,
     complete-mode drain), then the SHARED burst_tail (analytics18)
     flags bursting hours and groups the episodes over the drained
-    hourly table — one threshold/episode implementation, so streaming
-    and batch can never drift, and the oracle is the batch query's
-    BURST_ORACLE verbatim."""
+    hourly table — one threshold/episode implementation (including the
+    r15 dense-hour-grid wall-clock-trailing-day fix, applied inside
+    the tail), so streaming and batch can never drift, and the oracle
+    is the batch query's BURST_ORACLE verbatim."""
     from lua_mapreduce_spark.operators.analytics18 import burst_tail
     from lua_mapreduce_spark.streaming.windows import stream_tumbling_counts
 
@@ -832,6 +833,53 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_argmax(hourly)
 
 
+def streaming_session_depth_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming face of events_session_depth_funnel: gap
+    sessionization runs IN the state store (per-user last-event-time /
+    open-session depth / converted flag — stateful.
+    stream_session_depth_stateful, which documents the order contract
+    this fold relies on: the paged source's disjoint half-open
+    event-time ranges make cross-batch fold order equal the batch
+    sessionizer's (ts, event_id) sort), each micro-batch emitting the
+    sessions it touched; the drained snapshot resolves each (user,
+    session) to its last-emitted row with one max-by-n_batches argmax,
+    and the SHARED session_depth_tail (analytics20) computes the
+    depth-bucket x conversion funnel — one bucket/conversion
+    implementation, so streaming and batch can never drift, and the
+    oracle is the batch query's SESSION_DEPTH_ORACLE verbatim.
+
+    Scale shape: state is 4 int64s + a counter per user; the sink
+    holds one row per (user, session, batch-that-touched-it) — linear
+    in sessions, not events; the argmax is one WindowGroupLimit-class
+    aggregate and the tail is a <= log2(max depth) rollup."""
+    from lua_mapreduce_spark.operators.analytics20 import session_depth_tail
+    from lua_mapreduce_spark.streaming.stateful import (
+        stream_session_depth_stateful,
+    )
+
+    sink = drain_stream(
+        stream_session_depth_stateful(_events_stream(spark, sf_dir)),
+        "stream_session_depth",
+        output_mode="update",
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
+    final = (
+        sink.groupBy("user_id", "session_seq")
+        .agg(
+            F.max(
+                F.struct("n_batches", "n_events", "converted")
+            ).alias("s")
+        )
+        .select(
+            F.expr("CAST(s.n_events AS BIGINT)").alias("n_events"),
+            F.expr("CAST(s.converted AS INT)").alias("converted"),
+        )
+    )
+    return session_depth_tail(final)
+
+
 QUERIES = {
     "streaming_user_totals": streaming_user_totals,
     "streaming_dedup_count": streaming_dedup_count,
@@ -852,6 +900,7 @@ QUERIES = {
     "streaming_moments_sketch": streaming_moments_sketch,
     "streaming_pareto_snapshot": streaming_pareto_snapshot,
     "streaming_burst_monitor": streaming_burst_monitor,
+    "streaming_session_depth_snapshot": streaming_session_depth_snapshot,
 }
 
 # The stateful op sums integer cents (2-decimal grid asserted in tests);
@@ -1035,6 +1084,9 @@ from lua_mapreduce_spark.operators.analytics16 import (  # noqa: E402
 from lua_mapreduce_spark.operators.analytics18 import (  # noqa: E402
     BURST_ORACLE as STREAM_BURST_ORACLE,
 )
+from lua_mapreduce_spark.operators.analytics20 import (  # noqa: E402
+    SESSION_DEPTH_ORACLE as STREAM_SESSION_DEPTH_ORACLE,
+)
 from lua_mapreduce_spark.operators.analytics10 import (  # noqa: E402
     RETENTION_ORACLE as STREAM_RETENTION_ORACLE,
     SEASONAL_ORACLE as STREAM_SEASONAL_ORACLE,
@@ -1051,6 +1103,7 @@ ORACLES: dict[str, str] = {
     "streaming_moments_sketch": _stream_moments_oracle(),
     "streaming_pareto_snapshot": STREAM_PARETO_ORACLE,
     "streaming_burst_monitor": STREAM_BURST_ORACLE,
+    "streaming_session_depth_snapshot": STREAM_SESSION_DEPTH_ORACLE,
     "streaming_cusum_monitor": STREAM_CUSUM_ORACLE,
     "streaming_user_totals": USER_TOTALS_ORACLE,
     "streaming_dedup_count": STREAM_DEDUP_ORACLE,

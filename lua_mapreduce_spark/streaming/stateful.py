@@ -467,7 +467,19 @@ def _ret_update_weeks(
     existing offset bits shift left by the delta instead of the early
     week being dropped. Offsets pushed (or landing) beyond
     _RET_MAX_OFF are counted into ``n_over`` — surfaced on the emitted
-    row so a >62-week stream under-reports LOUDLY, never silently."""
+    row so a >62-week stream under-reports LOUDLY, never silently.
+
+    ``n_over`` is a per-batch-OCCURRENCE diagnostic, NOT a distinct
+    overflowed-week count: a beyond-mask week recurring in k
+    micro-batches contributes k (``wk_set`` dedups only within one
+    batch), and a re-anchor shift recounts the weeks it pushes out.
+    The invariant that holds regardless of batch slicing is
+    ``n_over == 0  <=>  no week ever fell beyond the mask`` — the
+    supported <=63-week regime, pinned to 0 by the fixture tests. An
+    exact distinct count would itself be a distinct-count problem
+    (unbounded state or a sketch per user); any positive value already
+    carries the only actionable signal (the triangle under-reports;
+    move to a wider-mask variant), so the extra state is not paid."""
     if not wk_set:
         return first, mask, n_over
     lo = min(wk_set)
@@ -499,7 +511,11 @@ def stream_retention_stateful(events: DataFrame) -> DataFrame:
     DuckDB RETENTION_ORACLE replay the drained state from the batch
     table. Offsets beyond _RET_MAX_OFF are COUNTED into n_overflow on
     the emitted row (never silently dropped), so a stream spanning >62
-    weeks is diagnosable from the sink.
+    weeks is diagnosable from the sink. n_overflow is a per-batch-
+    occurrence diagnostic (0 iff no overflow ever occurred — the
+    test-pinned supported regime), not a stable distinct-week count:
+    see `_ret_update_weeks` for the exact semantics and why a distinct
+    count is deliberately not paid.
 
     Emits (user_id, first_week, mask, n_overflow, n_batches) per key
     per batch in update mode; final state per user = the max-n_batches
@@ -546,6 +562,111 @@ def stream_retention_stateful(events: DataFrame) -> DataFrame:
         " n_overflow bigint, n_batches long",
         stateStructType="first_week bigint, mask bigint, n_overflow bigint,"
         " n_batches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SD_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap in µs —
+#   MUST equal analytics20._SDF_GAP_MIN (pinned by tests/test_round15.py).
+#   Spark timestamps are µs-precision, so the integer-µs comparison is
+#   bit-identical to the batch query's INTERVAL predicate.
+
+
+def stream_session_depth_stateful(events: DataFrame) -> DataFrame:
+    """Per-user gap sessionization in the state store: state =
+    (last event time, current session seq, its depth, its converted
+    flag) — 4 int64s + a counter per user regardless of stream length.
+    Each micro-batch folds the user's new events in (ts, event_id)
+    order, opening a new session when the gap to the previous event is
+    >= 30 minutes (the batch sessionizer's exact predicate, compared in
+    integer nanoseconds), and emits one row per session TOUCHED this
+    batch; a session's last-emitted row is its final value, so the
+    drained snapshot resolves per (user, session) with one
+    max-by-n_batches argmax (n_events is also monotone within a
+    session's life — either key works).
+
+    ORDER CONTRACT (unlike the retention/pareto folds, which are
+    order-insensitive set-union/sum states): gap sessionization is
+    order-SENSITIVE, and this fold is sound because the paged events
+    source splits the stream into DISJOINT HALF-OPEN event-time ranges
+    processed oldest-first (streaming_ops._batched_events_dir) — every
+    event in batch k+1 is strictly later than every event in batch k,
+    and equal-ts events always share a batch, so the cross-batch fold
+    order equals the batch query's (ts, event_id) sort. A source
+    without that guarantee needs watermarked reordering first; the
+    docstring contract is test-pinned by the row-for-row equality with
+    the batch sessionizer.
+
+    Event times cross into Python as integer epoch-MICROSECONDS
+    computed JVM-side (the retention fold's convention) — Spark
+    timestamps are µs-precision, so the integer gap comparison is
+    bit-identical to the batch INTERVAL predicate and Python never
+    touches datetime/timezone handling."""
+    import numpy as np
+
+    cols = events.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_us, seq, n_ev, conv, n_batches = state.get
+        else:
+            last_us, seq, n_ev, conv, n_batches = -1, 0, 0, 0, 0
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        touched: dict[int, Tuple[int, int]] = {}
+        if parts:
+            pdf = (
+                pd.concat(parts, ignore_index=True)
+                if len(parts) > 1
+                else parts[0]
+            )
+            ts_us = pdf["ts_us"].to_numpy(dtype=np.int64)
+            eid = pdf["event_id"].to_numpy(dtype=np.int64)
+            is_p = (pdf["event_type"] == "purchase").to_numpy()
+            order = np.lexsort((eid, ts_us))
+            for i in order:
+                t = int(ts_us[i])
+                if last_us < 0 or t - last_us >= _SD_GAP_US:
+                    seq += 1
+                    n_ev = 0
+                    conv = 0
+                n_ev += 1
+                if is_p[i]:
+                    conv = 1
+                last_us = t
+                touched[seq] = (n_ev, conv)
+        n_batches += 1
+        state.update(
+            (int(last_us), int(seq), int(n_ev), int(conv), n_batches)
+        )
+        if touched:
+            seqs = sorted(touched)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(seqs),
+                    "session_seq": seqs,
+                    "n_events": [touched[s][0] for s in seqs],
+                    "converted": [touched[s][1] for s in seqs],
+                    "n_batches": [n_batches] * len(seqs),
+                }
+            )
+
+    return cols.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, session_seq bigint,"
+        " n_events bigint, converted int, n_batches long",
+        stateStructType="last_us bigint, session_seq bigint,"
+        " n_events bigint, converted int, n_batches long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1397,8 +1397,10 @@ def test_precision_audit_matches_python_replay(spark):
 
 def test_burst_episodes_match_python_replay(spark):
     """Burst episodes must equal a pure-Python trailing-mean replay:
-    same integer cross-multiplication threshold, same full-window
-    guard, same island grouping."""
+    same dense per-type hour grid (zero-count hours gap-filled inside
+    each type's span — the r15 wall-clock-trailing-day fix), same
+    integer cross-multiplication threshold, same full-window guard,
+    same island grouping."""
     import duckdb
 
     from lua_mapreduce_spark.operators import analytics18 as a18
@@ -1415,6 +1417,12 @@ def test_burst_episodes_match_python_replay(spark):
         series: dict[str, list[tuple[int, int]]] = {}
         for t, hr, cnt in recs:
             series.setdefault(t, []).append((hr, cnt))
+        # densify each type's hour grid inside its own span (the r15
+        # wall-clock trailing-day semantics)
+        for t, rows_ in series.items():
+            by_hr = dict(rows_)
+            lo, hi = rows_[0][0], rows_[-1][0]
+            series[t] = [(h, by_hr.get(h, 0)) for h in range(lo, hi + 1)]
         want = {}
         W, Q = a18._KB_WIN, a18._KB_Q
         for t, rows_ in series.items():

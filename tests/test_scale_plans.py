@@ -186,6 +186,7 @@ _NESTED_LOOP_OK = {
     "text_ngram_lm_perplexity_proxy",  # 1-row bigram-total broadcast cross join
     "curation_quota_sampling_executor",  # the allocation's 1-row total cross join
     "text_idf_weighted_overlap_sources",  # 1-row doc-count broadcast cross join
+    "curation_contamination_severity_tiers",  # 1-row corpus-totals broadcast cross join
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -203,6 +204,7 @@ _SKIP_AUDIT = {
     "streaming_moments_sketch",
     "streaming_pareto_snapshot",
     "streaming_burst_monitor",
+    "streaming_session_depth_snapshot",
 }
 
 
@@ -345,6 +347,7 @@ _BROADCAST_OK = {
     ("analytics20.py", "nd"),         # single-row doc-count aggregate (IDF N)
     ("analytics20.py", "ta"),         # grouped by source: <= |sources| rows
     ("analytics20.py", "tb"),         # grouped by source: <= |sources| rows
+    ("analytics21.py", "tot"),        # single-row corpus-totals aggregate
 }
 
 
