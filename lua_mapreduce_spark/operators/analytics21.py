@@ -301,9 +301,12 @@ def text_affix_productivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one tokenize scan collapses to the word-TYPE table
     (the Zipf/burstiness convention — all downstream work is on types,
-    never tokens); two projections of that table union into a
-    <= 2 * 26^3-row affix rollup; the top-k rank compiles to
-    WindowGroupLimit (per-kind groups pruned map-side)."""
+    never tokens); each type row EXPLODES into its two (kind, affix)
+    sides in the same pass (a 2-element struct array, NOT a union of
+    two projections — a union would recompute the tokenize scan and
+    the type aggregate once per branch, doubling the dominant cost at
+    100 TB); the affix rollup is <= 2 * 26^3 rows and the top-k rank
+    compiles to WindowGroupLimit (per-kind groups pruned map-side)."""
     docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     types = (
         docs.select(F.explode(F.expr(words_expr("text"))).alias("w"))
@@ -311,25 +314,20 @@ def text_affix_productivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("freq"))
     )
-    pre = types.select(
-        F.lit("prefix").alias("kind"),
-        F.expr(f"substr(w, 1, {_AFX_LEN})").alias("affix"),
+    sides = types.select(
+        F.explode(
+            F.expr(
+                "array("
+                f"struct('prefix' AS kind, substr(w, 1, {_AFX_LEN}) AS affix),"
+                f"struct('suffix' AS kind, substr(w, length(w) - {_AFX_LEN - 1},"
+                f" {_AFX_LEN}) AS affix))"
+            )
+        ).alias("s"),
         "freq",
-    )
-    suf = types.select(
-        F.lit("suffix").alias("kind"),
-        F.expr(f"substr(w, length(w) - {_AFX_LEN - 1}, {_AFX_LEN})").alias(
-            "affix"
-        ),
-        "freq",
-    )
-    aff = (
-        pre.unionByName(suf)
-        .groupBy("kind", "affix")
-        .agg(
-            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_types"),
-            F.expr("CAST(SUM(freq) AS BIGINT)").alias("token_mass"),
-        )
+    ).select(F.col("s.kind").alias("kind"), F.col("s.affix").alias("affix"), "freq")
+    aff = sides.groupBy("kind", "affix").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_types"),
+        F.expr("CAST(SUM(freq) AS BIGINT)").alias("token_mass"),
     )
     wr = Window.partitionBy("kind").orderBy(
         F.desc("token_mass"), F.asc("affix")

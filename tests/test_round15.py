@@ -242,6 +242,35 @@ def test_affix_productivity_matches_python_replay(spark):
 
 
 # --------------------------------------------------------------------------
+# Dense burst hour grid: a witness that the r15 fix has teeth
+# --------------------------------------------------------------------------
+
+
+def test_burst_dense_grid_flags_post_gap_spike(spark):
+    """A spike after a silent day must be flagged under the dense grid
+    (its wall-clock trailing 24 h are the zero-filled gap) where the
+    old observed-hours window would have compared it against day-old
+    traffic and stayed quiet — the exact sparse-series failure the r14
+    ADVICE named. Also pins the head guard: no hour inside each type's
+    first 24 wall-clock hours is ever flagged."""
+    from lua_mapreduce_spark.operators.analytics18 import burst_tail
+
+    rows = [("a", h, 10) for h in range(24)]  # steady day
+    # 24h of SILENCE (hours 24..47 absent), then a modest spike: 15
+    # events. Observed-hours window: trailing 24 observed rows sum to
+    # 240 -> 15*24 = 360 < 480 -> quiet. Dense wall-clock window:
+    # trailing 24 hours are the zero-filled gap -> 360 > 0 -> burst.
+    rows.append(("a", 48, 15))
+    hourly = spark.createDataFrame(rows, "event_type string, hr long, cnt long")
+    got = {
+        (r["event_type"], r["start_hr"], r["end_hr"], r["n_hours"],
+         r["peak_count"], r["total_events"])
+        for r in burst_tail(hourly).collect()
+    }
+    assert got == {("a", 48, 48, 1, 15, 15)}
+
+
+# --------------------------------------------------------------------------
 # Streaming session-depth snapshot: row-for-row equality with batch
 # --------------------------------------------------------------------------
 
