@@ -573,6 +573,30 @@ _SD_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap in µs —
 #   bit-identical to the batch query's INTERVAL predicate.
 
 
+def _sd_fold(
+    last_us: int, seq: int, n_ev: int, conv: int, events
+) -> Tuple[int, int, int, int, dict]:
+    """Fold one micro-batch's already-(ts, event_id)-sorted events
+    into (last event µs, session seq, open-session depth, open-session
+    converted) state; returns the new state plus {seq: (n_events,
+    converted)} for every session touched. Pure function so the
+    page-split invariance property is testable without Spark: folding
+    ANY time-ordered partition of an event sequence yields the same
+    final per-session table as one pass (tests/test_round15.py)."""
+    touched: dict = {}
+    for t, is_p in events:
+        if last_us < 0 or t - last_us >= _SD_GAP_US:
+            seq += 1
+            n_ev = 0
+            conv = 0
+        n_ev += 1
+        if is_p:
+            conv = 1
+        last_us = t
+        touched[seq] = (n_ev, conv)
+    return last_us, seq, n_ev, conv, touched
+
+
 def stream_session_depth_stateful(events: DataFrame) -> DataFrame:
     """Per-user gap sessionization in the state store: state =
     (last event time, current session seq, its depth, its converted
@@ -634,17 +658,13 @@ def stream_session_depth_stateful(events: DataFrame) -> DataFrame:
             eid = pdf["event_id"].to_numpy(dtype=np.int64)
             is_p = (pdf["event_type"] == "purchase").to_numpy()
             order = np.lexsort((eid, ts_us))
-            for i in order:
-                t = int(ts_us[i])
-                if last_us < 0 or t - last_us >= _SD_GAP_US:
-                    seq += 1
-                    n_ev = 0
-                    conv = 0
-                n_ev += 1
-                if is_p[i]:
-                    conv = 1
-                last_us = t
-                touched[seq] = (n_ev, conv)
+            last_us, seq, n_ev, conv, touched = _sd_fold(
+                last_us,
+                seq,
+                n_ev,
+                conv,
+                ((int(ts_us[i]), bool(is_p[i])) for i in order),
+            )
         n_batches += 1
         state.update(
             (int(last_us), int(seq), int(n_ev), int(conv), n_batches)

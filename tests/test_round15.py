@@ -242,6 +242,53 @@ def test_affix_productivity_matches_python_replay(spark):
 
 
 # --------------------------------------------------------------------------
+# Session fold: page-split invariance property (pure Python, no Spark)
+# --------------------------------------------------------------------------
+
+
+def test_session_fold_page_split_invariant():
+    """Folding ANY time-ordered partition of an event sequence through
+    `_sd_fold` must yield the same final per-session (n_events,
+    converted) table as one single-pass fold — the property that makes
+    the streaming face sound under the paged source's contract,
+    whatever the page boundaries. Randomized over sequences with gaps
+    straddling page boundaries."""
+    import random
+
+    from lua_mapreduce_spark.streaming.stateful import _SD_GAP_US, _sd_fold
+
+    rng = random.Random(1514)
+    for trial in range(200):
+        n = rng.randint(0, 40)
+        t, events = 0, []
+        for _ in range(n):
+            # gaps hover around the threshold so boundaries straddle it
+            t += rng.choice(
+                [1, _SD_GAP_US - 1, _SD_GAP_US, _SD_GAP_US + 1, 2 * _SD_GAP_US]
+            )
+            events.append((t, rng.random() < 0.3))
+        # single-pass truth
+        _, _, _, _, _ = (-1, 0, 0, 0, None)
+        st = (-1, 0, 0, 0)
+        sessions: dict[int, tuple] = {}
+        last_us, seq, n_ev, conv, touched = _sd_fold(*st, events)
+        sessions.update(touched)
+        want = dict(sessions)
+        # fold over a random page split (pages preserve time order)
+        cuts = sorted(rng.sample(range(n + 1), rng.randint(0, min(6, n))))
+        pages, prev = [], 0
+        for c in cuts + [n]:
+            pages.append(events[prev:c])
+            prev = c
+        st = (-1, 0, 0, 0)
+        got: dict[int, tuple] = {}
+        for page in pages:
+            *st, touched = _sd_fold(*st, page)
+            got.update(touched)  # last write per session wins
+        assert got == want, (trial, events, cuts)
+
+
+# --------------------------------------------------------------------------
 # Dense burst hour grid: a witness that the r15 fix has teeth
 # --------------------------------------------------------------------------
 
