@@ -303,6 +303,10 @@ FROM paired GROUP BY sig_band
 
 _KB_Q = 2  # burst threshold: count > _KB_Q x trailing-24h mean
 _KB_WIN = 24  # trailing window (hours)
+# Widest single per-type hour gap the densifier will fill (400 days).
+# Wider means a corrupt timestamp (epoch 0 / far future) — raise, don't
+# materialize a billion-row grid. See burst_tail's guard note.
+_BT_MAX_FILL_HOURS = 9600
 
 
 def events_burst_detection_kleinberg_lite(
@@ -346,7 +350,18 @@ def burst_tail(hourly: DataFrame) -> DataFrame:
     implementation convention), so streaming and batch can never
     drift. Densifies the per-type hour grid first (lead + sequence
     gap-fill, zero counts for absent hours) so the ROWS trailing
-    window equals the wall-clock trailing 24 h on sparse series."""
+    window equals the wall-clock trailing 24 h on sparse series.
+
+    CORRUPT-TIMESTAMP GUARD: the gap-fill materializes every hour in
+    each type's [min, max] span, so a single epoch-0 / far-future
+    timestamp would make sequence() emit millions of rows for that
+    type. Any single per-type gap wider than _BT_MAX_FILL_HOURS
+    therefore raise_error()s loudly BEFORE the explode instead of
+    OOMing the stage — a time-bounded grid is the query's scale
+    contract, and a violated contract should fail, not thrash. The
+    guard is semantics-free on valid data (the oracle needs none: if
+    the data trips it, the Spark side errors first and the pair never
+    reaches the compare)."""
     wt = Window.partitionBy("event_type").orderBy("hr")
     dense = (
         hourly.withColumn("nxt", F.lead("hr").over(wt))
@@ -357,7 +372,14 @@ def burst_tail(hourly: DataFrame) -> DataFrame:
             F.explode(
                 F.sequence(
                     F.col("hr"),
-                    F.coalesce(F.col("nxt") - 1, F.col("hr")),
+                    F.expr(
+                        f"CASE WHEN nxt - hr > {_BT_MAX_FILL_HOURS} THEN"
+                        " raise_error(concat('burst_tail: per-type hour"
+                        " gap ', CAST(nxt - hr AS STRING), ' exceeds"
+                        f" {_BT_MAX_FILL_HOURS} — corrupt timestamp in"
+                        " the hourly relation?'))"
+                        " ELSE coalesce(nxt - 1, hr) END"
+                    ),
                 )
             ).alias("hr"),
         )

@@ -604,7 +604,7 @@ def stream_session_depth_stateful(events: DataFrame) -> DataFrame:
     Each micro-batch folds the user's new events in (ts, event_id)
     order, opening a new session when the gap to the previous event is
     >= 30 minutes (the batch sessionizer's exact predicate, compared in
-    integer nanoseconds), and emits one row per session TOUCHED this
+    integer microseconds), and emits one row per session TOUCHED this
     batch; a session's last-emitted row is its final value, so the
     drained snapshot resolves per (user, session) with one
     max-by-n_batches argmax (n_events is also monotone within a

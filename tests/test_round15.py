@@ -268,7 +268,6 @@ def test_session_fold_page_split_invariant():
             )
             events.append((t, rng.random() < 0.3))
         # single-pass truth
-        _, _, _, _, _ = (-1, 0, 0, 0, None)
         st = (-1, 0, 0, 0)
         sessions: dict[int, tuple] = {}
         last_us, seq, n_ev, conv, touched = _sd_fold(*st, events)
