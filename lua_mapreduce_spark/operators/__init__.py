@@ -35,6 +35,7 @@ from lua_mapreduce_spark.operators import (
     analytics19,
     analytics20,
     analytics21,
+    analytics22,
     curation,
     dedup,
     events,
@@ -99,6 +100,7 @@ _MODULES = [
     analytics19,
     analytics20,
     analytics21,
+    analytics22,
     pq,
     sources_ops,
 ]
@@ -115,85 +117,89 @@ _MODULES = [
 # then the stalest once-verified queries. Full per-round yield history
 # lives in SURVEY.md §2.6 (rotation log).
 #
-# Round-15 window (executes the committed SURVEY §2.6 r15 pre-plan —
-# a CONSOLIDATION round clearing the confirmation debt): the two pins;
-# the TEN unchanged r13 queries whose second confirmations were
-# deferred from r14 under the committed split rule (pre-plan order);
-# the THIRTY-TWO r14-new queries owing their second confirmation, in
-# wave order — two of which also CHANGED in r15
-# (events_burst_detection_kleinberg_lite and streaming_burst_monitor:
-# the shared burst_tail now densifies the per-type hour grid before the
-# trailing window, so the threshold is a true wall-clock trailing-24h
-# mean — the r14 ADVICE low on analytics18.py; both faces and the
-# shared BURST_ORACLE changed together), so this confirmation also
-# covers the changed plans; the FOUR r15-NEW queries (the committed
-# bank, SURVEY §7.4 items 57-60: the streaming session-depth snapshot,
-# the resource-allocation link predictor, contamination severity
-# tiers, affix productivity); and TWO fills from the committed stale
-# pool order (agg_heavy_hitters_sketch — also this round's
-# drift-probe subject — and curation_pack_sequences).
-# 2 + 10 + 32 + 4 + 2 = 50. streaming_retention_snapshot's r15 change
-# is docstring-only (n_overflow semantics documented, no behavior
-# change) and takes no slot. After a green r15, every r13 and r14
-# query is driver-confirmed at least twice; only the four r15
-# newcomers owe their second confirmation (the r16 window's first
-# obligation).
+# Round-16 window (executes the committed SURVEY §2.6 r16 pre-plan —
+# a normal BUILD round: only 6 slots were committed, the rest burn
+# down the stale-confirmation pool in the committed order): the two
+# pins; the FOUR r15-new queries owing their second confirmation; the
+# TWO queries r16 CHANGED (events_burst_detection_kleinberg_lite and
+# streaming_burst_monitor: the shared burst_tail gained the
+# corrupt-timestamp gap-fill guard — semantics-free on valid data, but
+# a changed plan gets window cover per the rotation rule); the FOUR
+# r16-NEW queries (the committed bank, SURVEY §7.4 items 61-64: the
+# PII pattern scan, local clustering coefficient, DAU/WAU stickiness,
+# hapax richness by source); and THIRTY-EIGHT fills in the committed
+# stale-pool order — the 18 r15-remaining names, the seven r7-verified
+# block names, then text_fingerprint + text_langid (r7-verified fills
+# deferred from r14 that the r15 remaining-pool list accidentally
+# dropped — restored here in their last-verified-round position), then
+# the scalar_* family ascending by last-verified round (the ten
+# r7-verified scalars alphabetical, then scalar_explode_outer, r8).
+# 2 + 4 + 2 + 4 + 38 = 50. After a green r16, every query registered
+# before r15 is driver-confirmed >= twice and the stale pool's
+# pre-r8 tail is fully re-verified; only the 4 r16 newcomers owe a
+# second pass (the r17 window's first obligation), plus
+# scalar_string_predicates (r10) and scalar_bitwise_funcs (r12) remain
+# the freshest unrotated scalars.
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
-    # r13-new queries, second confirmation (the ten deferred from r14
-    # under the split rule, pre-plan order)
-    "text_vocabulary_growth",
-    "streaming_seasonal_profile",
-    "text_burstiness",
-    "graph_reciprocity_profile",
-    "curation_length_filter_tuning",
-    "events_inter_arrival_profile",
-    "events_retention_cohorts",
-    "curation_quality_calibration",
-    "graph_bridge_edges",
-    "dedup_lsh_tuning_curve",
-    # r14-new queries, second confirmation (wave order)
-    "curation_contamination_pairs_report",
-    "graph_edge_betweenness_communities",
-    "text_keyphrase_textrank",
-    "curation_dedup_cluster_stats",
-    "graph_assortativity_degree",
-    "agg_moments_sketch",
-    "text_stopword_discovery",
-    "curation_token_budget_allocation",
-    "streaming_moments_sketch",
-    "curation_filter_interaction_matrix",
-    "events_user_overlap_jaccard",
-    "text_compression_ratio_proxy",
-    "events_power_users_pareto",
-    "text_js_divergence_sources",
-    "layout_sort_key_advisor",
-    "curation_annotation_budget_split",
-    "graph_jaccard_link_prediction",
-    "streaming_pareto_snapshot",
-    "text_ngram_lm_perplexity_proxy",
-    "curation_boilerplate_cluster_report",
-    "graph_katz_centrality",
-    "curation_near_dup_precision_audit",
-    "events_burst_detection_kleinberg_lite",  # r15-changed: dense hour grid
-    "text_anchor_ngram_profile",
-    "streaming_burst_monitor",  # r15-changed: dense hour grid (shared tail)
-    "graph_node_similarity_simrank_lite",
-    "curation_quota_sampling_executor",
-    "text_duplicate_sentence_mass",
-    "graph_adamic_adar_prediction",
-    "curation_dataset_diff_report",
-    "events_session_depth_funnel",
-    "text_idf_weighted_overlap_sources",
-    # r15-NEW queries (the committed bank, §7.4 items 57-60)
+    # r15-NEW queries, second confirmation (§7.4 items 57-60)
     "streaming_session_depth_snapshot",
     "graph_resource_allocation_index",
     "curation_contamination_severity_tiers",
     "text_affix_productivity",
-    # fills: the committed stale-pool order (SURVEY §2.6 r15 pre-plan)
-    "agg_heavy_hitters_sketch",
-    "curation_pack_sequences",
+    # r16-CHANGED: burst_tail corrupt-timestamp gap-fill guard (both
+    # faces share the one implementation)
+    "events_burst_detection_kleinberg_lite",
+    "streaming_burst_monitor",
+    # r16-NEW queries (the committed bank, §7.4 items 61-64)
+    "curation_pii_pattern_scan",
+    "graph_local_clustering_coefficient",
+    "events_dau_wau_stickiness",
+    "text_hapax_richness_by_source",
+    # fills: the committed stale-pool order (SURVEY §2.6 r16 pre-plan)
+    # — first the 18 r15-remaining names
+    "text_bigrams",
+    "text_boilerplate_ngrams",
+    "multimodal_resize_thumbnail",
+    "sample_deterministic_hash",
+    "text_normalize_pandas_udf",
+    "udaf_group_median_pandas",
+    "subquery_above_nation_avg",
+    "text_doc_stats",
+    "curation_sample_mixture",
+    "curation_shuffle_shards",
+    "text_quality_score",
+    "text_repetition_filter",
+    "setop_union_intersect_except",
+    "sort_topk_orders",
+    "text_chunk_tokens",
+    "text_decontaminate",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    # — then the seven r7-verified block names
+    "text_rolling_fingerprint",
+    "text_term_frequency",
+    "text_token_count_bpe",
+    "unpivot_rates",
+    "upsert_snapshot_merge",
+    "window_distribution_funcs",
+    "window_range_frame",
+    # — then the two r7-verified fills the r15 pool list dropped
+    "text_fingerprint",
+    "text_langid",
+    # — then the scalar_* family ascending by last-verified round
+    "scalar_array_map_funcs",
+    "scalar_conditional_funcs",
+    "scalar_date_arithmetic",
+    "scalar_functions_showcase",
+    "scalar_higher_order_funcs",
+    "scalar_map_higher_order",
+    "scalar_math_funcs",
+    "scalar_regex_funcs",
+    "scalar_string_advanced",
+    "scalar_timestamp_diff",
+    "scalar_explode_outer",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

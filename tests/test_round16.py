@@ -1,0 +1,313 @@
+"""Round-16 tests: the §7.4 items 61-64 newcomers (PII pattern scan,
+local clustering coefficient, DAU/WAU stickiness, hapax richness by
+source), each with an independent pure-Python replay, plus the r16
+burst_tail corrupt-timestamp guard (negative test + semantics-free
+pin)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+import re as _re
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_MEDIUM, SF_SMALL
+
+
+def _docs(sf: str) -> list[tuple[int, str, str]]:
+    return duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+
+
+_WORD_RE = _re.compile("[A-Za-z]+")
+
+
+def _tokens(text: str) -> list[str]:
+    return [w.lower() for w in _WORD_RE.findall(text)]
+
+
+# --------------------------------------------------------------------------
+# PII pattern scan
+# --------------------------------------------------------------------------
+
+
+def test_pii_patterns_are_re2_safe_and_mods_coprime():
+    """The docstring promises: plain character classes + quantifiers only
+    (no backslash escape can then diverge between Java regex, RE2 and
+    Python re), and pairwise co-prime injection residues so family
+    overlap is guaranteed to occur (the once-per-flag counting
+    witness)."""
+    from lua_mapreduce_spark.operators.analytics22 import (
+        _PII_EMAIL_MOD,
+        _PII_ID_MOD,
+        _PII_PATTERNS,
+        _PII_PHONE_MOD,
+    )
+
+    for _, pat in _PII_PATTERNS:
+        assert "\\" not in pat, pat
+        assert "(?" not in pat, pat  # no groups-with-flags / lookaround
+    mods = [_PII_EMAIL_MOD, _PII_PHONE_MOD, _PII_ID_MOD]
+    for i, a in enumerate(mods):
+        for b in mods[i + 1 :]:
+            assert math.gcd(a, b) == 1, (a, b)
+
+
+def _pii_inject(doc_id: int, text: str) -> str:
+    from lua_mapreduce_spark.operators.analytics22 import (
+        _PII_EMAIL_MOD,
+        _PII_ID_MOD,
+        _PII_PHONE_MOD,
+    )
+
+    out = text
+    if doc_id % _PII_EMAIL_MOD == 0:
+        out += f" contact user{doc_id}@example.com"
+    if doc_id % _PII_PHONE_MOD == 0:
+        out += f" call 555-{doc_id % 1000:03d}-{doc_id % 10000:04d}"
+    if doc_id % _PII_ID_MOD == 0:
+        out += " session key " + hashlib.md5(str(doc_id).encode()).hexdigest()
+    return out
+
+
+def test_pii_pattern_scan_matches_python_replay(spark):
+    """The full grid — flags, token masses, permilles — against a
+    pure-Python re replay of the injection + scan, and the overlap
+    witness: at least one doc must carry >= 2 flags (counted once PER
+    FLAG, which the per-family doc sums verify implicitly)."""
+    from lua_mapreduce_spark.operators import analytics22 as a22
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        per: dict[tuple[str, str], list[int]] = {}
+        tot: dict[str, list[int]] = {}
+        overlap = 0
+        for doc_id, source, text in _docs(sf):
+            n_tok = len(_tokens(text))
+            pii = _pii_inject(doc_id, text)
+            t = tot.setdefault(source, [0, 0])
+            t[0] += 1
+            t[1] += n_tok
+            hits = 0
+            for kind, pat in a22._PII_PATTERNS:
+                cell = per.setdefault((source, kind), [0, 0])
+                if _re.search(pat, pii):
+                    cell[0] += 1
+                    cell[1] += n_tok
+                    hits += 1
+            overlap += hits >= 2
+        assert overlap > 0, "injection residues never overlapped"
+        got = {
+            (r["source"], r["pattern"]): r
+            for r in a22.curation_pii_pattern_scan(spark, sf).collect()
+        }
+        assert set(got) == set(per)
+        for (source, kind), (n_flagged, mass) in per.items():
+            r = got[(source, kind)]
+            n_docs, tot_tok = tot[source]
+            assert r["n_flagged"] == n_flagged, (source, kind)
+            assert r["flagged_token_mass"] == mass, (source, kind)
+            assert r["n_docs"] == n_docs
+            assert r["tot_tokens"] == tot_tok
+            assert r["flagged_docs_permille"] == n_flagged * 1000 // n_docs
+            assert r["flagged_tokens_permille"] == mass * 1000 // tot_tok
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient
+# --------------------------------------------------------------------------
+
+
+def test_local_clustering_matches_python_replay(spark):
+    """cc_permille per node against a pure-Python neighborhood replay
+    over the same shared edge build; degree-<2 nodes must report NULL
+    (not 0 — 'perfectly open' would be a claim, not a fact)."""
+    from lua_mapreduce_spark.operators import analytics22 as a22
+    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        nbr: dict[str, set[str]] = {}
+        for r in _scc_edges(spark, sf).collect():
+            nbr.setdefault(r["src"], set()).add(r["dst"])
+            nbr.setdefault(r["dst"], set()).add(r["src"])
+        got = {
+            r["node"]: r
+            for r in a22.graph_local_clustering_coefficient(
+                spark, sf
+            ).collect()
+        }
+        assert set(got) == set(nbr)
+        for v, ns in nbr.items():
+            deg = len(ns)
+            ns_sorted = sorted(ns)
+            tri = sum(
+                b in nbr[a]
+                for i, a in enumerate(ns_sorted)
+                for b in ns_sorted[i + 1 :]
+            )
+            r = got[v]
+            assert r["degree"] == deg, v
+            assert r["n_triangles"] == tri, v
+            if deg >= 2:
+                assert (
+                    r["cc_permille"] == 2 * tri * 1000 // (deg * (deg - 1))
+                ), v
+            else:
+                assert r["cc_permille"] is None, v
+
+
+# --------------------------------------------------------------------------
+# DAU/WAU stickiness
+# --------------------------------------------------------------------------
+
+
+def test_dau_wau_matches_python_replay(spark):
+    """Weekly stickiness against a pure-Python replay from the raw
+    parquet (naive wall-clock timestamps, Monday week-trunc) — the
+    calendar-7 divisor convention means stickiness <= ~1000 with
+    equality only if every user shows up every observed day of a full
+    week."""
+    from lua_mapreduce_spark.operators import analytics22 as a22
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = duckdb.sql(
+            f"SELECT ts, user_id FROM '{sf}/events.parquet'"
+        ).fetchall()
+        weeks: dict[str, dict[str, set[int]]] = {}
+        for ts, user in rows:
+            if isinstance(ts, int):  # ns-encoded generation
+                ts = _dt.datetime.fromtimestamp(ts / 1e9, _dt.timezone.utc)
+            d = ts.date()
+            wk = (d - _dt.timedelta(days=d.weekday())).isoformat()
+            weeks.setdefault(wk, {}).setdefault(d.isoformat(), set()).add(
+                user
+            )
+        got = {
+            r["week"]: r
+            for r in a22.events_dau_wau_stickiness(spark, sf).collect()
+        }
+        assert set(got) == set(weeks)
+        for wk, days in weeks.items():
+            wau = len(set.union(*days.values()))
+            sum_dau = sum(len(u) for u in days.values())
+            r = got[wk]
+            assert r["n_days"] == len(days), wk
+            assert r["wau"] == wau, wk
+            assert r["sum_dau"] == sum_dau, wk
+            assert r["peak_dau"] == max(len(u) for u in days.values()), wk
+            assert (
+                r["stickiness_permille"] == sum_dau * 1000 // (7 * wau)
+            ), wk
+            assert r["stickiness_permille"] <= 1000
+
+
+# --------------------------------------------------------------------------
+# Hapax richness by source
+# --------------------------------------------------------------------------
+
+
+def test_hapax_richness_matches_python_replay(spark):
+    """Per-source richness against a pure-Python type-table replay,
+    plus the accounting identity n_hapax <= n_types <= n_tokens."""
+    from collections import Counter
+
+    from lua_mapreduce_spark.operators import analytics22 as a22
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        freqs: dict[str, Counter] = {}
+        for _, source, text in _docs(sf):
+            freqs.setdefault(source, Counter()).update(_tokens(text))
+        got = {
+            r["source"]: r
+            for r in a22.text_hapax_richness_by_source(spark, sf).collect()
+        }
+        assert set(got) == set(freqs)
+        for source, c in freqs.items():
+            n_types = len(c)
+            n_tokens = sum(c.values())
+            n_hapax = sum(1 for v in c.values() if v == 1)
+            r = got[source]
+            assert r["n_types"] == n_types, source
+            assert r["n_tokens"] == n_tokens, source
+            assert r["n_hapax"] == n_hapax, source
+            assert r["hapax_type_permille"] == n_hapax * 1000 // n_types
+            assert r["type_token_permille"] == n_types * 1000 // n_tokens
+            assert r["hapax_token_permille"] == n_hapax * 1000 // n_tokens
+            assert n_hapax <= n_types <= n_tokens
+
+
+# --------------------------------------------------------------------------
+# _sd_fold order-contract enforcement (r16 fix)
+# --------------------------------------------------------------------------
+
+
+def test_sd_fold_raises_on_out_of_order_event():
+    """An event earlier than the state's last seen time must raise —
+    wiring the sessionizer to a non-contract source fails loudly
+    instead of silently merging sessions (the r15 verdict's one scale
+    caveat, now enforced in the fold itself)."""
+    from lua_mapreduce_spark.streaming.stateful import _SD_GAP_US, _sd_fold
+
+    # in-order folding still works (positive control)
+    last, seq, n_ev, conv, touched = _sd_fold(
+        -1, 0, 0, 0, [(100, False), (100 + _SD_GAP_US, True)]
+    )
+    assert seq == 2 and touched == {1: (1, 0), 2: (1, 1)}
+    # cross-batch violation: next batch starts BEFORE the folded state
+    with pytest.raises(ValueError, match="out-of-order"):
+        _sd_fold(last, seq, n_ev, conv, [(last - 1, False)])
+    # intra-batch violation is caught too (same compare)
+    with pytest.raises(ValueError, match="out-of-order"):
+        _sd_fold(-1, 0, 0, 0, [(200, False), (150, False)])
+    # equal timestamps are NOT a violation (gap 0 < threshold)
+    _, seq2, *_ = _sd_fold(-1, 0, 0, 0, [(200, False), (200, False)])
+    assert seq2 == 1
+
+
+# --------------------------------------------------------------------------
+# burst_tail corrupt-timestamp guard (r16 fix)
+# --------------------------------------------------------------------------
+
+
+def test_burst_gap_guard_raises_on_corrupt_timestamp(spark):
+    """A single per-type hour gap wider than _BT_MAX_FILL_HOURS (an
+    epoch-0 / far-future timestamp) must raise loudly BEFORE the
+    sequence explode materializes a billion-row grid."""
+    from lua_mapreduce_spark.operators.analytics18 import (
+        _BT_MAX_FILL_HOURS,
+        burst_tail,
+    )
+
+    hourly = spark.createDataFrame(
+        [("click", 0, 5), ("click", _BT_MAX_FILL_HOURS + 10, 7)],
+        "event_type string, hr long, cnt long",
+    )
+    with pytest.raises(Exception, match="burst_tail"):
+        burst_tail(hourly).collect()
+
+
+def test_burst_gap_guard_semantics_free_below_threshold(spark):
+    """At exactly the threshold the guard must NOT fire and the grid
+    must densify as before (the guard changes no valid-data values)."""
+    from lua_mapreduce_spark.operators.analytics18 import (
+        _BT_MAX_FILL_HOURS,
+        _KB_WIN,
+        burst_tail,
+    )
+
+    # quiet run, then a gap of exactly the threshold, then a spike with
+    # a full trailing window behind it
+    rows = [("click", h, 1) for h in range(_KB_WIN + 1)]
+    rows.append(("click", _KB_WIN + _BT_MAX_FILL_HOURS, 1))
+    rows += [("click", _KB_WIN + _BT_MAX_FILL_HOURS + i, 1) for i in range(1, 25)]
+    rows.append(("click", _KB_WIN + _BT_MAX_FILL_HOURS + 25, 500))
+    hourly = spark.createDataFrame(
+        rows, "event_type string, hr long, cnt long"
+    )
+    eps = burst_tail(hourly).collect()
+    assert any(
+        r["start_hr"] == _KB_WIN + _BT_MAX_FILL_HOURS + 25 for r in eps
+    )
