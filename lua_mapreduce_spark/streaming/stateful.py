@@ -582,9 +582,25 @@ def _sd_fold(
     converted)} for every session touched. Pure function so the
     page-split invariance property is testable without Spark: folding
     ANY time-ordered partition of an event sequence yields the same
-    final per-session table as one pass (tests/test_round15.py)."""
+    final per-session table as one pass (tests/test_round15.py).
+
+    ENFORCES the order contract (r16): an event earlier than the state's
+    last seen time means the source violated the disjoint oldest-first
+    event-time paging guarantee this fold's soundness rests on — raise
+    loudly instead of silently mis-sessionizing (a too-early event would
+    otherwise fold into the CURRENT session with a huge negative gap,
+    merging sessions the batch query keeps separate). One int compare
+    per event; never fires under the contract."""
     touched: dict = {}
     for t, is_p in events:
+        if t < last_us:
+            raise ValueError(
+                f"_sd_fold: out-of-order event (ts_us {t} < state last_us"
+                f" {last_us}) — the session fold requires the source's"
+                " disjoint oldest-first event-time paging contract (see"
+                " stream_session_depth_stateful); wire a watermarked"
+                " reorder in front of sources without it"
+            )
         if last_us < 0 or t - last_us >= _SD_GAP_US:
             seq += 1
             n_ev = 0
@@ -618,7 +634,10 @@ def stream_session_depth_stateful(events: DataFrame) -> DataFrame:
     event in batch k+1 is strictly later than every event in batch k,
     and equal-ts events always share a batch, so the cross-batch fold
     order equals the batch query's (ts, event_id) sort. A source
-    without that guarantee needs watermarked reordering first; the
+    without that guarantee needs watermarked reordering first — and
+    since r16 the fold ENFORCES the contract (any event earlier than
+    the state's last seen time raises instead of silently merging
+    sessions; see _sd_fold); the
     docstring contract is test-pinned by the row-for-row equality with
     the batch sessionizer.
 
