@@ -350,6 +350,19 @@ EXTENDED_MEDIAN = {
     # build cold like its AA/Jaccard siblings
     "curation_contamination_severity_tiers",
     "graph_resource_allocation_index",
+    # r16 adjudication of the r15 verdict's q7 single-run mover
+    # (0.99 -> 1.49 s): three fresh-process probes read warm values
+    # 1.4-2.6 s spreading +/-40% run-to-run on a host whose calibration
+    # itself read 1.2-3x the r15 recordings (unstable host, declining
+    # run series, plan untouched since r4) — exactly the spread a
+    # median absorbs; promoted per the "if it spreads" rule.
+    "q7_nation_trade_volume",
+    # r16 newcomers in the straggler bands: the severity-tier sibling
+    # composing a persisted relation (the cached user-day triple pays a
+    # cold materialization on first touch); the LCC query pays the
+    # shared edge build cold like the RA/AA/Jaccard siblings.
+    "events_dau_wau_stickiness",
+    "graph_local_clustering_coefficient",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is
