@@ -363,6 +363,12 @@ EXTENDED_MEDIAN = {
     # shared edge build cold like the RA/AA/Jaccard siblings.
     "events_dau_wau_stickiness",
     "graph_local_clustering_coefficient",
+    # r16 second wave: the eccentricity walk is the depth-12 recursion
+    # class (closeness/SCC band — per-level fixed cost); the recall
+    # report composes three index plans incl. the cached k-means
+    # trainer (the ivf_pq_hybrid cold/warm asymmetry).
+    "graph_eccentricity_diameter",
+    "sim_recall_at_k_report",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

@@ -36,6 +36,7 @@ from lua_mapreduce_spark.operators import (
     analytics20,
     analytics21,
     analytics22,
+    analytics23,
     curation,
     dedup,
     events,
@@ -101,6 +102,7 @@ _MODULES = [
     analytics20,
     analytics21,
     analytics22,
+    analytics23,
     pq,
     sources_ops,
 ]
@@ -125,21 +127,26 @@ _MODULES = [
 # streaming_burst_monitor: the shared burst_tail gained the
 # corrupt-timestamp gap-fill guard — semantics-free on valid data, but
 # a changed plan gets window cover per the rotation rule); the FOUR
-# r16-NEW queries (the committed bank, SURVEY §7.4 items 61-64: the
-# PII pattern scan, local clustering coefficient, DAU/WAU stickiness,
-# hapax richness by source); and THIRTY-EIGHT fills in the committed
+# r16-NEW queries of the FIRST wave (the committed bank, SURVEY §7.4
+# items 61-64: the PII pattern scan, local clustering coefficient,
+# DAU/WAU stickiness, hapax richness by source); the FOUR r16-NEW
+# queries of the SECOND wave (items 65-68, pulled forward in-round:
+# eccentricity/diameter, langid confusion matrix, funnel
+# time-to-convert, ANN recall@k report); and THIRTY-FOUR fills in the committed
 # stale-pool order — the 18 r15-remaining names, the seven r7-verified
 # block names, then text_fingerprint + text_langid (r7-verified fills
 # deferred from r14 that the r15 remaining-pool list accidentally
 # dropped — restored here in their last-verified-round position), then
-# the scalar_* family ascending by last-verified round (the ten
-# r7-verified scalars alphabetical, then scalar_explode_outer, r8).
-# 2 + 4 + 2 + 4 + 38 = 50. After a green r16, every query registered
-# before r15 is driver-confirmed >= twice and the stale pool's
-# pre-r8 tail is fully re-verified; only the 4 r16 newcomers owe a
-# second pass (the r17 window's first obligation), plus
-# scalar_string_predicates (r10) and scalar_bitwise_funcs (r12) remain
-# the freshest unrotated scalars.
+# the scalar_* family ascending by last-verified round (the first
+# seven r7-verified scalars alphabetical; the second wave displaced
+# the four least-stale fills — scalar_regex_funcs,
+# scalar_string_advanced, scalar_timestamp_diff (r7) and
+# scalar_explode_outer (r8) — per the split rule; they front the r17
+# fill order, recorded in SURVEY §2.6).
+# 2 + 4 + 2 + 8 + 34 = 50. After a green r16, every query registered
+# before r15 is driver-confirmed >= twice and the stale pool's pre-r8
+# tail is re-verified except the four displaced names; only the 8 r16
+# newcomers owe a second pass (the r17 window's first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
@@ -152,11 +159,18 @@ _DRIVER_WINDOW = [
     # faces share the one implementation)
     "events_burst_detection_kleinberg_lite",
     "streaming_burst_monitor",
-    # r16-NEW queries (the committed bank, §7.4 items 61-64)
+    # r16-NEW queries, first wave (the committed bank, §7.4 items 61-64)
     "curation_pii_pattern_scan",
     "graph_local_clustering_coefficient",
     "events_dau_wau_stickiness",
     "text_hapax_richness_by_source",
+    # r16-NEW queries, second wave (§7.4 items 65-68, pulled forward and
+    # landed in-round; displaces the four least-stale fills — the last
+    # four scalar_* names — per the split rule, recorded in SURVEY §2.6)
+    "graph_eccentricity_diameter",
+    "text_langid_confusion_matrix",
+    "events_funnel_time_to_convert",
+    "sim_recall_at_k_report",
     # fills: the committed stale-pool order (SURVEY §2.6 r16 pre-plan)
     # — first the 18 r15-remaining names
     "text_bigrams",
@@ -196,10 +210,6 @@ _DRIVER_WINDOW = [
     "scalar_higher_order_funcs",
     "scalar_map_higher_order",
     "scalar_math_funcs",
-    "scalar_regex_funcs",
-    "scalar_string_advanced",
-    "scalar_timestamp_diff",
-    "scalar_explode_outer",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

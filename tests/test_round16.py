@@ -311,3 +311,189 @@ def test_burst_gap_guard_semantics_free_below_threshold(spark):
     assert any(
         r["start_hr"] == _KB_WIN + _BT_MAX_FILL_HOURS + 25 for r in eps
     )
+
+
+# --------------------------------------------------------------------------
+# Second wave (§7.4 items 65-68)
+# --------------------------------------------------------------------------
+
+
+def test_eccentricity_matches_python_bfs_replay(spark):
+    """ecc/diameter/radius against a pure-Python hop-capped BFS over the
+    same shared edge build; out-degree-0 nodes must report NULL ecc and
+    false flags."""
+    from lua_mapreduce_spark.operators import analytics23 as a23
+    from lua_mapreduce_spark.operators.analytics7 import _CC_HOPS, _scc_edges
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        out: dict[str, set[str]] = {}
+        nodes: set[str] = set()
+        for r in _scc_edges(spark, sf).collect():
+            out.setdefault(r["src"], set()).add(r["dst"])
+            nodes |= {r["src"], r["dst"]}
+        ecc: dict[str, tuple] = {}
+        for s in nodes:
+            dist = {s: 0}
+            frontier = [s]
+            for d in range(1, _CC_HOPS + 1):
+                nxt = []
+                for u in frontier:
+                    for v in out.get(u, ()):
+                        if v != s and v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+            reached = {v: d for v, d in dist.items() if v != s}
+            ecc[s] = (len(reached), max(reached.values()) if reached else None)
+        with_reach = [e for _, e in ecc.values() if e is not None]
+        diameter, radius = max(with_reach), min(with_reach)
+        got = {
+            r["node"]: r
+            for r in a23.graph_eccentricity_diameter(spark, sf).collect()
+        }
+        assert set(got) == nodes
+        for v, (n_reached, e) in ecc.items():
+            r = got[v]
+            assert r["n_reached"] == n_reached, v
+            assert r["ecc_hops"] == e, v
+            assert r["diameter"] == diameter and r["radius"] == radius
+            assert r["is_peripheral"] == (e == diameter), v
+            assert r["is_central"] == (e == radius), v
+
+
+def test_langid_confusion_matches_python_replay(spark):
+    """The confusion grid against a pure-Python stopword-vote replay
+    (same fixed tie-break order), plus grid accounting: row totals
+    partition the corpus."""
+    from lua_mapreduce_spark.operators import analytics23 as a23
+    from lua_mapreduce_spark.operators.text import _STOPWORDS
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        grid: dict[tuple[str, str], int] = {}
+        n_docs_total = 0
+        rows = duckdb.sql(
+            f"SELECT lang, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        for lang, text in rows:
+            toks = _tokens(text)
+            votes = {
+                lg: sum(1 for w in toks if w in set(ws))
+                for lg, ws in _STOPWORDS.items()
+            }
+            best = max(votes.values())
+            if best == 0:
+                pred = "unknown"
+            else:
+                pred = next(lg for lg in _STOPWORDS if votes[lg] == best)
+            grid[(lang, pred)] = grid.get((lang, pred), 0) + 1
+            n_docs_total += 1
+        got = {
+            (r["true_lang"], r["pred_lang"]): r
+            for r in a23.text_langid_confusion_matrix(spark, sf).collect()
+        }
+        assert set(got) == set(grid)
+        assert sum(r["n_docs"] for r in got.values()) == n_docs_total
+        for (tl, pl), n in grid.items():
+            r = got[(tl, pl)]
+            row_total = sum(v for (t2, _), v in grid.items() if t2 == tl)
+            assert r["n_docs"] == n, (tl, pl)
+            assert r["row_total"] == row_total
+            assert r["row_permille"] == n * 1000 // row_total
+            assert r["is_correct"] == (tl == pl)
+
+
+def test_time_to_convert_matches_python_replay(spark):
+    """Latency percentiles against a pure-Python replay with numpy's
+    linear ((n-1)p) interpolation — the agg_percentiles convention both
+    engines implement."""
+    import numpy as np
+
+    from lua_mapreduce_spark.operators import analytics23 as a23
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        rows = duckdb.sql(
+            f"SELECT user_id, epoch_us(ts), event_type"
+            f" FROM '{sf}/events.parquet'"
+        ).fetchall()
+        per_user: dict[int, dict] = {}
+        for uid, us, et in rows:
+            st = per_user.setdefault(
+                uid, {"first": None, "view": None, "buy": None}
+            )
+            key = (f"{us:020d}", et)
+            if st["first"] is None or key < st["first"]:
+                st["first"] = key
+            if et == "view" and (st["view"] is None or us < st["view"]):
+                st["view"] = us
+            if et == "purchase" and (st["buy"] is None or us < st["buy"]):
+                st["buy"] = us
+        groups: dict[str, list[int]] = {}
+        for st in per_user.values():
+            if st["view"] is not None and st["buy"] is not None and st["buy"] > st["view"]:
+                groups.setdefault(st["first"][1], []).append(
+                    (st["buy"] - st["view"]) // 1_000_000
+                )
+        got = {
+            r["first_touch"]: r
+            for r in a23.events_funnel_time_to_convert(spark, sf).collect()
+        }
+        assert set(got) == set(groups)
+        for ft, deltas in groups.items():
+            r = got[ft]
+            arr = np.array(sorted(deltas), dtype=float)
+            assert r["n_converts"] == len(deltas), ft
+            assert r["min_s"] == min(deltas) and r["max_s"] == max(deltas)
+            for p, col in ((0.5, "p50_s"), (0.9, "p90_s"), (0.99, "p99_s")):
+                want = float(np.quantile(arr, p, method="linear"))
+                assert abs(r[col] - want) < 1e-9, (ft, col)
+
+
+def test_recall_report_matches_set_arithmetic(spark):
+    """recall@k rows against the overlap of the composed plans' own
+    outputs — the report must be exactly the set arithmetic over the
+    three indexes it audits, and recall@5 >= recall@1 is NOT required
+    (they measure different cuts) but every permille must be <= 1000
+    and ivf/lsh must find most of the exact top-5 on this corpus."""
+    from lua_mapreduce_spark.operators import analytics23 as a23
+    from lua_mapreduce_spark.operators.similarity import (
+        _N_QUERIES,
+        sim_ann_multitable,
+        sim_cosine_topk,
+        sim_ivf_topk,
+    )
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        exact = {
+            (r["query_id"], r["neighbor_id"]): r["rank"]
+            for r in sim_cosine_topk(spark, sf).collect()
+        }
+        approx = {
+            "lsh_multitable": {
+                (r["query_id"], r["neighbor_id"]): r["rank"]
+                for r in sim_ann_multitable(spark, sf).collect()
+            },
+            "ivf": {
+                (r["query_id"], r["neighbor_id"]): r["rank"]
+                for r in sim_ivf_topk(spark, sf).collect()
+            },
+        }
+        got = {
+            (r["method"], r["k"]): r
+            for r in a23.sim_recall_at_k_report(spark, sf).collect()
+        }
+        for method, ap in approx.items():
+            for k in (1, 5):
+                n_hits = sum(
+                    1
+                    for pair, ar in ap.items()
+                    if ar <= k and exact.get(pair, 99) <= k
+                )
+                r = got[(method, k)]
+                assert r["n_hits"] == n_hits, (method, k)
+                assert r["n_possible"] == _N_QUERIES * k
+                assert (
+                    r["recall_permille"]
+                    == n_hits * 1000 // (_N_QUERIES * k)
+                )
+                assert r["recall_permille"] <= 1000
+        assert got[("ivf", 5)]["recall_permille"] >= 400

@@ -187,6 +187,8 @@ _NESTED_LOOP_OK = {
     "curation_quota_sampling_executor",  # the allocation's 1-row total cross join
     "text_idf_weighted_overlap_sources",  # 1-row doc-count broadcast cross join
     "curation_contamination_severity_tiers",  # 1-row corpus-totals broadcast cross join
+    "graph_eccentricity_diameter",  # 1-row diameter/radius broadcast cross join
+    "sim_recall_at_k_report",  # composes sim_cosine/ivf (their allowlisted shapes)
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -348,6 +350,7 @@ _BROADCAST_OK = {
     ("analytics20.py", "ta"),         # grouped by source: <= |sources| rows
     ("analytics20.py", "tb"),         # grouped by source: <= |sources| rows
     ("analytics21.py", "tot"),        # single-row corpus-totals aggregate
+    ("analytics23.py", "bounds"),     # single-row diameter/radius aggregate
 }
 
 
