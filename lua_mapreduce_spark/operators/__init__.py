@@ -37,6 +37,7 @@ from lua_mapreduce_spark.operators import (
     analytics21,
     analytics22,
     analytics23,
+    analytics24,
     curation,
     dedup,
     events,
@@ -103,6 +104,7 @@ _MODULES = [
     analytics21,
     analytics22,
     analytics23,
+    analytics24,
     pq,
     sources_ops,
 ]
@@ -132,21 +134,25 @@ _MODULES = [
 # DAU/WAU stickiness, hapax richness by source); the FOUR r16-NEW
 # queries of the SECOND wave (items 65-68, pulled forward in-round:
 # eccentricity/diameter, langid confusion matrix, funnel
-# time-to-convert, ANN recall@k report); and THIRTY-FOUR fills in the committed
+# time-to-convert, ANN recall@k report); the FOUR r16-NEW queries of
+# the THIRD wave (items 69-72, also pulled forward in-round: split
+# leakage audit, seasonal-residual anomaly, readability profile, IVF
+# probe recall curve); and THIRTY fills in the committed
 # stale-pool order — the 18 r15-remaining names, the seven r7-verified
 # block names, then text_fingerprint + text_langid (r7-verified fills
 # deferred from r14 that the r15 remaining-pool list accidentally
 # dropped — restored here in their last-verified-round position), then
 # the scalar_* family ascending by last-verified round (the first
-# seven r7-verified scalars alphabetical; the second wave displaced
-# the four least-stale fills — scalar_regex_funcs,
-# scalar_string_advanced, scalar_timestamp_diff (r7) and
-# scalar_explode_outer (r8) — per the split rule; they front the r17
-# fill order, recorded in SURVEY §2.6).
-# 2 + 4 + 2 + 8 + 34 = 50. After a green r16, every query registered
+# three r7-verified scalars alphabetical; the second and third waves
+# displaced the eight least-stale fills — scalar_functions_showcase,
+# scalar_higher_order_funcs, scalar_map_higher_order,
+# scalar_math_funcs, scalar_regex_funcs, scalar_string_advanced,
+# scalar_timestamp_diff (r7) and scalar_explode_outer (r8) — per the
+# split rule; they front the r17 fill order, recorded in SURVEY §2.6).
+# 2 + 4 + 2 + 12 + 30 = 50. After a green r16, every query registered
 # before r15 is driver-confirmed >= twice and the stale pool's pre-r8
-# tail is re-verified except the four displaced names; only the 8 r16
-# newcomers owe a second pass (the r17 window's first obligation).
+# tail is re-verified except the eight displaced scalars; only the 12
+# r16 newcomers owe a second pass (the r17 window's first obligation).
 _DRIVER_WINDOW = [
     "mr_wordcount",
     "text_wordcount",
@@ -171,6 +177,13 @@ _DRIVER_WINDOW = [
     "text_langid_confusion_matrix",
     "events_funnel_time_to_convert",
     "sim_recall_at_k_report",
+    # r16-NEW queries, third wave (§7.4 items 69-72, pulled forward and
+    # landed in-round; displaces four more scalar fills per the split
+    # rule, recorded in SURVEY §2.6)
+    "curation_split_leakage_audit",
+    "events_anomaly_seasonal_residual",
+    "text_readability_by_source",
+    "sim_ivf_probe_recall_curve",
     # fills: the committed stale-pool order (SURVEY §2.6 r16 pre-plan)
     # — first the 18 r15-remaining names
     "text_bigrams",
@@ -206,10 +219,6 @@ _DRIVER_WINDOW = [
     "scalar_array_map_funcs",
     "scalar_conditional_funcs",
     "scalar_date_arithmetic",
-    "scalar_functions_showcase",
-    "scalar_higher_order_funcs",
-    "scalar_map_higher_order",
-    "scalar_math_funcs",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # not `assert`: must survive `python -O`

@@ -497,3 +497,224 @@ def test_recall_report_matches_set_arithmetic(spark):
                 )
                 assert r["recall_permille"] <= 1000
         assert got[("ivf", 5)]["recall_permille"] >= 400
+
+
+# --------------------------------------------------------------------------
+# Third wave (§7.4 items 69-72)
+# --------------------------------------------------------------------------
+
+
+def test_split_leakage_matches_python_replay(spark):
+    """The leakage grid against a pure-Python replay downstream of the
+    shared signature relation: banding, candidate join, exact Jaccard,
+    md5 split and the per-band rollup all recomputed independently."""
+    from lua_mapreduce_spark.operators import analytics24 as a24
+    from lua_mapreduce_spark.operators.analytics18 import _NPA_BAND_W
+    from lua_mapreduce_spark.operators.dedup import (
+        _BAND_ROWS,
+        _JACCARD_THRESHOLD,
+        _minhash_signatures,
+        _N_BANDS,
+        _N_HASHES,
+    )
+
+    gate = int(_JACCARD_THRESHOLD * 1000)
+
+    def is_eval(doc_id: int) -> bool:
+        h = int(
+            hashlib.md5(f"split-{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        return h % a24._SLA_EVAL_MOD == 0
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        mh = _minhash_signatures(spark, sf).collect()
+        sig = {
+            r["doc_id"]: [r[f"m{i}"] for i in range(_N_HASHES)] for r in mh
+        }
+        sh = {r["doc_id"]: set(r["shingles"]) for r in mh}
+        buckets: dict[tuple[int, str], list[int]] = {}
+        for d, ms in sig.items():
+            for band in range(_N_BANDS):
+                key = ",".join(
+                    str(ms[band * _BAND_ROWS + r]) for r in range(_BAND_ROWS)
+                )
+                bh = hashlib.md5(key.encode()).hexdigest()
+                buckets.setdefault((band, bh), []).append(d)
+        cands = set()
+        for docs_in in buckets.values():
+            ds = sorted(docs_in)
+            for i, x in enumerate(ds):
+                for y in ds[i + 1 :]:
+                    cands.add((x, y))
+        grid: dict[int, list] = {}
+        leaked_docs: dict[int, set[int]] = {}
+        for x, y in cands:
+            ex, ey = is_eval(x), is_eval(y)
+            if ex == ey:
+                continue
+            s = sum(1 for i in range(_N_HASHES) if sig[x][i] == sig[y][i])
+            band = s // _NPA_BAND_W
+            inter = len(sh[x] & sh[y])
+            leak = inter * 1000 // (len(sh[x]) + len(sh[y]) - inter) >= gate
+            g = grid.setdefault(band, [0, 0])
+            g[0] += 1
+            g[1] += leak
+            if leak:
+                leaked_docs.setdefault(band, set()).add(x if ex else y)
+        tok = {
+            doc_id: len(_tokens(text)) for doc_id, _, text in _docs(sf)
+        }
+        got = {
+            r["sig_band"]: r
+            for r in a24.curation_split_leakage_audit(spark, sf).collect()
+        }
+        assert set(got) == set(grid)
+        for band, (n_straddling, n_leaked) in grid.items():
+            r = got[band]
+            docs_l = leaked_docs.get(band, set())
+            assert r["n_straddling"] == n_straddling, band
+            assert r["n_leaked"] == n_leaked, band
+            assert r["n_eval_docs_leaked"] == len(docs_l), band
+            assert r["leaked_token_mass"] == sum(tok[d] for d in docs_l)
+            assert r["leak_permille"] == n_leaked * 1000 // n_straddling
+
+
+def test_seasonal_residual_matches_python_replay(spark):
+    """Flags against a Python median replay over the composed
+    decomposition output, plus the behavioral witness: the flagged set
+    at sf0.01 is nonempty and every flagged hour's residual clears
+    3x the hod MAD."""
+    import statistics as _st
+
+    from lua_mapreduce_spark.operators import analytics24 as a24
+    from lua_mapreduce_spark.operators.events import events_seasonal_decompose
+
+    dec = {
+        r["hr_epoch"]: r
+        for r in events_seasonal_decompose(spark, SF_MEDIUM).collect()
+    }
+    by_hod: dict[int, list[int]] = {}
+    for r in dec.values():
+        by_hod.setdefault(r["hod"], []).append(abs(r["deviation_milli"]))
+    mad2 = {h: int(2 * _st.median(v)) for h, v in by_hod.items()}
+    got = a24.events_anomaly_seasonal_residual(spark, SF_MEDIUM).collect()
+    assert len(got) == len(dec)
+    n_anom = 0
+    for r in got:
+        d = dec[r["hr_epoch"]]
+        assert r["deviation_milli"] == d["deviation_milli"]
+        assert r["mad2_milli"] == mad2[r["hod"]]
+        want = 2 * abs(r["deviation_milli"]) > a24._ASR_K * r["mad2_milli"]
+        assert r["is_anomaly"] == want
+        assert r["is_spike"] == (want and r["deviation_milli"] > 0)
+        n_anom += want
+    assert n_anom > 0  # the sf0.01 series has genuine hod outliers
+
+
+def test_readability_matches_python_replay(spark):
+    """Per-source readability against a pure-Python token-length
+    replay."""
+    from lua_mapreduce_spark.operators import analytics24 as a24
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        agg: dict[str, list[int]] = {}
+        for _, source, text in _docs(sf):
+            toks = _tokens(text)
+            a = agg.setdefault(source, [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += len(toks)
+            a[2] += sum(len(w) for w in toks)
+            a[3] += sum(1 for w in toks if len(w) >= a24._RB_LONG)
+            a[4] += sum(1 for w in toks if len(w) <= a24._RB_SHORT)
+        got = {
+            r["source"]: r
+            for r in a24.text_readability_by_source(spark, sf).collect()
+        }
+        assert set(got) == set(agg)
+        for source, (nd, nt, cm, nl, ns) in agg.items():
+            r = got[source]
+            assert r["n_docs"] == nd and r["n_tokens"] == nt
+            assert r["mean_word_len_milli"] == cm * 1000 // nt
+            assert r["long_word_permille"] == nl * 1000 // nt
+            assert r["short_word_permille"] == ns * 1000 // nt
+            assert r["tokens_per_doc_milli"] == nt * 1000 // nd
+
+
+def test_probe_recall_curve_matches_python_replay(spark):
+    """The sweep against a pure-Python IVF replay (same sequential
+    double folds, same tie-breaks) from the collected centroids +
+    embeddings, plus the curve laws: candidates strictly increase with
+    n_probe and recall is non-decreasing."""
+    import math as _m
+
+    from lua_mapreduce_spark.catalog import load_table
+    from lua_mapreduce_spark.operators import analytics24 as a24
+    from lua_mapreduce_spark.operators.similarity import (
+        _km_centroids,
+        _N_QUERIES,
+        _TOP_K,
+    )
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (_m.sqrt(na) * _m.sqrt(nb))
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        emb = {
+            r["vec_id"]: list(r["embedding"])
+            for r in load_table(spark, sf, "embeddings").collect()
+        }
+        cent = {
+            r["cent_id"]: list(r["cemb"])
+            for r in _km_centroids(spark, sf).collect()
+        }
+        crank: dict[int, list[int]] = {}
+        for v, e in emb.items():
+            order = sorted(
+                cent, key=lambda c: (-cos(e, cent[c]), c)
+            )
+            crank[v] = order
+        home = {v: order[0] for v, order in crank.items()}
+        exact: dict[int, set[int]] = {}
+        for q in range(_N_QUERIES):
+            ranked = sorted(
+                (n for n in emb if n != q),
+                key=lambda n: (-cos(emb[q], emb[n]), n),
+            )
+            exact[q] = set(ranked[:_TOP_K])
+        want = {}
+        for p in a24._PRC_PROBES:
+            n_cand = hits = 0
+            for q in range(_N_QUERIES):
+                probed = set(crank[q][:p])
+                cand = [n for n in emb if n != q and home[n] in probed]
+                n_cand += len(cand)
+                top = sorted(
+                    cand, key=lambda n: (-cos(emb[q], emb[n]), n)
+                )[:_TOP_K]
+                hits += len(set(top) & exact[q])
+            want[p] = (n_cand, hits)
+        got = {
+            r["n_probe"]: r
+            for r in a24.sim_ivf_probe_recall_curve(spark, sf).collect()
+        }
+        assert set(got) == set(want)
+        prev_c = prev_h = -1
+        for p in sorted(want):
+            n_cand, hits = want[p]
+            r = got[p]
+            assert r["n_candidates"] == n_cand, p
+            assert r["n_hits"] == hits, p
+            assert r["n_possible"] == _N_QUERIES * _TOP_K
+            assert r["recall_permille"] == hits * 1000 // (_N_QUERIES * _TOP_K)
+            assert r["n_candidates"] > prev_c
+            assert r["n_hits"] >= prev_h
+            prev_c, prev_h = r["n_candidates"], r["n_hits"]

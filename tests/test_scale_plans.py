@@ -189,6 +189,7 @@ _NESTED_LOOP_OK = {
     "curation_contamination_severity_tiers",  # 1-row corpus-totals broadcast cross join
     "graph_eccentricity_diameter",  # 1-row diameter/radius broadcast cross join
     "sim_recall_at_k_report",  # composes sim_cosine/ivf (their allowlisted shapes)
+    "sim_ivf_probe_recall_curve",  # 8-row centroid + 3-row probe-grid broadcast joins
 }
 # True streaming queries: explaining them would run a stream; audited by
 # their own tests instead.
@@ -351,6 +352,8 @@ _BROADCAST_OK = {
     ("analytics20.py", "tb"),         # grouped by source: <= |sources| rows
     ("analytics21.py", "tot"),        # single-row corpus-totals aggregate
     ("analytics23.py", "bounds"),     # single-row diameter/radius aggregate
+    ("analytics24.py", "cent"),       # fixed k centroids (IVF probe sweep)
+    ("analytics24.py", "grid"),       # 3-row probe-count grid
 }
 
 
