@@ -369,6 +369,13 @@ EXTENDED_MEDIAN = {
     # trainer (the ivf_pq_hybrid cold/warm asymmetry).
     "graph_eccentricity_diameter",
     "sim_recall_at_k_report",
+    # r16 optimization round: the trade-graph substrate (edges + the
+    # depth-12 distance walk) is now memoized across the 14 graph_*
+    # consumers (analytics7._TRADE_CACHE). The alphabetically-first
+    # extended-tier consumer pays the cold edges build in its first
+    # run — a median absorbs it the way the other memoized-build
+    # first-consumers are handled.
+    "graph_adamic_adar_prediction",
 }
 
 # EXTENDED_MEDIAN promotes EXTENDED-tier queries; a headline name here is

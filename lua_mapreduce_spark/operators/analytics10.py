@@ -612,9 +612,9 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     to Italiano's DFS-based algorithm on a sampled subgraph — stated
     here because the per-edge closure is quadratic in |E| by
     construction and honest about it."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     e = edges.selectExpr(
         "concat(src, '->', dst) AS eid", "src AS u", "dst AS v"
     )

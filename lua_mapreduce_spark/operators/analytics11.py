@@ -361,9 +361,9 @@ def graph_reciprocity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the <= 25-row degree table; reciprocity is one self-semi-join;
     the profile is a bounded rollup with the 1-row reciprocity
     broadcast along."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )

@@ -60,9 +60,9 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one bounded edge build (the shared <= 50-row capped
     relation), two <= 25-row degree rollups, one 1-row aggregate —
     nothing grows with data volume."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     outd = edges.groupBy(F.col("src").alias("node")).agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("outdeg")
     )

@@ -53,9 +53,9 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     relation and its <= 25-row degree table; the common-neighbor join
     keys on the shared neighbor; the rank window is over the <= 300
     candidate pairs (schema-bounded, never data-sized)."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         .unionByName(

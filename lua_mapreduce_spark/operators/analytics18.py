@@ -62,9 +62,9 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 50-row shared edge relation, localCheckpoint'd per level (the
     sigma-DP convention); nothing grows with data volume after the
     edge build."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -59,9 +59,9 @@ def graph_node_similarity_simrank_lite(
     Scale shape: the in-neighbor join keys on the shared <= 50-row
     edge relation; the pair relation is schema-bounded (<= 300 rows);
     nothing grows with data volume after the edge build."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     inn = edges.select(F.col("dst").alias("u"), F.col("src").alias("a"))
     ind = inn.groupBy("u").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("indeg")

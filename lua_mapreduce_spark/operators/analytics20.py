@@ -58,9 +58,9 @@ def graph_adamic_adar_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree (one bounded join to the <= 25-row degree table BEFORE the
     pair aggregation); everything is schema-bounded after the shared
     edge build."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         .unionByName(

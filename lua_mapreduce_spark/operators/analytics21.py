@@ -73,9 +73,9 @@ def graph_resource_allocation_index(
     pair aggregation); everything is schema-bounded after the shared
     edge build — output <= C(25,2) rows by construction, constant in
     data scale."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         .unionByName(

@@ -215,9 +215,9 @@ def graph_local_clustering_coefficient(
     rows, the closure join hits a <= C(25,2)-row adjacency, output is
     one row per node, constant in data scale. All integers; no floats
     anywhere."""
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import _trade_edges_ck
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges_ck(spark, sf_dir)
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         .unionByName(

@@ -55,23 +55,13 @@ def graph_eccentricity_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN(d) grain, the per-node MAX and the 1-row diameter aggregate all
     run on schema-bounded <= 625-row relations — constant in data
     scale."""
-    from lua_mapreduce_spark.operators.analytics7 import _CC_HOPS, _scc_edges
-
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("lmrs_ecc_edges_v")
-    dists = spark.sql(
-        f"""
-        WITH RECURSIVE r(src, dst, d) AS (
-          SELECT src, dst, 1 FROM lmrs_ecc_edges_v
-          UNION ALL
-          SELECT DISTINCT r.src, e.dst, r.d + 1
-          FROM r JOIN lmrs_ecc_edges_v e ON r.dst = e.src
-          WHERE r.d < {_CC_HOPS} AND r.src <> e.dst
-        )
-        SELECT src, dst, CAST(MIN(d) AS BIGINT) AS hops
-        FROM r GROUP BY src, dst
-        """
+    from lua_mapreduce_spark.operators.analytics7 import (
+        _trade_dists,
+        _trade_edges_ck,
     )
+
+    edges = _trade_edges_ck(spark, sf_dir)
+    dists = _trade_dists(spark, sf_dir)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

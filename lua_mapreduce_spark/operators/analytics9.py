@@ -235,23 +235,17 @@ def _bc_base(spark: SparkSession, sf_dir: str):
     if key in _BC_CACHE:
         return _BC_CACHE[key]
     _BC_CACHE.clear()
-    from lua_mapreduce_spark.operators.analytics7 import _scc_edges
+    from lua_mapreduce_spark.operators.analytics7 import (
+        _CC_HOPS,
+        _trade_dists,
+        _trade_edges_ck,
+    )
 
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("lmrs_bc_edges_v")
-    dists = spark.sql(
-        f"""
-        WITH RECURSIVE r(src, dst, d) AS (
-          SELECT src, dst, 1 FROM lmrs_bc_edges_v
-          UNION ALL
-          SELECT DISTINCT r.src, e.dst, r.d + 1
-          FROM r JOIN lmrs_bc_edges_v e ON r.dst = e.src
-          WHERE r.d < {_BC_HOPS} AND r.src <> e.dst
-        )
-        SELECT src, dst, CAST(MIN(d) AS BIGINT) AS d
-        FROM r GROUP BY src, dst
-        """
-    ).localCheckpoint(eager=True)
+    # The shared memoized walk IS this module's bound, renamed to the
+    # local `d` convention; the assert keeps the equality load-bearing.
+    assert _BC_HOPS == _CC_HOPS
+    edges = _trade_edges_ck(spark, sf_dir)
+    dists = _trade_dists(spark, sf_dir).withColumnRenamed("hops", "d")
 
     # Level-synchronous path-count DP over the hop levels.
     sigma = (

@@ -129,6 +129,7 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup_events(_events_stream(spark, sf_dir)),
         "stream_dedup",
         output_mode="append",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
 
@@ -139,6 +140,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_sliding_counts(_events_stream(spark, sf_dir)),
         "stream_sliding",
         output_mode="complete",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
 
 
@@ -161,6 +163,7 @@ def streaming_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFram
         stream_static_enrich(_events_stream(spark, sf_dir), user_dim),
         "stream_enrich",
         output_mode="append",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     return enriched.groupBy("user_tier", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
@@ -261,6 +264,7 @@ def streaming_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_hourly_value_partials(_events_stream(spark, sf_dir)),
         "stream_hypertable",
         output_mode="complete",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     return (
         sink.groupBy(
@@ -305,6 +309,7 @@ def streaming_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_tumbling_counts(_events_stream(spark, sf_dir)),
         "stream_anomaly_hourly",
         output_mode="complete",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     hourly = sink.select(
         F.expr("CAST(ws_epoch DIV 3600 AS BIGINT)").alias("hr"),
@@ -327,6 +332,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_session_windows(_events_stream(spark, sf_dir)),
         "stream_sessions",
         output_mode="complete",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
 
 
@@ -651,6 +657,7 @@ def streaming_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_tumbling_counts(_events_stream(spark, sf_dir)),
         "stream_seasonal_hourly",
         output_mode="complete",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     hourly = sink.select(
         "event_type",
@@ -795,6 +802,7 @@ def streaming_burst_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_tumbling_counts(_events_stream(spark, sf_dir)),
         "stream_burst_hourly",
         output_mode="complete",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     hourly = sink.select(
         "event_type",
@@ -824,6 +832,7 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_tumbling_counts(_events_stream(spark, sf_dir)),
         "stream_cusum_hourly",
         output_mode="complete",
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     hourly = sink.select(
         "event_type",
