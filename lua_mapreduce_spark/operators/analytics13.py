@@ -463,8 +463,17 @@ def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    w_edges = und.groupBy("u", "v").agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("w")
+    w_edges = (
+        und.groupBy("u", "v")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("w"))
+        # Materialize ONCE (the graph_pagerank_nations convention, r16
+        # optimization round): without truncation the tokenize scan +
+        # pair explode replicate under every downstream reference — the
+        # executed plan carried THIRTY documents scans (plans/r16/
+        # text_keyphrase_textrank_before.txt) and the 100 TB scan would
+        # run that many times. After this point every relation is
+        # vocabulary-pair-bounded, not corpus-sized.
+        .localCheckpoint(eager=True)
     )
     outw = w_edges.groupBy("u").agg(
         F.expr("CAST(SUM(w) AS BIGINT)").alias("ow"),

@@ -183,6 +183,12 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # Materialize ONCE (r16 optimization round, the pagerank/textrank
+        # convention): sw feeds totals, p and both self-join sides, so
+        # without truncation the tokenize scan replicated 4x in the
+        # executed plan (plans/r16/text_js_divergence_sources_before.txt).
+        # After this point everything is (source x vocabulary)-bounded.
+        .localCheckpoint(eager=True)
     )
     totals = sw.groupBy("source").agg(
         F.expr("CAST(SUM(tf) AS BIGINT)").alias("total")

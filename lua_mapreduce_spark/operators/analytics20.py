@@ -444,7 +444,18 @@ def text_idf_weighted_overlap_sources(
             "CAST(LENGTH(BIN(n_docs DIV df)) AS BIGINT)"
         ).alias("ww"),
     )
-    sw = toks.select("source", "w").distinct().join(weights, "w")
+    sw = (
+        toks.select("source", "w")
+        .distinct()
+        .join(weights, "w")
+        # Materialize ONCE (r16 optimization round, the textrank/js-
+        # divergence convention): sw feeds totals and both self-join
+        # sides, so without truncation the tokenize scan + df rollup
+        # replicated 3x in the executed plan (plans/r16/
+        # text_idf_weighted_overlap_sources_before.txt). After this
+        # point everything is (source x vocabulary)-bounded.
+        .localCheckpoint(eager=True)
+    )
     totals = sw.groupBy("source").agg(
         F.expr("CAST(SUM(ww) AS BIGINT)").alias("w_total")
     )

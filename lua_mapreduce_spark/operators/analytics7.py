@@ -221,9 +221,6 @@ def graph_scc_kosaraju(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trade_edges_ck(spark, sf_dir)
     steps4 = _square_steps(_square_steps(edges)).localCheckpoint(eager=True)
     steps4.createOrReplaceTempView("lmrs_scc_steps_v")
-    steps4.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    ).createOrReplaceTempView("lmrs_scc_steps_rev_v")
     closure_sql = """
         WITH RECURSIVE r(src, dst, d) AS (
           SELECT src, dst, 1 FROM {view}
@@ -236,12 +233,16 @@ def graph_scc_kosaraju(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     fwd = spark.sql(
         closure_sql.format(view="lmrs_scc_steps_v", steps=_SCC_STEPS)
-    )
-    bwd = spark.sql(
-        closure_sql.format(view="lmrs_scc_steps_rev_v", steps=_SCC_STEPS)
-    )
-    # bwd(u, v): u reaches v in the reversed graph == v reaches u in the
-    # original, so fwd ∩ bwd on (src, dst) is exactly mutual reachability.
+    ).localCheckpoint(eager=True)
+    # bwd(u, v): u reaches v in the REVERSED graph == v reaches u in the
+    # original — so the backward closure is exactly the forward closure
+    # TRANSPOSED, and since the depth bound is structurally exact (28 >
+    # the longest possible shortest path on 25 nodes, see the docstring)
+    # both closures are FULL reachability and the transpose identity is
+    # exact. One recursion instead of two (r16 optimization round); the
+    # checkpoint stops the surviving recursion from executing twice under
+    # its two consumers. fwd ∩ bwd on (src, dst) is mutual reachability.
+    bwd = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = fwd.join(bwd, ["src", "dst"])
     nodes = (
         edges.select(F.col("src").alias("node"))
