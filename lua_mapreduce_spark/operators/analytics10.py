@@ -771,6 +771,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("pfx", F.expr("substring(w, 1, 1)"))
+        # Materialize the word-TYPE table ONCE (r16 optimization round,
+        # the textrank/js-divergence convention): counts feeds the
+        # bucket-size rollup AND the ranked join, so without truncation
+        # the tokenize scan + groupBy replicated per reference in the
+        # executed plan. Everything after this point is vocab-bounded.
+        .localCheckpoint(eager=True)
     )
     bsz = counts.groupBy("cnt", "pfx").agg(
         F.count(F.lit(1)).alias("bn")

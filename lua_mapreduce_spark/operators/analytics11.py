@@ -504,7 +504,13 @@ def curation_length_filter_tuning(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias(f"t_{cut}")
             for cut in _LFT_CUTOFFS
         ],
-    )
+    ).localCheckpoint(eager=True)
+    # ^ Materialize the fingerprint table ONCE (r16 optimization round):
+    # the per-cutoff sweep below references per_fp once PER CUTOFF via
+    # union branches, so without truncation the md5+tokenize scan and
+    # the fingerprint groupBy re-ran |cutoffs| times in the executed
+    # plan. The table is <= n_docs narrow rows; each branch is now a
+    # bounded rollup of the same materialized relation.
     rows = []
     for cut in _LFT_CUTOFFS:
         rows.append(

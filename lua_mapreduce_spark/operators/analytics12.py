@@ -51,7 +51,16 @@ def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     are a bounded rollup broadcast into the final projection."""
     docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
-    fs = docs.select(fp.alias("fingerprint"), "source").distinct()
+    fs = (
+        docs.select(fp.alias("fingerprint"), "source")
+        .distinct()
+        # Materialize the (fingerprint, source) projection ONCE (r16
+        # optimization round): fs feeds the per-source totals AND both
+        # self-join sides, so without truncation the md5 scan +
+        # distinct re-ran under every reference (3 subtree copies /
+        # 8 scans in the executed plan). Two narrow columns per doc.
+        .localCheckpoint(eager=True)
+    )
     totals = fs.groupBy("source").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_fp")
     )

@@ -83,6 +83,14 @@ def curation_contamination_pairs_report(
             "doc_id", F.explode(F.expr(_shingles_expr(_DECON_N))).alias("sg")
         )
         .distinct()
+        # Materialize the distinct shingle index ONCE (r16 optimization
+        # round, the ngram-jaccard convention): sh feeds the per-doc
+        # sizes AND both join sides, so without truncation the tokenize
+        # + shingle explode + distinct re-ran under every reference
+        # (4 subtree copies / 8 scans in the executed plan). The index
+        # is the (doc, shingle) relation an inverted-index join
+        # materializes anyway.
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_sg")

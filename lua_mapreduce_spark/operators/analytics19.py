@@ -260,6 +260,14 @@ def text_duplicate_sentence_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("chunk"),
         )
+        # Materialize the chunk index ONCE (r16 optimization round, the
+        # ngram-jaccard convention): chunks feeds the corpus-wide count
+        # AND the join-back side, so without truncation the tokenize +
+        # chunk transform re-ran under each reference (2 executed corpus
+        # reads in the plan). The index is the (doc, chunk) relation the
+        # inverted-index join materializes anyway — size/W rows per doc,
+        # FEWER rows than the token count.
+        .localCheckpoint(eager=True)
     )
     counts = chunks.groupBy("chunk").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_occ")

@@ -174,6 +174,17 @@ def curation_dataset_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_scan(
         spark, load_table(spark, sf_dir, "documents")
     ).withColumn("v", F.expr("CAST(doc_id % 2 AS INT)"))
+    # Materialize the per-doc metadata row ONCE (r16 optimization round):
+    # the lang, source and exact-dup sections each re-scanned the corpus
+    # (4 executed reads in the plan, text re-hashed per section). meta is
+    # 4 narrow columns per doc — the fingerprint is computed in the same
+    # single pass — and the three bounded rollups below ride it. The
+    # vocabulary section keeps its own single tokenize scan (its input is
+    # the token multiset, not metadata; 2 corpus reads total, down from 4).
+    _dd_fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    meta = docs.select(
+        "v", "lang", "source", _dd_fp.alias("fp")
+    ).localCheckpoint(eager=True)
 
     def _tall(df: DataFrame, section: str) -> DataFrame:
         return df.select(
@@ -184,11 +195,11 @@ def curation_dataset_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("v2_value - v1_value").alias("delta"),
         )
 
-    by_lang = docs.groupBy(F.col("lang").alias("key")).agg(
+    by_lang = meta.groupBy(F.col("lang").alias("key")).agg(
         F.expr("CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("v1_value"),
         F.expr("CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("v2_value"),
     )
-    by_source = docs.groupBy(F.col("source").alias("key")).agg(
+    by_source = meta.groupBy(F.col("source").alias("key")).agg(
         F.expr("CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("v1_value"),
         F.expr("CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("v2_value"),
     )
@@ -214,9 +225,8 @@ def curation_dataset_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'vocab_retired_words', n_retired, CAST(0 AS BIGINT))"
         " AS (key, v1_value, v2_value)"
     )
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     dup = (
-        docs.select("v", fp.alias("fp"))
+        meta.select("v", "fp")
         .groupBy("v", "fp")
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("v")

@@ -208,14 +208,24 @@ def curation_contamination_severity_tiers(
         "doc_id",
         F.expr(f"CAST(SIZE({words_expr('text')}) AS BIGINT)").alias("n_tok"),
     )
-    tiered = toks.join(sev, "doc_id", "left").select(
-        "n_tok",
-        F.expr(
-            "CASE WHEN max_cont IS NULL THEN 'clean'"
-            f" WHEN max_cont >= {_CST_FULL} THEN 'full'"
-            f" WHEN max_cont >= {_CST_PARTIAL} THEN 'partial'"
-            " ELSE 'quote' END"
-        ).alias("tier"),
+    tiered = (
+        toks.join(sev, "doc_id", "left")
+        .select(
+            "n_tok",
+            F.expr(
+                "CASE WHEN max_cont IS NULL THEN 'clean'"
+                f" WHEN max_cont >= {_CST_FULL} THEN 'full'"
+                f" WHEN max_cont >= {_CST_PARTIAL} THEN 'partial'"
+                " ELSE 'quote' END"
+            ).alias("tier"),
+        )
+        # Materialize the per-doc tier relation ONCE (r16 optimization
+        # round): tiered feeds the grid rollup AND the corpus totals,
+        # so without truncation the ENTIRE pair-report subtree (its
+        # tokenize scan + bounded-fanout join) re-ran under each
+        # reference (32 exchanges / 12 scans in the executed plan).
+        # The relation is 2 narrow columns per corpus doc.
+        .localCheckpoint(eager=True)
     )
     grid = tiered.groupBy("tier").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),

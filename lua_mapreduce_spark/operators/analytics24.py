@@ -124,6 +124,13 @@ def curation_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" {gate} AS INT)"
             ).alias("is_leak"),
         )
+        # Materialize the straddling-pair relation ONCE (r16
+        # optimization round): paired feeds the band grid AND the
+        # leaked-doc rollup, so without truncation the banded candidate
+        # join + exact verify re-ran under each reference (the executed
+        # plan carried the subtree twice). The relation is 3 narrow
+        # columns, bounded by straddling bucket collisions.
+        .localCheckpoint(eager=True)
     )
     pair_grid = paired.groupBy("sig_band").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_straddling"),
@@ -444,17 +451,30 @@ def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_w = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("cent_id")
     )
+    max_p = max(_PRC_PROBES)
     assign = (
         corpus.crossJoin(F.broadcast(cent))
         .select(
             "vec_id", "embedding", "cent_id", F.expr(cos_to_cent).alias("ccos")
         )
         .withColumn("crank", F.row_number().over(rank_w))
+        # Keep only the rows either consumer can use, then materialize
+        # ONCE (r16 optimization round, the ivf_pq_hybrid convention):
+        # cells and probes both derive from this relation, so without
+        # truncation the N x k centroid-cosine crossJoin + ranking
+        # window re-ran under each (two full assignment passes in the
+        # executed plan). The kept relation IS the IVF cell index — the
+        # vectors an IVF index stores, plus the query probe ranks.
+        .filter(
+            (F.col("crank") == 1)
+            | ((F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= max_p))
+        )
+        .select("vec_id", "embedding", "cent_id", "crank")
+        .localCheckpoint(eager=True)
     )
     cells = assign.filter(F.col("crank") == 1).select(
         "vec_id", "embedding", "cent_id"
     )
-    max_p = max(_PRC_PROBES)
     probes = assign.filter(
         (F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= max_p)
     ).select(
@@ -482,6 +502,12 @@ def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * CAST(v AS DOUBLE))))"
             ).alias("cosine"),
         )
+        # Materialize the scored candidates ONCE (r16 optimization
+        # round): the probe-grid fanout feeds BOTH the cost rollup and
+        # the recall join, so without truncation the cell join + pair
+        # cosines re-ran under each. 4 narrow columns, bounded by the
+        # candidate count (the pairs IVF scores anyway).
+        .localCheckpoint(eager=True)
     )
     grid = spark.createDataFrame(
         [(p,) for p in _PRC_PROBES], "n_probe int"

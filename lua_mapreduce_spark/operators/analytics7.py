@@ -452,6 +452,14 @@ def agg_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("f"))
+        # Materialize the collapsed frequency vector ONCE (r16
+        # optimization round, the word-TYPE-table convention): freq
+        # feeds the 40-way estimator fan-out AND the exact-F2 rollup,
+        # so without truncation the events scan + groupBy replicated
+        # under every reference (6 scans in the executed plan). The
+        # vector is |users| rows — the docstring's stated collapse
+        # point — and everything downstream is bounded by it.
+        .localCheckpoint(eager=True)
     )
     rs = spark.range(_AMS_R).select(F.col("id").alias("r"))
     sign = (
@@ -803,10 +811,20 @@ def layout_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MAX(doc_id) AS BIGINT)").alias("max_id")
     ).localCheckpoint(eager=True)
     key = md5_bigint_expr("concat('blm-', text)") + f" % {_BLM_DOM}"
-    keyed = docs.crossJoin(F.broadcast(maxid)).select(
-        "doc_id",
-        F.expr(f"doc_id * {_BLM_FILES} DIV (max_id + 1)").alias("file_id"),
-        F.expr(key).alias("k"),
+    keyed = (
+        docs.crossJoin(F.broadcast(maxid))
+        .select(
+            "doc_id",
+            F.expr(f"doc_id * {_BLM_FILES} DIV (max_id + 1)").alias("file_id"),
+            F.expr(key).alias("k"),
+        )
+        # Materialize the keyed relation ONCE (r16 optimization round):
+        # keyed is 3 int64s per doc but derives from an md5 over the
+        # FULL text, and it feeds the bloom build, the probe workload
+        # and the truth pass — without truncation the text scan + md5
+        # re-ran under every reference. After this point every relation
+        # is (doc_id, file_id, k)-narrow.
+        .localCheckpoint(eager=True)
     )
     ks = ", ".join(str(i) for i in range(_BLM_K))
     bit_of = (

@@ -271,6 +271,18 @@ def sim_ivf_pq_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "cent_id", F.expr(_HYB_CENT_COS).alias("ccos"))
         .withColumn("crank", F.row_number().over(rank_w))
+        # Keep only the rows either consumer can use, then materialize
+        # ONCE (r16 optimization round): cells and probes both derive
+        # from this relation, so without truncation the N x 8 cosine
+        # crossJoin + window re-ran under each (two full assignment
+        # passes in the executed plan). The kept relation is the IVF
+        # cell index itself — <= N + queries*probes narrow int rows.
+        .filter(
+            (F.col("crank") == 1)
+            | ((F.col("vec_id") < _PQ_QUERIES) & (F.col("crank") <= _N_PROBE))
+        )
+        .select("vec_id", "cent_id", "crank")
+        .localCheckpoint(eager=True)
     )
     cells = assign.filter(F.col("crank") == 1).select("vec_id", "cent_id")
     probes = assign.filter(
@@ -340,8 +352,14 @@ def sim_ivf_pq_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast is safe and the truth pass is one corpus scan x 10, not
     # corpus x corpus.
     qvs = emb.select("vec_id", F.expr(_KM_QV).alias("qv"))
-    qa = qvs.filter(F.col("vec_id") < _PQ_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("qv").alias("qqv")
+    # Materialize the bounded query-vector relation ONCE (r16
+    # optimization round): qa is broadcast into BOTH the shortlist
+    # re-rank and the truth pass, so without truncation its corpus
+    # scan + filter re-ran under each broadcast. _PQ_QUERIES rows.
+    qa = (
+        qvs.filter(F.col("vec_id") < _PQ_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("qv").alias("qqv"))
+        .localCheckpoint(eager=True)
     )
     l2 = _HYB_L2_SPARK.format(a="qqv", b="qv")
     rerank_w = Window.partitionBy("q_id").orderBy("l2_dist", "vec_id")
@@ -776,7 +794,12 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr("CAST(n_chars AS BIGINT)").alias("c"),
         F.expr(f"CAST(size({words_expr('text')}) AS BIGINT)").alias("n_tok"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ Materialize the per-doc stat row ONCE (r16 optimization round):
+    # base feeds the totals, BOTH mixes and the length histogram, so
+    # without truncation the tokenize scan re-ran under every section
+    # (4 subtree copies in the executed plan). Five narrow columns per
+    # doc — the "one tokenize scan" the docstring promises, now real.
     tot = base.agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
         F.expr("CAST(SUM(n_tok) AS BIGINT)").alias("n_tokens"),
@@ -848,6 +871,11 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.explode(F.expr(_shingles_expr(_DECON_N))).alias("sg")
         )
+        # Materialize the shingle index ONCE (r16 optimization round,
+        # the contamination-pairs convention): sh feeds the bench side
+        # AND the corpus side of the decontamination join, so without
+        # truncation the tokenize + shingle explode re-ran under both.
+        .localCheckpoint(eager=True)
     )
     bench_sh = (
         sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)

@@ -615,17 +615,27 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(f"w NOT IN ({stop_sql})")
         .withColumn("iid", F.col("pos") - F.row_number().over(wi))
     )
-    ph = isl.groupBy("doc_id", "iid").agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("k")
+    # Per-island length and per-word stats as WINDOWS riding the one
+    # doc_id shuffle instead of group-then-self-join (r16 optimization
+    # round): hash(doc_id) already satisfies the clustered distribution
+    # of every (doc_id, ...) window below, so the joins' 3 extra
+    # exchanges — and the tokenize+explode subtree replicated under
+    # each self-join side (4 documents scans in the executed plan) —
+    # collapse to sort-only passes over the same partitioning. Values
+    # identical: COUNT/SUM OVER (PARTITION BY k) == join with the
+    # k-grouped aggregate, and the k <= _RAKE_MAXLEN filter still runs
+    # AFTER the unfiltered per-word stats, exactly as before.
+    with_k = isl.withColumn(
+        "k",
+        F.expr("CAST(COUNT(*) OVER (PARTITION BY doc_id, iid) AS BIGINT)"),
     )
-    with_k = isl.join(ph, ["doc_id", "iid"])
-    wstat = with_k.groupBy("doc_id", "w").agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("freq"),
-        F.expr("CAST(SUM(k) AS BIGINT)").alias("deg"),
-    )
-    rows = with_k.filter(F.col("k") <= _RAKE_MAXLEN).join(
-        wstat, ["doc_id", "w"]
-    )
+    rows = with_k.withColumn(
+        "freq",
+        F.expr("CAST(COUNT(*) OVER (PARTITION BY doc_id, w) AS BIGINT)"),
+    ).withColumn(
+        "deg",
+        F.expr("CAST(SUM(k) OVER (PARTITION BY doc_id, w) AS BIGINT)"),
+    ).filter(F.col("k") <= _RAKE_MAXLEN)
     phrases = rows.groupBy("doc_id", "iid").agg(
         F.expr(
             "concat_ws(' ', transform(array_sort(collect_list(struct(pos, w))),"

@@ -182,6 +182,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= _DF_CAP)
         .drop("df")
+        # Materialize the capped inverted index ONCE (r16 optimization
+        # round): capped is referenced three times below, and without
+        # truncation the explode + shingle-partitioned window re-ran
+        # under every reference (4 subtree copies in the executed plan,
+        # no ReusedExchange). The index is <= the corpus shingle count
+        # — the relation an inverted-index join materializes anyway.
+        .localCheckpoint(eager=True)
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = capped.alias("a"), capped.alias("b")
@@ -277,9 +284,20 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
     )
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("s") - F.expr(f"({_PJ_T} * s + 999) DIV 1000") + 1
-    ).select("doc_id", "s", "shingle", "rk")
+    prefix = (
+        ranked.filter(
+            F.col("rk") <= F.col("s") - F.expr(f"({_PJ_T} * s + 999) DIV 1000") + 1
+        )
+        .select("doc_id", "s", "shingle", "rk")
+        # Materialize the prefix index ONCE (r16 optimization round, the
+        # ngram-jaccard convention): prefix feeds BOTH candidate self-join
+        # sides, so without truncation the shingle-partitioned df window
+        # AND the per-doc rank window re-ran under each side (two full
+        # explode+window passes in the executed plan, zero
+        # ReusedExchange). The index is 4 narrow columns bounded by the
+        # prefix-filtering theorem's |S|-ceil(t|S|)+1 per doc.
+        .localCheckpoint(eager=True)
+    )
     # PPJoin length filter (Xiao et al. 2008): J(A,B) <= min(|A|,|B|) /
     # max(|A|,|B|), so J >= t forces 1000*min >= t*max — a LOSSLESS
     # residual predicate on the prefix equi-join that drops size-skewed
@@ -582,7 +600,12 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mh = _minhash_signatures(spark, sf_dir)
-    banded = _banded_keys(mh)
+    # Materialize the band keys ONCE (r16 optimization round): banded
+    # feeds the bloom-bitset build, the gated batch side AND the corpus
+    # join side, so without truncation the band-hash explode over the
+    # persisted signatures re-ran under every reference (3 executed
+    # passes in the plan). 4 narrow columns, _N_BANDS rows per doc.
+    banded = _banded_keys(mh).localCheckpoint(eager=True)
     is_batch = F.col("doc_id") % _ING_MOD == _ING_MOD - 1
     corpus_b = banded.filter(~is_batch)
     batch_b = banded.filter(is_batch)

@@ -392,6 +392,14 @@ def unigram_rarity_stats(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", F.explode(F.expr(words_expr("text"))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # Materialize the (doc, word, tf) relation ONCE (r16 optimization
+        # round, the word-TYPE-table convention): tf feeds the vocabulary
+        # rollup (whose total feeds the broadcast N) AND the word-keyed
+        # scoring join, so without truncation the tokenize scan + groupBy
+        # replicated under every reference (3 executed corpus reads in
+        # the plan). The relation is 3 narrow columns at (doc, distinct
+        # word) grain — the docstring's stated pre-aggregation point.
+        .localCheckpoint(eager=True)
     )
     vocab = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
     n = vocab.agg(F.sum("cnt").alias("n_total"))

@@ -626,14 +626,25 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 wall time is scan-dominated and flat (~2.5 s both forms);
     # the win is the halved shuffle volume, which is what matters when
     # the exchange, not the scan, is the 100 TB bottleneck.
-    pairs = flagged.groupBy(
-        F.col("l_orderkey").alias("po_orderkey"),
-        F.col("l_suppkey").alias("po_suppkey"),
-    ).agg(
-        F.expr("bool_or(late)").alias("late_any"),
-        F.expr("CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)").alias(
-            "n_late_lines"
-        ),
+    pairs = (
+        flagged.groupBy(
+            F.col("l_orderkey").alias("po_orderkey"),
+            F.col("l_suppkey").alias("po_suppkey"),
+        )
+        .agg(
+            F.expr("bool_or(late)").alias("late_any"),
+            F.expr(
+                "CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_late_lines"),
+        )
+        # Materialize the pair grain ONCE (r16 optimization round):
+        # pairs feeds both the per-order rollup and the waiting filter,
+        # and without truncation the lineitem ⋈ orders join + pair agg
+        # re-ran under each reference (12 parquet scans, zero
+        # ReusedExchange in the executed plan). The relation is 4
+        # narrow columns at (orderkey, suppkey) grain — strictly
+        # smaller than the lineitem input it replaces.
+        .localCheckpoint(eager=True)
     )
     per_order = pairs.groupBy("po_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
@@ -738,6 +749,13 @@ def tpch_refresh_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def refresh_audit(relation: str, base: DataFrame, bump: int) -> DataFrame:
         """base must carry (k, status, cents, is_ins, is_del)."""
+        # Materialize the tagged relation ONCE (r16 optimization round):
+        # base feeds the insert clone, the after-state union AND the
+        # base audit, so without truncation the scan + two md5 batch
+        # predicates re-ran under every reference (12 parquet scans
+        # across the two relations in the executed plan). The relation
+        # is 5 narrow columns — the md5s never recompute after this.
+        base = base.localCheckpoint(eager=True)
         ins_rows = (
             base.filter("is_ins")
             .crossJoin(F.broadcast(off))

@@ -355,6 +355,12 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         tt.select(F.explode("l").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cx"))
+        # Materialize the unigram TYPE table ONCE (r16 optimization
+        # round, the textrank/zipf convention): uni feeds the corpus
+        # total and BOTH scoring-join sides, so without truncation the
+        # tokenize scan + groupBy replicated 3x in the executed plan.
+        # Everything after this point is vocab-bounded.
+        .localCheckpoint(eager=True)
     )
     n = uni.agg(F.sum("cx").alias("n_tokens"))
     big = (
