@@ -277,12 +277,17 @@ def sim_ivf_pq_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crossJoin + window re-ran under each (two full assignment
         # passes in the executed plan). The kept relation is the IVF
         # cell index itself — <= N + queries*probes narrow int rows.
+        # LAZY checkpoint (quiet-host A/B, resumed session): eager's
+        # pre-job sync barrier serialized work the scheduler otherwise
+        # overlaps (5-run medians 4.14 s eager / 3.28 s none / 2.85 s
+        # lazy); lazy still computes the assignment once (localCheckpoint
+        # persists blocks on first use) and still truncates the plan.
         .filter(
             (F.col("crank") == 1)
             | ((F.col("vec_id") < _PQ_QUERIES) & (F.col("crank") <= _N_PROBE))
         )
         .select("vec_id", "cent_id", "crank")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cells = assign.filter(F.col("crank") == 1).select("vec_id", "cent_id")
     probes = assign.filter(

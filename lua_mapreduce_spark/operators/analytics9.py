@@ -98,21 +98,41 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque — construction, merge, estimator, and the error-vs-exact
     audit are ALL value-checked by the oracle.
 
-    Scale shape: one scan; the per-(flag, register) max is a map-side
-    combinable aggregate collapsing to <= 3 * 64 rows before any
-    exchange (the fixed-size-sketch property IN the plan, the KMV
-    convention); the estimate folds a 64-element array per output row.
-    int64-safe: ranks <= 55, shifts stay below 2^56."""
+    Scale shape (r16 optimization round): ONE lineitem scan. The old
+    form scanned lineitem four times (registers, merged registers,
+    per-bucket exact, global exact); every one of those relations is a
+    function of the DISTINCT key set, which is bounded by the part-key
+    domain — orders of magnitude below |lineitem| — so the query now
+    collapses to distinct (set_name, l_partkey) once (map-side
+    combinable), checkpoints that narrow relation, and derives all four
+    faces from it. MAX over registers is duplicate-insensitive and the
+    hash is a function of the key, so registers over distinct keys are
+    identical; the buckets PARTITION the key domain (set_name is a
+    function of the key), so per-bucket exact counts are plain COUNTs
+    over the distinct relation and the global exact count is their SUM —
+    the oracle (unchanged, still two COUNT(DISTINCT) scans) value-checks
+    both identities. The per-(set, register) max collapses to <= 3 * 64
+    rows before any exchange (the fixed-size-sketch property IN the
+    plan, the KMV convention); the estimate folds a 64-element array
+    per output row. int64-safe: ranks <= 55, shifts stay below 2^56."""
     li = load_table(spark, sf_dir, "lineitem")
-    h = md5_bigint_expr("concat('hll-', CAST(l_partkey AS STRING))")
-    hashed = li.selectExpr(
-        f"{h} AS h",
-        "concat('bucket_', CAST(l_partkey % 3 AS STRING)) AS set_name",
+    dk = (
+        li.selectExpr(
+            "l_partkey",
+            "concat('bucket_', CAST(l_partkey % 3 AS STRING)) AS set_name",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    h = md5_bigint_expr("concat('hll-', CAST(l_partkey AS STRING))")
+    hashed = dk.selectExpr(f"{h} AS h", "set_name")
+    # <= 3 * 64 rows; checkpointed so the merged face rides these rows
+    # instead of re-aggregating the distinct-key relation.
     regs = (
         hashed.selectExpr(*_hll_registers_sql("set_name"))
         .groupBy("set_name", "reg")
         .agg(F.expr("CAST(MAX(rank_bits) AS BIGINT)").alias("rank_bits"))
+        .localCheckpoint(eager=True)
     )
     merged = regs.groupBy("reg").agg(
         F.expr("CAST(MAX(rank_bits) AS BIGINT)").alias("rank_bits")
@@ -131,18 +151,10 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(size(regs) AS BIGINT)").alias("n_regs"),
         F.expr(_HLL_EST_SPARK).alias("est_n"),
     )
-    exact = (
-        li.selectExpr(
-            "concat('bucket_', CAST(l_partkey % 3 AS STRING)) AS set_name",
-            "l_partkey",
-        )
-        .groupBy("set_name")
-        .agg(F.countDistinct("l_partkey").alias("exact_n"))
-    )
+    exact = dk.groupBy("set_name").agg(F.count(F.lit(1)).alias("exact_n"))
     exact_all = exact.unionByName(
-        li.agg(F.countDistinct("l_partkey").alias("exact_n")).select(
-            F.lit("merged").alias("set_name"), "exact_n"
-        )
+        exact.agg(F.expr("CAST(SUM(exact_n) AS BIGINT)").alias("exact_n"))
+        .select(F.lit("merged").alias("set_name"), "exact_n")
     )
     return ests.join(exact_all, "set_name").select(
         "set_name",

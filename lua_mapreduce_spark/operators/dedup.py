@@ -289,14 +289,17 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk") <= F.col("s") - F.expr(f"({_PJ_T} * s + 999) DIV 1000") + 1
         )
         .select("doc_id", "s", "shingle", "rk")
-        # Materialize the prefix index ONCE (r16 optimization round, the
-        # ngram-jaccard convention): prefix feeds BOTH candidate self-join
-        # sides, so without truncation the shingle-partitioned df window
-        # AND the per-doc rank window re-ran under each side (two full
-        # explode+window passes in the executed plan, zero
-        # ReusedExchange). The index is 4 narrow columns bounded by the
-        # prefix-filtering theorem's |S|-ceil(t|S|)+1 per doc.
-        .localCheckpoint(eager=True)
+        # NOT checkpointed (r16 optimization round, quiet-host A/B): the
+        # two window passes under the self-join sides derive from the
+        # PERSISTED signature relation (no corpus re-scan is at stake),
+        # and an eager checkpoint here serializes work the scheduler
+        # otherwise overlaps — measured 2.17 s (this form) vs 4.90 s
+        # (checkpointed) fresh-process 5-run medians at sf0.1 with clean
+        # calibrations. The duplicated subtree is window arithmetic over
+        # ExistingRDD, exactly the case the single-checkpoint discipline's
+        # "never per-iteration" clause exists for. (A lazy checkpoint was
+        # also A/B'd: 4.65 s — the block materialization itself costs more
+        # than the duplicated window arithmetic it saves.)
     )
     # PPJoin length filter (Xiao et al. 2008): J(A,B) <= min(|A|,|B|) /
     # max(|A|,|B|), so J >= t forces 1000*min >= t*max — a LOSSLESS
@@ -799,7 +802,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming check (a close pair can collide in several bands). One
     tokenize pass builds the fingerprints; the join shuffles only
     (doc_id, 8-byte fingerprint) tuples — no text moves."""
-    sh = _simhash_wide(spark, sf_dir)
+    # Materialize the fingerprints ONCE (r16 optimization round): the band
+    # self-join references `bands` on both sides, and without truncation
+    # the tokenize + explode + 48-column bit-sum subtree executed under
+    # EACH side — two full corpus passes to rebuild a relation that is one
+    # (doc_id, int64) row per document. This is the narrow-collapse case
+    # (unlike the prefix-join above, whose duplicated subtree was window
+    # arithmetic over an already-persisted relation): the checkpointed
+    # relation is orders of magnitude smaller than its input.
+    sh = _simhash_wide(spark, sf_dir).localCheckpoint(eager=True)
     # shiftright(), not `>>`: Spark's parser accepts the infix operator
     # only at expression top level, not nested inside function calls.
     band_structs = ", ".join(

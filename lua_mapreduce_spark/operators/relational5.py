@@ -749,13 +749,15 @@ def tpch_refresh_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def refresh_audit(relation: str, base: DataFrame, bump: int) -> DataFrame:
         """base must carry (k, status, cents, is_ins, is_del)."""
-        # Materialize the tagged relation ONCE (r16 optimization round):
-        # base feeds the insert clone, the after-state union AND the
-        # base audit, so without truncation the scan + two md5 batch
-        # predicates re-ran under every reference (12 parquet scans
-        # across the two relations in the executed plan). The relation
-        # is 5 narrow columns — the md5s never recompute after this.
-        base = base.localCheckpoint(eager=True)
+        # NOT checkpointed (r16 optimization round, quiet-host A/B): base
+        # is 5 narrow columns but FULL fact-table cardinality — there is
+        # no collapse here, so an eager checkpoint materializes
+        # O(|orders|+|lineitem|) rows to pin a map-side md5 expression
+        # that three column-pruned re-scans recompute for free in
+        # parallel. Measured 2.26 s (this form) vs 3.65 s (checkpointed)
+        # fresh-process 5-run medians at sf0.1, clean calibrations; at
+        # 100 TB the checkpoint would write the whole dataset once to
+        # save two pruned scans — the wrong side of the trade.
         ins_rows = (
             base.filter("is_ins")
             .crossJoin(F.broadcast(off))

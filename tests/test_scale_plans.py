@@ -447,6 +447,18 @@ def test_minhash_single_text_pass(spark):
     assert plan.count("InMemoryTableScan") >= 4
 
 
+def test_r16_single_scan_collapses(spark):
+    """r16 optimization round: the simhash band self-join and the HLL
+    sketch each collapse to ONE fact/corpus pass (inside the checkpoint
+    job); the final plan reads only the checkpointed relation. A second
+    tokenize/scan pass sneaking back in shows up here as a parquet scan
+    node in the consumer plan."""
+    for name in ("dedup_simhash_pairs", "agg_hll_sketch"):
+        plan = _explain(QUERIES[name](spark, SF_MEDIUM))
+        assert "Scan parquet" not in plan, f"{name} re-scans parquet"
+        assert "ExistingRDD" in plan, f"{name} lost its checkpoint collapse"
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """Catalyst's InjectRuntimeFilter turns a selective dim predicate into
     a bloom filter applied on the FACT side before the join shuffle — the
