@@ -465,6 +465,9 @@ def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # window re-ran under each (two full assignment passes in the
         # executed plan). The kept relation IS the IVF cell index — the
         # vectors an IVF index stores, plus the query probe ranks.
+        # Eager kept after a 2-round quiet-host lazy A/B read flat
+        # (2.68/2.45 then 2.47/2.80 — contradictory, inside the host's
+        # ±15% same-code noise floor).
         .filter(
             (F.col("crank") == 1)
             | ((F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= max_p))

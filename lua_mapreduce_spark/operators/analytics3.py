@@ -168,25 +168,30 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _CN_CAP)
         .select(F.col("src").alias("z"), F.col("dst").alias("nbr"))
     )
+    # Join BEFORE the wedge explosion (guide §3.3): the per-z RA
+    # contribution 1000 DIV deg(z) is attached to the CAPPED adjacency
+    # (<= _CN_CAP rows per node), not to the exploded wedge stream
+    # (<= C(_CN_CAP, 2) rows per node) — both wedge sides share z, so
+    # carrying side a's contribution through the self-join is exact and
+    # the degree join probes ~15x fewer rows.
+    cadjd = cadj.join(deg.select(F.col("n").alias("z"), "d"), "z").withColumn(
+        "ra_c", F.expr("1000 DIV d")
+    )
     wedges = (
-        cadj.alias("a")
+        cadjd.alias("a")
         .join(
             cadj.alias("b"),
             (F.col("a.z") == F.col("b.z")) & (F.col("a.nbr") < F.col("b.nbr")),
         )
         .select(
-            F.col("a.z").alias("z"),
             F.col("a.nbr").alias("na"),
             F.col("b.nbr").alias("nb"),
+            F.col("a.ra_c").alias("ra_c"),
         )
     )
-    scored = (
-        wedges.join(deg.select(F.col("n").alias("z"), "d"), "z")
-        .groupBy("na", "nb")
-        .agg(
-            F.count(F.lit(1)).alias("common_neighbors"),
-            F.expr("CAST(SUM(1000 DIV d) AS BIGINT)").alias("ra_milli"),
-        )
+    scored = wedges.groupBy("na", "nb").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.expr("CAST(SUM(ra_c) AS BIGINT)").alias("ra_milli"),
     )
     nonedge = scored.join(
         pairs,

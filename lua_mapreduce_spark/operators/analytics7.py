@@ -458,7 +458,10 @@ def agg_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so without truncation the events scan + groupBy replicated
         # under every reference (6 scans in the executed plan). The
         # vector is |users| rows — the docstring's stated collapse
-        # point — and everything downstream is bounded by it.
+        # point — and everything downstream is bounded by it. Eager
+        # kept after a 2-round quiet-host lazy A/B read flat (0.91 /
+        # 0.93 s medians — the barrier cost is below this query's
+        # noise floor).
         .localCheckpoint(eager=True)
     )
     rs = spark.range(_AMS_R).select(F.col("id").alias("r"))

@@ -805,6 +805,8 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without truncation the tokenize scan re-ran under every section
     # (4 subtree copies in the executed plan). Five narrow columns per
     # doc — the "one tokenize scan" the docstring promises, now real.
+    # Eager kept after a 2-round quiet-host lazy A/B read flat (2.90/
+    # 2.77 then 3.33/3.17 — inside the same-code noise floor).
     tot = base.agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
         F.expr("CAST(SUM(n_tok) AS BIGINT)").alias("n_tokens"),

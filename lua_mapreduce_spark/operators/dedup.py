@@ -188,7 +188,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # under every reference (4 subtree copies in the executed plan,
         # no ReusedExchange). The index is <= the corpus shingle count
         # — the relation an inverted-index join materializes anyway.
-        .localCheckpoint(eager=True)
+        # LAZY by a 3-pair quiet-host A/B (eager medians 2.00/2.19/1.76
+        # vs lazy 1.71/1.69/[contended] — the two clean pairs both
+        # favor dropping the pre-job sync barrier).
+        .localCheckpoint(eager=False)
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = capped.alias("a"), capped.alias("b")
@@ -809,7 +812,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, int64) row per document. This is the narrow-collapse case
     # (unlike the prefix-join above, whose duplicated subtree was window
     # arithmetic over an already-persisted relation): the checkpointed
-    # relation is orders of magnitude smaller than its input.
+    # relation is orders of magnitude smaller than its input. EAGER by
+    # quiet-host A/B (2.18 eager / 2.55 lazy fresh-process median —
+    # here the eager capture's preserved layout beats the removed
+    # barrier; the lazy mode is per-query measured, never a blanket).
     sh = _simhash_wide(spark, sf_dir).localCheckpoint(eager=True)
     # shiftright(), not `>>`: Spark's parser accepts the infix operator
     # only at expression top level, not nested inside function calls.

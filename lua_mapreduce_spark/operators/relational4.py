@@ -73,11 +73,25 @@ _HLL_TOL = 5 * _HLL_RSD  # 5-sigma: deterministic sketch, generous margin
 
 
 def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate per (flag, partkey) FIRST, then derive every face from the
+    # deduplicated relation (r16 optimization round — the agg_hll_sketch
+    # identity): mixing countDistinct with approx_count_distinct in ONE
+    # aggregate makes Spark carry the 410-word HLL++ partial state per
+    # DISTINCT (flag, partkey) group through the first exchange (~3.3 KB
+    # per distinct key — a sketch-per-key shuffle that scales with the key
+    # domain, not the group count). The HLL register MAX is
+    # duplicate-insensitive and the hash is a deterministic function of
+    # the key, so the sketch over the distinct relation is BIT-IDENTICAL
+    # to the sketch over the raw rows; exact_parts is a plain COUNT of
+    # the distinct relation and n_rows the SUM of its per-key counts.
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    per_key = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_key.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).alias("exact_parts"),
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_rows"),
     )
     rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
         "exact_parts"

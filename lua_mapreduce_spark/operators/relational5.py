@@ -643,7 +643,9 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-ran under each reference (12 parquet scans, zero
         # ReusedExchange in the executed plan). The relation is 4
         # narrow columns at (orderkey, suppkey) grain — strictly
-        # smaller than the lineitem input it replaces.
+        # smaller than the lineitem input it replaces. Eager kept
+        # after a 3-pair quiet-host lazy A/B read mixed (4.67/2.58,
+        # then 2.47/2.76 — inside the same-code noise floor).
         .localCheckpoint(eager=True)
     )
     per_order = pairs.groupBy("po_orderkey").agg(

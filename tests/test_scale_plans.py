@@ -459,6 +459,42 @@ def test_r16_single_scan_collapses(spark):
         assert "ExistingRDD" in plan, f"{name} lost its checkpoint collapse"
 
 
+def test_r16_sketch_partial_state_stays_narrow(spark):
+    """r16 optimization round: agg_approx_distinct_sketch aggregates per
+    (l_returnflag, l_partkey) BEFORE computing the HLL sketch, so the
+    per-key exchange carries 3 narrow columns — not the 410-word HLL++
+    partial state per distinct key that mixing countDistinct with
+    approx_count_distinct in one agg forces (a shuffle that scales with
+    the key domain, ~3.3 KB per distinct key)."""
+    import re
+
+    plan = _explain(QUERIES["agg_approx_distinct_sketch"](spark, SF_MEDIUM))
+    widths = [
+        int(n)
+        for n, args in re.findall(
+            r"Exchange\nInput \[(\d+)\]: [^\n]*\n"
+            r"Arguments: hashpartitioning\(([^)]+)",
+            plan,
+        )
+        if "l_partkey" in args
+    ]
+    assert widths, "per-key exchange missing from the plan"
+    assert all(n <= 4 for n in widths), (
+        f"HLL partial state crossing the per-key exchange (widths={widths})"
+    )
+
+
+def test_r16_common_neighbors_joins_before_explode(spark):
+    """r16 optimization round: graph_common_neighbors attaches the per-z
+    RA contribution (1000 DIV deg) to the CAPPED adjacency before the
+    wedge self-join, so the aggregate sums the precomputed ra_c column
+    and the degree join never touches the exploded wedge stream."""
+    plan = _explain(QUERIES["graph_common_neighbors"](spark, SF_MEDIUM))
+    assert "partial_sum(ra_c" in plan, (
+        "degree join moved back above the wedge explosion"
+    )
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """Catalyst's InjectRuntimeFilter turns a selective dim predicate into
     a bloom filter applied on the FACT side before the join shuffle — the
