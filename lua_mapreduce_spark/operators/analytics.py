@@ -367,21 +367,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Out-adjacency arrays: bounded per src by the orientation (<= sqrt(2m)
     # entries), which is what makes this collect_list safe at any scale.
     adj = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    # Re-derive the edge stream FROM the adjacency (explode) instead of
+    # joining e back against adj on src (r17 optimization round, guide
+    # §2.4 — share one exchange): collect_list over the checkpointed e
+    # holds exactly one entry per edge, so exploding it regenerates the
+    # same (src, dst) bag with src's adjacency already attached — the
+    # src-side join (a full shuffle of the 1.2M-row edge relation at
+    # sf0.1) disappears; the dst-side join shuffles the identical
+    # (src, dst, nu) rows it always did.
+    ex = adj.select("src", F.explode("nbrs").alias("dst"), F.col("nbrs").alias("nu"))
     # Triangles at edge (src, dst) = common out-neighbors; a dst with no
     # out-edges contributes an empty array via the left join.
-    scored = (
-        e.join(
-            adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu")),
-            F.col("src") == F.col("u2"),
-        )
-        .join(
-            adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv")),
-            F.col("dst") == F.col("v2"),
-            "left",
-        )
-        .select(
-            F.size(F.array_intersect("nu", F.coalesce("nv", F.array()))).alias("c")
-        )
+    scored = ex.join(
+        adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv")),
+        F.col("dst") == F.col("v2"),
+        "left",
+    ).select(
+        F.size(F.array_intersect("nu", F.coalesce("nv", F.array()))).alias("c")
     )
     n_tri = scored.agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("n_triangles"))
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))

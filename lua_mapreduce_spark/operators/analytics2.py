@@ -91,7 +91,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = sym.join(
             labels.select(F.col("node").alias("src"), "lbl"), "src"
         ).select(F.col("dst").alias("node"), "lbl")
-        cnt = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # One exchange for BOTH aggregations (r17 optimization round,
+        # guide §2.4): hashpartitioning(node) satisfies the clustered
+        # distribution of groupBy(node, lbl) AND groupBy(node), so the
+        # explicit repartition replaces the two aggregate exchanges of
+        # the previous form with one. The trade is map-side combining on
+        # (node, lbl) — worth ~nothing here because a neighbor list's
+        # labels are near-unique within a map task (dup factor ~1), so
+        # the raw message stream crossing the single exchange is the
+        # same volume the combined partials were.
+        cnt = (
+            msgs.repartition("node")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
         labels = (
             cnt.groupBy("node")
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))

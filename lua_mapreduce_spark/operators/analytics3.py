@@ -1056,7 +1056,13 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        # UNION of already-checkpointed frontiers, NOT re-checkpointed
+        # (r17 optimization round): every leg is its own ExistingRDD, so
+        # re-materializing the concatenation each round copied the whole
+        # visited set O(hops) times for no lineage benefit — the union of
+        # h materialized legs is depth-1 lineage already. The anti-join
+        # and the final rollup read the same rows either way.
+        dist = dist.unionAll(nxt)
         frontier = nxt
     return dist.groupBy("dist").agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -84,6 +84,9 @@ def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the key, so the sketch over the distinct relation is BIT-IDENTICAL
     # to the sketch over the raw rows; exact_parts is a plain COUNT of
     # the distinct relation and n_rows the SUM of its per-key counts.
+    # NOTE: the COUNT-of-distinct-relation == countDistinct identity holds
+    # because l_partkey is NOT NULL in TPC-H (countDistinct excludes NULLs;
+    # COUNT(*) over the group-by would count a NULL key as one value).
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_returnflag", "l_partkey").agg(
         F.count(F.lit(1)).alias("c")

@@ -295,18 +295,35 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winnowing building block. Base 8 keeps every term an exact shifted
     integer (max ~2^56 < int64), so the same arithmetic is bit-identical
     in any engine — no modular reduction, no float. All computed in ONE
-    projection via nested array lambdas: no explode, no shuffle."""
+    projection via nested array lambdas: no explode, no shuffle.
+
+    The char codes are materialized ONCE per doc (split + ascii, O(len))
+    before the window sums index into the array (r17 optimization round,
+    guide §1.2 per-task work): the previous form called
+    ascii(substring(text, i + j, 1)) inside the window lambda — k calls
+    per window, each an O(position) codepoint seek on the UTF8 string, so
+    a doc cost O(len^2 * k) byte scans. Array indexing is O(1), so the
+    window pass is O(len * k) and the one split pass O(len).
+    split(text, '') yields exactly one element per character (verified
+    incl. multi-byte and control chars), so ascii() sees the same
+    single-char strings and every hash value is bit-identical."""
     docs = parallelize_scan(spark, load_table(spark, sf_dir, "documents"))
     k = _RK_K
     hashes = (
-        f"transform(sequence(0, length(text) - {k}), i -> "
+        f"transform(sequence(0, size(_cs) - {k}), i -> "
         f"aggregate(transform(sequence(1, {k}), j -> "
-        f"CAST(ascii(substring(text, i + j, 1)) AS BIGINT)"
+        f"_cs[i + j - 1]"
         f" * shiftleft(CAST(1 AS BIGINT), 3 * ({k} - j))), "
         f"CAST(0 AS BIGINT), (acc, x) -> acc + x))"
     )
     return (
         docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+            ).alias("_cs"),
+        )
         .select("doc_id", F.expr(hashes).alias("_h"))
         .select(
             "doc_id",

@@ -466,8 +466,6 @@ def test_r16_sketch_partial_state_stays_narrow(spark):
     partial state per distinct key that mixing countDistinct with
     approx_count_distinct in one agg forces (a shuffle that scales with
     the key domain, ~3.3 KB per distinct key)."""
-    import re
-
     plan = _explain(QUERIES["agg_approx_distinct_sketch"](spark, SF_MEDIUM))
     widths = [
         int(n)
